@@ -1,0 +1,82 @@
+"""P5/T1/T2 — the stateful OCR engine (SURVEY.md §2.3).
+
+The reference creates and terminates a Tesseract worker *per document*
+(apps/legacy/src/services/ocr.ts:41,86-87 — pure overhead) while the Vision client is
+a lazy module singleton (apps/ocr/src/lib/ocr-utils.ts:61-83 — the right intent). In
+Ray Data the correct expression is an **actor pool**: the engine loads once in
+``__init__`` and stays warm across batches
+(``map_batches(ExtractStage, concurrency=(min,max), batch_size=B)``).
+
+``GlyphGridEngine`` is the in-sandbox deterministic engine (decodes the jpdf glyph-grid
+raster — see formats/jpdf.py). ``TesseractEngine`` is the production interface stub:
+the sandbox has no raster libs (SURVEY.md §7.0), so it raises NotImplementedError with
+the integration contract documented.
+
+Pinned OCR text semantics: per-page decoded text, pages joined with "\\n\\n"
+(apps/legacy/src/services/ocr.ts:60), document stripped.
+"""
+
+from __future__ import annotations
+
+from janet_ray.formats import jpdf
+
+
+class OcrEngine:
+    """Interface: decode one raster page → text."""
+
+    def decode_page(self, packed: bytes, width: int, height: int) -> str:
+        raise NotImplementedError
+
+
+class GlyphGridEngine(OcrEngine):
+    """Deterministic glyph-grid decoder. The reverse font table is the warm 'model'
+    state, built once per actor (equivalent to the Vision client singleton intent,
+    ocr-utils.ts:72-79)."""
+
+    def __init__(self) -> None:
+        # Force the font tables to be materialized in this process — the warm state.
+        self._reverse = dict(jpdf.FONT_REVERSE)
+
+    def decode_page(self, packed: bytes, width: int, height: int) -> str:
+        return jpdf.decode_bitmap(packed, width, height)
+
+
+class TesseractEngine(OcrEngine):  # pragma: no cover - production stub
+    """Production engine: pdfium page raster at 200 DPI (the reference's
+    ``pdftoppm -jpeg -r 200``, ocr-utils.ts:167) + a warm Tesseract API handle.
+    Unavailable in this sandbox (no pdfium/tesseract binaries)."""
+
+    def __init__(self) -> None:
+        raise NotImplementedError(
+            "TesseractEngine requires pypdfium2 + pytesseract; wire them here and "
+            "keep the handle on the actor (one init per actor, reused per batch)."
+        )
+
+
+def ocr_document(pages: list[dict], engine: OcrEngine) -> tuple[str, list[dict], int]:
+    """Decode all scan pages of a parsed jpdf container.
+
+    Returns (text, spans, n_pages): per-page spans into the final text; pages joined
+    with "\\n\\n"; text-layer pages inside a scanned doc contribute their native text
+    (mixed docs keep page order)."""
+    page_texts: list[str] = []
+    for page in pages:
+        if page["kind"] == "scan":
+            page_texts.append(engine.decode_page(page["packed"], page["width"], page["height"]))
+        else:
+            items = sorted(page["items"], key=lambda it: (it[1], it[0]))
+            page_texts.append(" ".join(it[2] for it in items))
+    doc = "\n\n".join(page_texts)
+    lead = len(doc) - len(doc.lstrip())
+    doc = doc.strip()
+    spans: list[dict] = []
+    pos = -lead
+    for i, t in enumerate(page_texts):
+        if i > 0:
+            pos += 2  # "\n\n" joiner
+        start = max(0, pos)
+        end = min(len(doc), pos + len(t))
+        if end > start:
+            spans.append({"page": i, "start": start, "end": end, "kind": "ocr"})
+        pos += len(t)
+    return doc, spans, len(pages)
