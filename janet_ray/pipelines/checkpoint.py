@@ -1,0 +1,121 @@
+"""Checkpointed, resumable partitioned run of the extraction pipeline.
+
+Each partition (a deterministic group of input parquet files —
+state/manifest.plan_partitions) runs the full extract pipeline and writes its sorted
+output Parquet atomically, then commits a lineage manifest. A killed run resumes by
+pruning complete partitions (partition-level anti-join, the scale analogue of
+rename.ts:61-64's per-document resume filter).
+
+Within a partition all Ray parallelism applies (the streaming executor schedules the
+map_batches/actor-pool stages across the cluster); partitions run one after another
+so the manifest commit order is deterministic. At production scale a partition is
+sized to a multi-GB slice of input (e.g. one WARC dump shard), so per-partition
+sequencing costs nothing while keeping recovery units small.
+
+The per-url dedupe here is scoped WITHIN a partition: input layout must put all
+captures of a url in the same partition (CC-style crawls partition by url/host
+prefix, and the synthetic corpus's sorted shard layout keeps duplicate urls in one
+shard group). A global cross-partition dedupe is the final `groupby(url)` of
+read_output(), applied when consumers need the fully-deduped view.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import time
+
+import pyarrow.compute as pc  # noqa: F401 (re-export convenience)
+import ray.data
+
+from janet_ray.pipelines.extract import build_extract_pipeline, dedupe_last_wins
+from janet_ray.state import manifest as mf
+
+
+class InjectedFailure(RuntimeError):
+    """Raised by run_partitioned(fail_after_partitions=k) — the kill-resume test hook."""
+
+
+def run_partitioned(
+    input_dir: str,
+    out_dir: str,
+    *,
+    num_partitions: int = 16,
+    resume: bool = True,
+    fail_after_partitions: int | None = None,
+    batch_size: int = 64,
+    concurrency=None,
+) -> dict:
+    """Run the flagship pipeline partition-by-partition with manifests + resume.
+
+    Returns the run summary dict (also persisted to _manifest/summary.json)."""
+    files = sorted(glob.glob(os.path.join(input_dir, "*.parquet")))
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {input_dir}")
+    parts = mf.plan_partitions(files, num_partitions)
+    os.makedirs(out_dir, exist_ok=True)
+
+    done_this_run = 0
+    for pid, part_files in enumerate(parts):
+        if resume and mf.is_complete(out_dir, pid):
+            continue
+        if fail_after_partitions is not None and done_this_run >= fail_after_partitions:
+            raise InjectedFailure(f"injected failure before partition {pid}")
+        started = time.time()
+        m = mf.PartitionManifest(partition_id=pid, input_files=[os.path.basename(f) for f in part_files],
+                                 started_at=started)
+        try:
+            ds = ray.data.read_parquet(part_files)
+            out = build_extract_pipeline(
+                ds, batch_size=batch_size, concurrency=concurrency,
+                dedupe=True, sort=True,
+            )
+            tmp_dir = os.path.join(out_dir, f"_tmp-part-{pid:05d}")
+            if os.path.isdir(tmp_dir):
+                import shutil
+
+                shutil.rmtree(tmp_dir)
+            # drop the heavy text for byte accounting AFTER write; write full table
+            out.write_parquet(tmp_dir)
+            mf.commit_partition_dir(out_dir, pid, tmp_dir)
+
+            # fold metrics from the written files (cheap footer reads)
+            import pyarrow.parquet as pq
+
+            n_rows = n_success = bytes_out = 0
+            routes: dict[str, int] = {}
+            for f in sorted(glob.glob(os.path.join(mf.partition_dir(out_dir, pid), "*.parquet"))):
+                t = pq.read_table(f, columns=["success", "route"])
+                n_rows += t.num_rows
+                n_success += pc.sum(pc.cast(t["success"], "int64")).as_py() or 0
+                for r in pc.value_counts(t["route"]).to_pylist():
+                    routes[r["values"]] = routes.get(r["values"], 0) + r["counts"]
+                bytes_out += os.path.getsize(f)
+            m.status, m.n_rows, m.n_success, m.routes, m.bytes_out = (
+                "complete", n_rows, n_success, routes, bytes_out,
+            )
+        except InjectedFailure:
+            raise
+        except Exception as e:
+            m.status, m.error = "failed", f"{type(e).__name__}: {e}"
+            m.finished_at = time.time()
+            m.wall_s = m.finished_at - started
+            mf.write_manifest(out_dir, m)
+            raise
+        m.finished_at = time.time()
+        m.wall_s = m.finished_at - started
+        mf.write_manifest(out_dir, m)
+        done_this_run += 1
+
+    return mf.summarize(out_dir, len(parts))
+
+
+def read_output(out_dir: str, *, global_dedupe: bool = True) -> "ray.data.Dataset":
+    """Read all committed partitions back as one Dataset (optionally applying the
+    cross-partition last-wins dedupe + global sort for the stable final view)."""
+    part_dirs = sorted(glob.glob(os.path.join(out_dir, "part-*")))
+    files = [f for d in part_dirs for f in sorted(glob.glob(os.path.join(d, "*.parquet")))]
+    ds = ray.data.read_parquet(files)
+    if global_dedupe:
+        ds = dedupe_last_wins(ds).sort("url")
+    return ds

@@ -1,0 +1,136 @@
+"""The flagship Ray Data pipeline (SURVEY.md §3.1 re-expressed Ray-Data-first).
+
+    read_parquet(pages)
+      → map_batches(sniff_routes)                 stateless, 16B/row inspected
+      → size-bucket split (skew: giant payloads get a small batch budget)
+      → map_batches(ExtractStage, actor pool)     warm OCR engine per actor
+      → union
+      → groupby(url) last-wins dedupe             (J2/J4/A6: latest warc_ts per url)
+      → sort(url)                                 stable output order
+
+The reference's flagship is a strictly sequential per-document loop
+(apps/legacy/rename.ts:77-90); here inter-document parallelism is the streaming
+executor scheduling blocks (SURVEY.md §4), and the mappings-JSON checkpoint becomes
+per-partition manifests (pipelines/checkpoint.py).
+
+Skew handling (SURVEY.md §7.2.7): rows with ``len(html) > skew_threshold`` (megapage
+HTML, giant scanned PDFs) are processed in a separate extract stage with a small
+``batch_size`` so one batch never holds many giant payloads — bounding per-task heap
+while normal rows flow in large batches. Both branches are the same stage class, so
+semantics are identical.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from janet_ray.stages.extract import ExtractStage
+from janet_ray.stages.router import sniff_routes
+
+DEFAULT_SKEW_THRESHOLD = 64 * 1024  # bytes of payload → "giant" bucket
+
+
+def _with_size(batch: pa.Table) -> pa.Table:
+    return batch.append_column(
+        "payload_bytes", pc.cast(pc.binary_length(batch["html"]), pa.int64())
+    )
+
+
+def _drop_size(batch: pa.Table) -> pa.Table:
+    return batch.drop_columns(["payload_bytes"])
+
+
+def build_extract_pipeline(
+    ds: "ray.data.Dataset",
+    *,
+    batch_size: int = 64,
+    giant_batch_size: int = 4,
+    concurrency=None,
+    skew_threshold: int = DEFAULT_SKEW_THRESHOLD,
+    dedupe: bool = True,
+    sort: bool = True,
+) -> "ray.data.Dataset":
+    """pages Dataset → extracted Dataset (EXTRACTED_SCHEMA)."""
+    routed = ds.map_batches(sniff_routes, batch_format="pyarrow", zero_copy_batch=True)
+    routed = routed.map_batches(_with_size, batch_format="pyarrow", zero_copy_batch=True)
+
+    normal = routed.map_batches(
+        lambda t: t.filter(pc.less_equal(t["payload_bytes"], skew_threshold)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).map_batches(_drop_size, batch_format="pyarrow", zero_copy_batch=True)
+    giant = routed.map_batches(
+        lambda t: t.filter(pc.greater(t["payload_bytes"], skew_threshold)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).map_batches(_drop_size, batch_format="pyarrow", zero_copy_batch=True)
+
+    # An int concurrency becomes an autoscaling (1, c) pool: two fixed-size pools
+    # (normal + giant branch) would reserve every CPU up front and starve the read
+    # tasks feeding them — a deadlock on small machines, a utilization hole on big
+    # ones (ray_guide "a pool that reserves every CPU starves the read stage").
+    if concurrency is None:
+        # default: autoscale up to (cluster CPUs - 1), always leaving headroom for
+        # the read/shuffle tasks that feed the pools
+        import ray
+
+        total = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+        concurrency = (1, max(1, total - 1))
+    if isinstance(concurrency, int):
+        concurrency = (1, max(1, concurrency))
+    kw = {"concurrency": concurrency}
+    extracted_n = normal.map_batches(
+        ExtractStage, batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True, **kw,
+    )
+    extracted_g = giant.map_batches(
+        ExtractStage, batch_format="pyarrow", batch_size=giant_batch_size,
+        zero_copy_batch=True, **kw,
+    )
+    out = extracted_n.union(extracted_g)
+
+    if dedupe:
+        out = dedupe_last_wins(out)
+    if sort:
+        out = out.sort("url")
+    return out
+
+
+def dedupe_last_wins(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """A6/J4 — exact per-url dedupe, keep the latest ``warc_ts`` (the keyed last-wins
+    upsert of apps/legacy/src/utils/file.ts:40-49). A shuffle on url; per-group work
+    is vectorized argmax."""
+
+    def latest(group: pa.Table) -> pa.Table:
+        if group.num_rows == 1:
+            return group
+        idx = pc.sort_indices(
+            group, sort_keys=[("warc_ts", "descending"), ("route", "ascending")]
+        )[0].as_py()
+        return group.slice(idx, 1)
+
+    return ds.groupby("url").map_groups(latest, batch_format="pyarrow")
+
+
+def run_metrics(extracted: "ray.data.Dataset") -> dict:
+    """A1 — run counters (rename.ts:74-95): processed / success / failed + per-route
+    row counts, computed as a Ray aggregate (small result → driver)."""
+    from ray.data.aggregate import Count, Sum
+
+    per_route = extracted.groupby("route").aggregate(Count(alias_name="rows"))
+    totals = extracted.aggregate(
+        Count(alias_name="processed"),
+        Sum("success", alias_name="succeeded"),
+        Sum("n_chars", alias_name="total_chars"),
+    )
+    routes = {r["route"]: r["rows"] for r in per_route.take_all()}
+    return {
+        "processed": int(totals["processed"]),
+        "succeeded": int(totals["succeeded"] or 0),
+        "failed": int(totals["processed"]) - int(totals["succeeded"] or 0),
+        "total_chars": int(totals["total_chars"] or 0),
+        "routes": routes,
+    }

@@ -1,0 +1,124 @@
+"""S10/J2 — per-partition lineage manifests and the resume protocol.
+
+The reference checkpoints by rewriting a single mappings JSON after *every* document
+(apps/legacy/src/utils/file.ts:36-59) with a timestamped backup before mutation
+(rename.ts:6-16), and resumes by filtering out already-successful entries
+(rename.ts:61-64). At 10^12 documents a single shared file is impossible; the
+Ray-native equivalent is:
+
+  * deterministic partition ids — a pure function of the sorted input file list
+    (NOT of cluster size), so a resumed run sees identical partitions
+    (SURVEY.md §7.4 "deterministic resume");
+  * one output directory per partition, written to a temp name and atomically
+    renamed (os.replace), so a partition is either absent or complete;
+  * one manifest JSON per partition (counts, bytes, wall time, input lineage,
+    status) written after the data rename — the commit record;
+  * resume = partition-level anti-join: skip partitions whose manifest is complete
+    (J2 at partition granularity).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass
+class PartitionManifest:
+    partition_id: int
+    input_files: list[str]
+    status: str = "pending"  # pending | complete | failed
+    n_rows: int = 0
+    n_success: int = 0
+    routes: dict = field(default_factory=dict)
+    bytes_out: int = 0
+    wall_s: float = 0.0
+    started_at: float = 0.0
+    finished_at: float = 0.0
+    error: str = ""
+
+
+def manifest_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "_manifest")
+
+
+def partition_dir(out_dir: str, pid: int) -> str:
+    return os.path.join(out_dir, f"part-{pid:05d}")
+
+
+def manifest_path(out_dir: str, pid: int) -> str:
+    return os.path.join(manifest_dir(out_dir), f"part-{pid:05d}.json")
+
+
+def plan_partitions(input_files: list[str], num_partitions: int) -> list[list[str]]:
+    """Deterministic contiguous split of the SORTED file list into num_partitions
+    groups. Pure function of (files, num_partitions) — never of cluster size."""
+    files = sorted(input_files)
+    n = len(files)
+    num_partitions = max(1, min(num_partitions, n))
+    bounds = [round(i * n / num_partitions) for i in range(num_partitions + 1)]
+    return [files[bounds[i] : bounds[i + 1]] for i in range(num_partitions)]
+
+
+def load_manifest(out_dir: str, pid: int) -> PartitionManifest | None:
+    path = manifest_path(out_dir, pid)
+    if not os.path.exists(path):
+        return None
+    try:
+        with open(path) as f:
+            return PartitionManifest(**json.load(f))
+    except (ValueError, TypeError):
+        return None  # torn write → treat as not-done; the data dir rename is atomic
+
+
+def is_complete(out_dir: str, pid: int) -> bool:
+    m = load_manifest(out_dir, pid)
+    return m is not None and m.status == "complete" and os.path.isdir(partition_dir(out_dir, pid))
+
+
+def write_manifest(out_dir: str, m: PartitionManifest) -> None:
+    os.makedirs(manifest_dir(out_dir), exist_ok=True)
+    path = manifest_path(out_dir, m.partition_id)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(asdict(m), f, indent=1, sort_keys=True)
+    os.replace(tmp, path)
+
+
+def commit_partition_dir(out_dir: str, pid: int, tmp_data_dir: str) -> None:
+    """Atomically publish a partition's data directory."""
+    final = partition_dir(out_dir, pid)
+    if os.path.isdir(final):
+        shutil.rmtree(final)
+    os.replace(tmp_data_dir, final)
+
+
+def summarize(out_dir: str, num_partitions: int) -> dict:
+    """Fold per-partition manifests into the run summary (A1 final counters,
+    rename.ts:91-95)."""
+    total = {"partitions": 0, "complete": 0, "n_rows": 0, "n_success": 0,
+             "bytes_out": 0, "wall_s": 0.0, "routes": {}}
+    for pid in range(num_partitions):
+        m = load_manifest(out_dir, pid)
+        if m is None:
+            continue
+        total["partitions"] += 1
+        if m.status == "complete":
+            total["complete"] += 1
+            total["n_rows"] += m.n_rows
+            total["n_success"] += m.n_success
+            total["bytes_out"] += m.bytes_out
+            total["wall_s"] += m.wall_s
+            for k, v in (m.routes or {}).items():
+                total["routes"][k] = total["routes"].get(k, 0) + v
+    total["generated_at"] = time.time()
+    path = os.path.join(manifest_dir(out_dir), "summary.json")
+    os.makedirs(manifest_dir(out_dir), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(total, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)
+    return total

@@ -347,15 +347,27 @@ def gen_pages(n: int, seed: int = SEED) -> tuple[pa.Table, pa.Table, dict]:
                       error="*", n_pages=0))
 
     # ~2% duplicate urls: same content, warc_ts +1h → dedupe keeps the later row,
-    # content identical so golden text is unchanged.
+    # content identical so golden text is unchanged. Duplicates are inserted
+    # ADJACENT to their originals so both captures land in the same input shard /
+    # partition — the partitioning assumption the checkpoint runner's
+    # partition-scoped dedupe relies on (CC-style crawls co-locate url recrawls by
+    # url/host-prefixed layout; see pipelines/checkpoint.py docstring).
     n_dup = max(1, n // 50)
-    dup_idx = rng.choice(np.arange(len(urls)), size=min(n_dup, len(urls)), replace=False)
-    for j in sorted(int(x) for x in dup_idx):
-        urls.append(urls[j])
-        tss.append(tss[j] + timedelta(hours=1))
-        payloads.append(payloads[j])
-        hints.append(hints[j])
-        langs.append(langs[j])
+    dup_idx = set(
+        int(x) for x in rng.choice(np.arange(len(urls)), size=min(n_dup, len(urls)), replace=False)
+    )
+    cols = [urls, tss, payloads, hints, langs]
+    new_cols = [[], [], [], [], []]
+    for j in range(len(urls)):
+        for c, nc in zip(cols, new_cols):
+            nc.append(c[j])
+        if j in dup_idx:
+            new_cols[0].append(urls[j])
+            new_cols[1].append(tss[j] + timedelta(hours=1))
+            new_cols[2].append(payloads[j])
+            new_cols[3].append(hints[j])
+            new_cols[4].append(langs[j])
+    urls, tss, payloads, hints, langs = new_cols
 
     pages_tbl = pa.table(
         {
@@ -388,7 +400,7 @@ def ensure_pages_dir(n: int, seed: int = SEED, root: str = "/tmp/janet_ray_pages
 
     Sharded files (not one giant file) so ray.data.read_parquet gets natural input
     blocks, and so the checkpoint runner can partition by file (SURVEY.md §7.2.8)."""
-    out = os.path.join(root, f"n{n}-s{seed}")
+    out = os.path.join(root, f"n{n}-s{seed}-r{shard_rows}")
     marker = os.path.join(out, "_DONE")
     if os.path.exists(marker):
         return out

@@ -1,0 +1,75 @@
+"""Mirrors SURVEY.md §5 layer 1+2: native-vs-OCR routing on content emptiness and
+golden substring assertions for the Travelers anchor (pdf.test.ts:118-159 analogue)."""
+
+import pytest
+
+from janet_ray.formats import jpdf
+from janet_ray.stages import ocr as ocr_mod
+from janet_ray.stages.pdf_extract import extract_pdf_text
+from janet_ray.synth import _TRAVELERS_PAGES
+
+
+def test_text_layer_join_semantics():
+    # items join with ' ' in (y, x) order; pages join with '\n'; doc stripped
+    doc = jpdf.encode(
+        [
+            {"items": [(50, 10, "world"), (10, 10, "hello"), (10, 30, "below")]},
+            {"items": [(0, 0, "page two")]},
+        ]
+    )
+    text, spans, n_pages = extract_pdf_text(doc)
+    assert text == "hello world below\npage two"
+    assert n_pages == 2
+    assert spans == [
+        {"page": 0, "start": 0, "end": 17, "kind": "page"},
+        {"page": 1, "start": 18, "end": 26, "kind": "page"},
+    ]
+
+
+def test_empty_text_layer_signals_ocr():
+    doc = jpdf.encode([{"scan": "only raster"}])
+    text, spans, n_pages = extract_pdf_text(doc)
+    assert text is None and spans == [] and n_pages == 1
+
+
+def test_blank_items_signal_ocr():
+    doc = jpdf.encode([{"items": [(0, 0, " "), (5, 5, "")]}])
+    text, _, _ = extract_pdf_text(doc)
+    assert text is None
+
+
+def test_ocr_document_pages_join_with_blank_line():
+    engine = ocr_mod.GlyphGridEngine()
+    pages = jpdf.parse(jpdf.encode([{"scan": "page one text"}, {"scan": "page two text"}]))
+    text, spans, n = ocr_mod.ocr_document(pages, engine)
+    assert text == "page one text\n\npage two text"
+    assert [s["kind"] for s in spans] == ["ocr", "ocr"]
+    assert n == 2
+
+
+def test_ocr_mixed_pages_keep_order():
+    engine = ocr_mod.GlyphGridEngine()
+    pages = jpdf.parse(
+        jpdf.encode([{"scan": "scanned first"}, {"items": [(0, 0, "typed second")]}])
+    )
+    text, _, _ = ocr_mod.ocr_document(pages, engine)
+    assert text == "scanned first\n\ntyped second"
+
+
+def test_travelers_golden_substrings():
+    """The reference's golden-fixture oracle: expected substrings in extracted text
+    (pdf.test.ts asserts 'Notice of Cancellation', 'TRAVELERS', policy number,
+    date, and page markers)."""
+    engine = ocr_mod.GlyphGridEngine()
+    doc = jpdf.encode([{"scan": t} for t in _TRAVELERS_PAGES])
+    text, spans, n = ocr_mod.ocr_document(jpdf.parse(doc), engine)
+    flat = text.replace("\n", " ")
+    for needle in ["Notice of Cancellation", "TRAVELERS", "612266004",
+                   "FEBRUARY 25, 2024", "Page 1", "Page 2"]:
+        assert needle in flat
+    assert n == 2
+
+
+def test_tesseract_engine_is_a_documented_stub():
+    with pytest.raises(NotImplementedError):
+        ocr_mod.TesseractEngine()

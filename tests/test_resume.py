@@ -1,0 +1,86 @@
+"""Kill-resume protocol (FIXTURES.md §4): run on N partitions, die after k, resume;
+completed partitions are NOT recomputed and the final output is byte-identical to an
+uninterrupted run."""
+
+import glob
+import os
+import shutil
+
+import pytest
+
+from janet_ray.pipelines.checkpoint import (
+    InjectedFailure,
+    read_output,
+    run_partitioned,
+)
+from janet_ray.state import manifest as mf
+
+
+@pytest.fixture(scope="module")
+def corpus_pages(small_corpus):
+    return os.path.join(small_corpus, "pages")
+
+
+def _final_table(out_dir):
+    return (
+        read_output(out_dir)
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+
+
+def test_kill_resume_byte_identical(ray_session, corpus_pages, tmp_path_factory):
+    out_a = str(tmp_path_factory.mktemp("uninterrupted"))
+    out_b = str(tmp_path_factory.mktemp("resumed"))
+
+    summary_a = run_partitioned(corpus_pages, out_a, num_partitions=4, batch_size=32)
+    assert summary_a["complete"] == 4
+
+    with pytest.raises(InjectedFailure):
+        run_partitioned(corpus_pages, out_b, num_partitions=4, batch_size=32,
+                        fail_after_partitions=2)
+    done_before = [pid for pid in range(4) if mf.is_complete(out_b, pid)]
+    assert len(done_before) == 2
+    mtimes = {pid: os.path.getmtime(mf.manifest_path(out_b, pid)) for pid in done_before}
+
+    summary_b = run_partitioned(corpus_pages, out_b, num_partitions=4, batch_size=32)
+    assert summary_b["complete"] == 4
+    # completed partitions were not recomputed: manifests untouched
+    for pid in done_before:
+        assert os.path.getmtime(mf.manifest_path(out_b, pid)) == mtimes[pid]
+
+    ta, tb = _final_table(out_a), _final_table(out_b)
+    assert ta.drop(columns=["spans"]).equals(tb.drop(columns=["spans"]))
+    assert list(map(list, ta["spans"])) == list(map(list, tb["spans"]))
+
+
+def test_manifest_lineage_and_counters(ray_session, corpus_pages, tmp_path):
+    out = str(tmp_path / "run")
+    summary = run_partitioned(corpus_pages, out, num_partitions=2, batch_size=32)
+    # partition-scoped dedupe collapses co-located duplicates; a duplicate that
+    # straddles a partition boundary survives until the global view
+    assert 300 <= summary["n_rows"] <= 306
+    assert summary["n_success"] + summary["routes"].get("error", 0) == summary["n_rows"]
+    assert len(_final_table(out)) == 300
+    for pid in range(2):
+        m = mf.load_manifest(out, pid)
+        assert m.status == "complete"
+        assert m.input_files  # lineage recorded
+        assert m.wall_s > 0
+        assert m.bytes_out > 0
+        assert sum(m.routes.values()) == m.n_rows
+    # partition dirs are atomic commits: no tmp dirs left behind
+    assert not glob.glob(os.path.join(out, "_tmp-part-*"))
+
+
+def test_torn_manifest_triggers_recompute(ray_session, corpus_pages, tmp_path):
+    out = str(tmp_path / "run")
+    run_partitioned(corpus_pages, out, num_partitions=2, batch_size=32)
+    # corrupt one manifest → that partition must be recomputed, run still succeeds
+    with open(mf.manifest_path(out, 0), "w") as f:
+        f.write("{torn")
+    shutil.rmtree(mf.partition_dir(out, 0))
+    summary = run_partitioned(corpus_pages, out, num_partitions=2, batch_size=32)
+    assert summary["complete"] == 2
+    assert _final_table(out)["url"].is_unique
