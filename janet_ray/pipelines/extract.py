@@ -13,11 +13,16 @@ The reference's flagship is a strictly sequential per-document loop
 executor scheduling blocks (SURVEY.md §4), and the mappings-JSON checkpoint becomes
 per-partition manifests (pipelines/checkpoint.py).
 
-Skew handling (SURVEY.md §7.2.7): rows with ``len(html) > skew_threshold`` (megapage
-HTML, giant scanned PDFs) are processed in a separate extract stage with a small
-``batch_size`` so one batch never holds many giant payloads — bounding per-task heap
-while normal rows flow in large batches. Both branches are the same stage class, so
-semantics are identical.
+Skew handling (SURVEY.md §7.2.7): by default a SINGLE pass — giant payloads are
+bounded by Ray's block-size targets (`DataContext.target_max_block_size` caps the
+bytes a task holds) and the actor processes rows one at a time, so a megapage row
+costs latency on its block only, which the streaming executor absorbs by scheduling
+other blocks in parallel. With ``skew_split=True`` the routed dataset is
+materialized ONCE into the object store and then split into a normal branch (large
+``batch_size``) and a giant branch (``giant_batch_size`` rows/batch) — tighter p99
+batch times at the price of a mid-pipeline materialization. Never filter the same
+lazy lineage twice without materializing: Ray Data re-executes the whole upstream
+read per consumer, doubling the 100 TB scan.
 """
 
 from __future__ import annotations
@@ -50,28 +55,17 @@ def build_extract_pipeline(
     giant_batch_size: int = 4,
     concurrency=None,
     skew_threshold: int = DEFAULT_SKEW_THRESHOLD,
+    skew_split: bool = False,
     dedupe: bool = True,
     sort: bool = True,
 ) -> "ray.data.Dataset":
     """pages Dataset → extracted Dataset (EXTRACTED_SCHEMA)."""
     routed = ds.map_batches(sniff_routes, batch_format="pyarrow", zero_copy_batch=True)
-    routed = routed.map_batches(_with_size, batch_format="pyarrow", zero_copy_batch=True)
 
-    normal = routed.map_batches(
-        lambda t: t.filter(pc.less_equal(t["payload_bytes"], skew_threshold)),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    ).map_batches(_drop_size, batch_format="pyarrow", zero_copy_batch=True)
-    giant = routed.map_batches(
-        lambda t: t.filter(pc.greater(t["payload_bytes"], skew_threshold)),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    ).map_batches(_drop_size, batch_format="pyarrow", zero_copy_batch=True)
-
-    # An int concurrency becomes an autoscaling (1, c) pool: two fixed-size pools
-    # (normal + giant branch) would reserve every CPU up front and starve the read
-    # tasks feeding them — a deadlock on small machines, a utilization hole on big
-    # ones (ray_guide "a pool that reserves every CPU starves the read stage").
+    # An int concurrency becomes an autoscaling (1, c) pool: a fixed-size pool
+    # would reserve every CPU up front and starve the read tasks feeding it — a
+    # deadlock on small machines, a utilization hole on big ones (ray_guide "a pool
+    # that reserves every CPU starves the read stage").
     if concurrency is None:
         # default: autoscale up to (cluster CPUs - 1), always leaving headroom for
         # the read/shuffle tasks that feed the pools
@@ -82,15 +76,37 @@ def build_extract_pipeline(
     if isinstance(concurrency, int):
         concurrency = (1, max(1, concurrency))
     kw = {"concurrency": concurrency}
-    extracted_n = normal.map_batches(
-        ExtractStage, batch_format="pyarrow", batch_size=batch_size,
-        zero_copy_batch=True, **kw,
-    )
-    extracted_g = giant.map_batches(
-        ExtractStage, batch_format="pyarrow", batch_size=giant_batch_size,
-        zero_copy_batch=True, **kw,
-    )
-    out = extracted_n.union(extracted_g)
+
+    if not skew_split:
+        out = routed.map_batches(
+            ExtractStage, batch_format="pyarrow", batch_size=batch_size,
+            zero_copy_batch=True, **kw,
+        )
+    else:
+        # Materialize ONCE, then branch — two filters on the same lazy lineage
+        # would re-execute the read + sniff per branch (2× the input scan).
+        sized = routed.map_batches(
+            _with_size, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+        normal = sized.map_batches(
+            lambda t: t.filter(pc.less_equal(t["payload_bytes"], skew_threshold)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).map_batches(_drop_size, batch_format="pyarrow", zero_copy_batch=True)
+        giant = sized.map_batches(
+            lambda t: t.filter(pc.greater(t["payload_bytes"], skew_threshold)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).map_batches(_drop_size, batch_format="pyarrow", zero_copy_batch=True)
+        extracted_n = normal.map_batches(
+            ExtractStage, batch_format="pyarrow", batch_size=batch_size,
+            zero_copy_batch=True, **kw,
+        )
+        extracted_g = giant.map_batches(
+            ExtractStage, batch_format="pyarrow", batch_size=giant_batch_size,
+            zero_copy_batch=True, **kw,
+        )
+        out = extracted_n.union(extracted_g)
 
     if dedupe:
         out = dedupe_last_wins(out)
@@ -117,20 +133,23 @@ def dedupe_last_wins(ds: "ray.data.Dataset") -> "ray.data.Dataset":
 
 def run_metrics(extracted: "ray.data.Dataset") -> dict:
     """A1 — run counters (rename.ts:74-95): processed / success / failed + per-route
-    row counts, computed as a Ray aggregate (small result → driver)."""
+    row counts. ONE pass: a per-route groupby carries all the sums, and the driver
+    folds route rows into the totals (two separate aggregates would execute the
+    upstream pipeline twice)."""
     from ray.data.aggregate import Count, Sum
 
-    per_route = extracted.groupby("route").aggregate(Count(alias_name="rows"))
-    totals = extracted.aggregate(
-        Count(alias_name="processed"),
+    per_route = extracted.groupby("route").aggregate(
+        Count(alias_name="rows"),
         Sum("success", alias_name="succeeded"),
-        Sum("n_chars", alias_name="total_chars"),
-    )
-    routes = {r["route"]: r["rows"] for r in per_route.take_all()}
+        Sum("n_chars", alias_name="chars"),
+    ).take_all()
+    routes = {r["route"]: int(r["rows"]) for r in per_route}
+    processed = sum(routes.values())
+    succeeded = sum(int(r["succeeded"] or 0) for r in per_route)
     return {
-        "processed": int(totals["processed"]),
-        "succeeded": int(totals["succeeded"] or 0),
-        "failed": int(totals["processed"]) - int(totals["succeeded"] or 0),
-        "total_chars": int(totals["total_chars"] or 0),
+        "processed": processed,
+        "succeeded": succeeded,
+        "failed": processed - succeeded,
+        "total_chars": sum(int(r["chars"] or 0) for r in per_route),
         "routes": routes,
     }

@@ -1,0 +1,518 @@
+"""The driver-contract query registry (__ray_entry__ delegates here).
+
+Each entry pairs a Ray Data pipeline with a DuckDB oracle SQL string computing
+the SAME result over the same parquet tables (views: region nation customer
+supplier part orders lineitem events documents embeddings). Column names match
+exactly; float columns are either single divisions of exact integers or guarded
+by measured value margins (see inline notes) so the driver's value-hash compare
+is stable.
+
+Ray is initialised by the DRIVER — nothing here calls ray.init/shutdown.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data
+
+from janet_ray.pipelines.extract import build_extract_pipeline
+from janet_ray.sources import documents as docsrc
+from janet_ray.stages import dedup, media, similarity, textstats as ts
+from janet_ray.stages.router import sniff_routes
+from janet_ray.stages.search import count_matches
+
+
+def _docs(sf_dir: str) -> "ray.data.Dataset":
+    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _read(sf_dir: str, name: str, columns=None) -> "ray.data.Dataset":
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+
+
+def _cents(arr: pa.ChunkedArray | pa.Array, scale: int = 100) -> pa.Array:
+    """floor(x*scale + 0.5) as int64 — the deterministic rounding used on BOTH
+    sides (duckdb round() is half-away, numpy half-even; floor(+0.5) is identical
+    everywhere)."""
+    return pc.cast(pc.floor(pc.add(pc.multiply(arr, float(scale)), 0.5)), pa.int64())
+
+
+_CENTS_SQL = "CAST(floor({expr} * {scale} + 0.5) AS BIGINT)"
+
+
+# --------------------------------------------------------------- extraction
+
+def q_extract_html_text(sf_dir: str):
+    pages = _docs(sf_dir).map_batches(docsrc.html_pages_batch, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+    out = build_extract_pipeline(pages, dedupe=False, sort=False)
+    return out.select_columns(["url", "text", "route", "success"])
+
+
+_HTML_GOLD_SQL = """
+SELECT 'https://docs.example/d-' || lpad(CAST(doc_id AS VARCHAR), 7, '0') AS url,
+       'Document ' || CAST(doc_id AS VARCHAR) || ' synthetic article' || chr(10) || chr(10) ||
+       trim(regexp_replace(
+           CASE WHEN length(text) >= 60 THEN text ELSE text || ' ' || repeat('pad ', 20) END,
+           '\\s+', ' ', 'g')) AS text,
+       'html' AS route, TRUE AS success
+FROM documents
+"""
+
+
+def q_extract_pdf_text(sf_dir: str):
+    pages = _docs(sf_dir).map_batches(docsrc.pdf_pages_batch, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+    out = build_extract_pipeline(pages, dedupe=False, sort=False)
+    return out.select_columns(["url", "text", "route", "success"])
+
+
+_PDF_GOLD_SQL = """
+SELECT 'https://docs.example/d-' || lpad(CAST(doc_id AS VARCHAR), 7, '0') AS url,
+       array_to_string(regexp_extract_all(text, '\\S+'), ' ') AS text,
+       'pdf' AS route, TRUE AS success
+FROM documents
+"""
+
+
+def q_extract_ocr_text(sf_dir: str):
+    """Scanned-page OCR route (glyph-grid engine) — non-SQL-expressible (the
+    line-wrap raster model), driver records the rows-only check; byte-identical
+    goldens are asserted in tests/test_pdf_ocr.py instead."""
+    pages = _docs(sf_dir).map_batches(docsrc.scan_pages_batch, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+    out = build_extract_pipeline(pages, dedupe=False, sort=False)
+    return out.select_columns(["url", "text", "route", "success", "n_pages"])
+
+
+def q_route_counts(sf_dir: str):
+    pages = _docs(sf_dir).map_batches(docsrc.mixed_pages_batch, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+    routed = pages.map_batches(sniff_routes, batch_format="pyarrow", zero_copy_batch=True)
+    from ray.data.aggregate import Count
+
+    return routed.groupby("route").aggregate(Count(alias_name="rows"))
+
+
+_ROUTE_COUNTS_SQL = """
+SELECT CASE WHEN doc_id % 10 = 0 THEN 'pdf'
+            WHEN doc_id % 10 = 9 THEN 'error' ELSE 'html' END AS route,
+       count(*) AS rows
+FROM documents GROUP BY 1
+"""
+
+
+def q_extract_metrics(sf_dir: str):
+    pages = _docs(sf_dir).map_batches(docsrc.mixed_pages_batch, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+    out = build_extract_pipeline(pages, dedupe=False, sort=False)
+    from ray.data.aggregate import Count, Sum
+
+    agg = out.groupby("route").aggregate(
+        Count(alias_name="rows"), Sum("success", alias_name="succeeded")
+    )
+    return agg.map_batches(
+        lambda t: t.set_column(t.column_names.index("succeeded"), "succeeded",
+                               pc.cast(pc.coalesce(t["succeeded"], 0), pa.int64())),
+        batch_format="pyarrow",
+    )
+
+
+_EXTRACT_METRICS_SQL = """
+SELECT CASE WHEN doc_id % 10 = 0 THEN 'pdf'
+            WHEN doc_id % 10 = 9 THEN 'error' ELSE 'html' END AS route,
+       count(*) AS rows,
+       CAST(sum(CASE WHEN doc_id % 10 = 9 THEN 0 ELSE 1 END) AS BIGINT) AS succeeded
+FROM documents GROUP BY 1
+"""
+
+
+def q_derive_filenames(sf_dir: str):
+    """P9 canonical-filename derivation over extracted pages; these documents
+    carry no dates → exercises the identity-fallback path end-to-end
+    (openai.ts:83-91 semantics)."""
+    pages = _docs(sf_dir).map_batches(docsrc.html_pages_batch, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+    out = build_extract_pipeline(pages, dedupe=False, sort=False)
+    return out.select_columns(["url", "filename"])
+
+
+_FILENAMES_SQL = """
+SELECT 'https://docs.example/d-' || lpad(CAST(doc_id AS VARCHAR), 7, '0') AS url,
+       'd-' || lpad(CAST(doc_id AS VARCHAR), 7, '0') || '.pdf' AS filename
+FROM documents
+"""
+
+
+# --------------------------------------------------------------- search / text
+
+def q_search_count(sf_dir: str):
+    def f(batch: pa.Table) -> pa.Table:
+        texts = [t or "" for t in batch["text"].to_pylist()]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_data": pa.array([count_matches(t, "data") for t in texts], pa.int64()),
+            "n_spark_w": pa.array(
+                [count_matches(t, "spark", whole_words=True) for t in texts], pa.int64()),
+        })
+
+    return _docs(sf_dir).map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_SEARCH_COUNT_SQL = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text), 'data')) AS BIGINT) AS n_data,
+       CAST(len(regexp_extract_all(lower(text), ' spark ')) AS BIGINT) AS n_spark_w
+FROM documents
+"""
+
+
+def q_token_count(sf_dir: str):
+    return (
+        _docs(sf_dir)
+        .map_batches(lambda t: ts.add_token_count(t), batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .select_columns(["doc_id", "n_tokens"])
+    )
+
+
+def q_lang_id(sf_dir: str):
+    return (
+        _docs(sf_dir)
+        .map_batches(ts.add_lang_id, batch_format="pyarrow", zero_copy_batch=True)
+        .select_columns(["doc_id", "lang_pred"])
+    )
+
+
+def q_textstats(sf_dir: str):
+    return (
+        _docs(sf_dir)
+        .map_batches(ts.add_textstats, batch_format="pyarrow", zero_copy_batch=True)
+        .select_columns(["doc_id", "n_chars", "n_tokens", "n_alpha", "n_stop_en",
+                         "alpha_ratio", "stopword_ratio", "mean_token_len"])
+    )
+
+
+def q_fingerprint(sf_dir: str):
+    return (
+        _docs(sf_dir)
+        .map_batches(ts.add_fingerprint, batch_format="pyarrow", zero_copy_batch=True)
+        .select_columns(["doc_id", "fp"])
+    )
+
+
+# --------------------------------------------------------------- dedup
+
+def q_exact_dedup(sf_dir: str):
+    return dedup.exact_dedup(_docs(sf_dir))
+
+
+_EXACT_DEDUP_SQL = f"""
+SELECT min(doc_id) AS doc_id, fp FROM (
+  SELECT doc_id, {ts.fingerprint_sql()} AS fp FROM documents
+) GROUP BY fp
+"""
+
+_MINHASH_SQL = """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                        for i in range(1, len(ws) - 1)]) AS shingles
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+       len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+      len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
+"""
+
+
+def q_minhash_neardup(sf_dir: str):
+    return dedup.minhash_neardup_pairs(_docs(sf_dir), threshold=0.8)
+
+
+def q_simhash_neardup(sf_dir: str):
+    """Hamming-banded SimHash near-dups — bit-level hash not SQL-expressible;
+    rows-only check (pair-level properties asserted in tests/test_dedup.py)."""
+    return dedup.simhash_neardup_pairs(_docs(sf_dir), max_hamming=8)
+
+
+def q_embedding_neardup(sf_dir: str):
+    # threshold 0.4: 59 pairs at sf0.01 with ≥1e-4 sim margin to the cut
+    # (float64-vs-duckdb-double drift is ~1e-15 — no boundary risk)
+    return dedup.embedding_neardup_pairs(_read(sf_dir, "embeddings"), threshold=0.4)
+
+
+_EMB_NEARDUP_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+"""
+
+
+# --------------------------------------------------------------- similarity
+
+def _query_vectors(sf_dir: str, n: int = 5) -> dict[int, np.ndarray]:
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    ids = t["vec_id"].to_pylist()
+    out = {}
+    for i, vid in enumerate(ids):
+        if vid < n:
+            out[int(vid)] = np.asarray(t["embedding"][i].as_py(), dtype=np.float64)
+    return out
+
+
+def q_ann_topk(sf_dir: str):
+    return similarity.brute_force_topk(_read(sf_dir, "embeddings"),
+                                       _query_vectors(sf_dir), k=10)
+
+
+_ANN_TOPK_SQL = """
+SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, CAST(rk AS INTEGER) AS rank
+FROM (
+  SELECT q.vec_id, n.vec_id AS nid,
+         row_number() OVER (PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]) DESC,
+                    n.vec_id) AS rk
+  FROM embeddings q JOIN embeddings n ON n.vec_id != q.vec_id
+  WHERE q.vec_id < 5
+) x(vec_id, nid, rk) JOIN embeddings q ON q.vec_id = x.vec_id
+     JOIN embeddings n ON n.vec_id = x.nid
+WHERE rk <= 10
+"""
+
+
+def q_ivf_topk(sf_dir: str):
+    """IVF-bucketed ANN (approximate by design — recall < 1) → rows-only check;
+    recall vs brute force asserted in tests/test_similarity.py."""
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    sample = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    cents = similarity.kmeans_centroids(sample, 16)
+    return similarity.ivf_topk(_read(sf_dir, "embeddings"), _query_vectors(sf_dir),
+                               cents, k=10, nprobe=4)
+
+
+# --------------------------------------------------------------- multimodal
+
+def q_media_probe(sf_dir: str):
+    ds = _docs(sf_dir).map_batches(docsrc.media_batch, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+    probed = ds.map_batches(media.MediaProbeStage, batch_format="pyarrow",
+                            concurrency=(1, 4))
+
+    def flatten(t: pa.Table) -> pa.Table:
+        m = t["media_meta"]
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "format": m.combine_chunks().field("format") if isinstance(m, pa.ChunkedArray) else m.field("format"),
+            "width": pc.cast(pc.struct_field(t["media_meta"], "width"), pa.int64()),
+            "height": pc.cast(pc.struct_field(t["media_meta"], "height"), pa.int64()),
+            "ok": pc.struct_field(t["media_meta"], "ok"),
+        })
+
+    return probed.map_batches(flatten, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_MEDIA_PROBE_SQL = """
+SELECT doc_id, 'jimg' AS format,
+       CAST(8 + doc_id % 9 AS BIGINT) AS width,
+       CAST(6 + doc_id % 5 AS BIGINT) AS height,
+       TRUE AS ok
+FROM documents
+"""
+
+
+# --------------------------------------------------------------- relational
+
+def q_dedupe_last_wins_events(sf_dir: str):
+    """J4 keyed last-wins upsert (cache.ts:44-63) over the events stream: latest
+    row per (user_id, event_type)."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "event_type", "ts", "value"])
+
+    def latest(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=[("ts", "descending"),
+                                                ("event_id", "descending")])[0].as_py()
+        return group.slice(idx, 1)
+
+    return ds.groupby(["user_id", "event_type"]).map_groups(latest, batch_format="pyarrow")
+
+
+_LAST_WINS_SQL = """
+SELECT event_id, user_id, event_type, ts, value FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
+def q_events_by_type(sf_dir: str):
+    """A1-style counters with the partial-aggregation (combiner) pattern: cents
+    are exact ints folded per batch, then a tiny groupby reduces partials."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "value_cents": _cents(batch["value"]),
+            "one": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+        })
+        return t.group_by("event_type").aggregate(
+            [("value_cents", "sum"), ("one", "sum")]
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(Sum("value_cents_sum", alias_name="sum_value_cents"),
+                   Sum("one_sum", alias_name="n_events"))
+    )
+    return agg
+
+
+_EVENTS_BY_TYPE_SQL = f"""
+SELECT event_type,
+       sum({_CENTS_SQL.format(expr='value', scale=100)}) AS sum_value_cents,
+       count(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+def q_pricing_summary(sf_dir: str):
+    """TPC-H-Q1-shaped pricing summary with exact integer-cent arithmetic
+    (pre-aggregated per batch before the shuffle)."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity",
+                        "l_extendedprice", "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        base_c = _cents(batch["l_extendedprice"])
+        disc_pct = _cents(batch["l_discount"])  # discount in integer percent
+        disc_c100 = pc.multiply(base_c, pc.subtract(pa.scalar(100, pa.int64()), disc_pct))
+        t = pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "l_linestatus": batch["l_linestatus"],
+            "qty": pc.cast(batch["l_quantity"], pa.int64()),
+            "base_cents": base_c,
+            "disc_c100": disc_c100,
+            "one": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+        })
+        return t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("base_cents", "sum"), ("disc_c100", "sum"), ("one", "sum")]
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("qty_sum", alias_name="sum_qty"),
+                   Sum("base_cents_sum", alias_name="sum_base_cents"),
+                   Sum("disc_c100_sum", alias_name="sum_disc_c100"),
+                   Sum("one_sum", alias_name="count_order"))
+    )
+
+
+_PRICING_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+       sum({_CENTS_SQL.format(expr='l_extendedprice', scale=100)}) AS sum_base_cents,
+       sum({_CENTS_SQL.format(expr='l_extendedprice', scale=100)} *
+           (100 - {_CENTS_SQL.format(expr='l_discount', scale=100)})) AS sum_disc_c100,
+       count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_orders(sf_dir: str):
+    """Top-10 orders by price — partial top-k per batch, then a single global
+    reduce (never a full sort at scale)."""
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    k = 10
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        # first pass projects raw orders; the reduce pass re-tops already-projected rows
+        t = batch if "total_cents" in batch.column_names else pa.table({
+            "o_orderkey": batch["o_orderkey"],
+            "o_custkey": batch["o_custkey"],
+            "total_cents": _cents(batch["o_totalprice"]),
+        })
+        idx = pc.sort_indices(t, sort_keys=[("total_cents", "descending"),
+                                            ("o_orderkey", "ascending")])
+        return t.take(idx[:k])
+
+    partials = ds.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+    return partials.repartition(1).map_batches(local_topk, batch_format="pyarrow")
+
+
+_TOP_ORDERS_SQL = f"""
+SELECT o_orderkey, o_custkey,
+       {_CENTS_SQL.format(expr='o_totalprice', scale=100)} AS total_cents
+FROM orders
+ORDER BY total_cents DESC, o_orderkey LIMIT 10
+"""
+
+
+# --------------------------------------------------------------- registry
+
+def build_queries() -> dict:
+    return {
+        "extract_html_text": q_extract_html_text,
+        "extract_pdf_text": q_extract_pdf_text,
+        "extract_ocr_text": q_extract_ocr_text,
+        "route_counts": q_route_counts,
+        "extract_metrics": q_extract_metrics,
+        "derive_filenames": q_derive_filenames,
+        "search_count": q_search_count,
+        "token_count": q_token_count,
+        "lang_id": q_lang_id,
+        "textstats": q_textstats,
+        "fingerprint": q_fingerprint,
+        "exact_dedup": q_exact_dedup,
+        "minhash_neardup": q_minhash_neardup,
+        "simhash_neardup": q_simhash_neardup,
+        "embedding_neardup": q_embedding_neardup,
+        "ann_topk": q_ann_topk,
+        "ivf_topk": q_ivf_topk,
+        "media_probe": q_media_probe,
+        "dedupe_last_wins_events": q_dedupe_last_wins_events,
+        "events_by_type": q_events_by_type,
+        "pricing_summary": q_pricing_summary,
+        "top_orders": q_top_orders,
+    }
+
+
+def build_oracles() -> dict[str, str]:
+    stats = ts.textstats_sql()
+    return {
+        "extract_html_text": _HTML_GOLD_SQL,
+        "extract_pdf_text": _PDF_GOLD_SQL,
+        # extract_ocr_text / simhash_neardup / ivf_topk: non-SQL-expressible → rows-only
+        "route_counts": _ROUTE_COUNTS_SQL,
+        "extract_metrics": _EXTRACT_METRICS_SQL,
+        "derive_filenames": _FILENAMES_SQL,
+        "search_count": _SEARCH_COUNT_SQL,
+        "token_count": f"SELECT doc_id, CAST({ts.token_count_sql()} AS BIGINT) AS n_tokens FROM documents",
+        "lang_id": f"SELECT doc_id, {ts.lang_id_sql()} AS lang_pred FROM documents",
+        "textstats": ("SELECT doc_id, "
+                      + ", ".join(f"{e} AS {n}" for n, e in stats.items())
+                      + " FROM documents"),
+        "fingerprint": f"SELECT doc_id, {ts.fingerprint_sql()} AS fp FROM documents",
+        "exact_dedup": _EXACT_DEDUP_SQL,
+        "minhash_neardup": _MINHASH_SQL,
+        "embedding_neardup": _EMB_NEARDUP_SQL,
+        "ann_topk": _ANN_TOPK_SQL,
+        "media_probe": _MEDIA_PROBE_SQL,
+        "dedupe_last_wins_events": _LAST_WINS_SQL,
+        "events_by_type": _EVENTS_BY_TYPE_SQL,
+        "pricing_summary": _PRICING_SQL,
+        "top_orders": _TOP_ORDERS_SQL,
+    }

@@ -1,0 +1,370 @@
+"""Deduplication operators for training-data pipelines (SURVEY.md §2.11).
+
+The reference only *plans* dedup (plans/roadmap.md "De-dupe files"); its existing
+dedup is the keyed resume upsert (apps/legacy/src/services/cache.ts:44-63 /
+utils/file.ts:40-49) which our exact path generalizes. Everything here is built
+Ray-Data-first:
+
+  exact_dedup            fingerprint (md5 of normalized text) → groupby(fp) keep
+                         min-id — one hash shuffle on a 32-char key, payload never
+                         shuffled twice.
+  minhash_neardup_pairs  word-shingle → MinHash signatures (multiply-shift
+                         universal hashing, vectorized numpy) → LSH banding →
+                         groupby(band,key) candidate pairs → exact-jaccard verify
+                         via two distributed hash joins back to the text. Bands
+                         default b=32, r=4 (128 perms): threshold ≈ (1/32)^(1/4)
+                         ≈ 0.42, so recall at j ≥ 0.8 is 1 - (1-0.8^4)^32 ≈ 1-1e-8
+                         — the exact-jaccard verify then makes precision exact.
+  simhash64 / simhash_neardup_pairs
+                         64-bit SimHash (Charikar 2002); near-dup = hamming ≤ d
+                         found by pigeonhole banding into d+1 chunks.
+  embedding_neardup_pairs
+                         cosine ≥ t over an embedding column via blocked numpy
+                         matmul against a broadcast (ray.put) normalized matrix.
+
+Scale notes: candidate generation never materializes the corpus on the driver; the
+only broadcast is the embedding matrix (small-side pattern — at 10^12 rows replace
+with block-partitioned cross products over IVF cells, see stages/similarity.py).
+Giant duplicate clusters would make in-bucket pair emission quadratic; buckets
+larger than ``max_bucket`` fall back to star pairing against the min id (cluster
+detection stays intact via transitivity, pair lists stay linear).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from janet_ray.stages.textstats import fingerprint
+
+_WORD_RE = re.compile(r"[a-z0-9]+")
+
+# ---------------------------------------------------------------- hashing
+
+_MIX_A = np.uint64(0x9E3779B97F4A7C15)  # splitmix64 constants (public domain)
+_MIX_B = np.uint64(0xBF58476D1CE4E5B9)
+_MIX_C = np.uint64(0x94D049BB133111EB)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit mixer (vectorized, overflow-wrapping uint64)."""
+    with np.errstate(over="ignore"):
+        x = (x + _MIX_A).astype(np.uint64)
+        x ^= x >> np.uint64(30)
+        x *= _MIX_B
+        x ^= x >> np.uint64(27)
+        x *= _MIX_C
+        x ^= x >> np.uint64(31)
+    return x
+
+
+def word_hashes(text: str) -> np.ndarray:
+    """Stable 64-bit hash per word token (PYTHONHASHSEED-independent)."""
+    words = _WORD_RE.findall(text.lower())
+    if not words:
+        return np.zeros(0, dtype=np.uint64)
+    h = np.fromiter(
+        (int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
+         for w in words),
+        dtype=np.uint64, count=len(words),
+    )
+    return h
+
+
+def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """Distinct 64-bit hashes of word k-grams (vectorized combine of word hashes)."""
+    wh = word_hashes(text)
+    if len(wh) == 0:
+        return np.zeros(0, dtype=np.uint64)
+    if len(wh) < k:
+        return np.unique(_splitmix64(wh.sum(dtype=np.uint64)[None]))
+    with np.errstate(over="ignore"):
+        acc = np.zeros(len(wh) - k + 1, dtype=np.uint64)
+        for i in range(k):
+            acc = acc * np.uint64(0x100000001B3) + wh[i : len(wh) - k + 1 + i]
+    return np.unique(_splitmix64(acc))
+
+
+def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
+    sa, sb = shingle_hashes(text_a, k), shingle_hashes(text_b, k)
+    if len(sa) == 0 and len(sb) == 0:
+        return 1.0
+    inter = np.intersect1d(sa, sb, assume_unique=True).size
+    union = sa.size + sb.size - inter
+    return inter / union if union else 0.0
+
+
+# ---------------------------------------------------------------- minhash
+
+class MinHasher:
+    """Vectorized MinHash via multiply-shift universal hashing: for perm i,
+    h_i(x) = (a_i * x + b_i) with odd a_i, compared as uint64 — min over the
+    shingle set. Parameters derive from a fixed seed → signatures are stable
+    across runs/workers (resume-safe, SURVEY.md §7.4)."""
+
+    def __init__(self, n_perm: int = 128, seed: int = 0x5EED):
+        rng = np.random.RandomState(seed)
+        hi = rng.randint(0, 1 << 32, size=(2, n_perm), dtype=np.uint64)
+        lo = rng.randint(0, 1 << 32, size=(2, n_perm), dtype=np.uint64)
+        self.a = ((hi[0] << np.uint64(32)) | lo[0]) | np.uint64(1)  # odd
+        self.b = (hi[1] << np.uint64(32)) | lo[1]
+        self.n_perm = n_perm
+
+    def signature(self, shingles: np.ndarray) -> np.ndarray:
+        if shingles.size == 0:
+            return np.full(self.n_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            m = shingles[:, None] * self.a[None, :] + self.b[None, :]
+        return m.min(axis=0)
+
+
+def band_keys(sig: np.ndarray, bands: int) -> np.ndarray:
+    """Hash each of ``bands`` equal slices of the signature to one uint64 key."""
+    r = sig.size // bands
+    sl = sig[: bands * r].reshape(bands, r)
+    with np.errstate(over="ignore"):
+        acc = np.zeros(bands, dtype=np.uint64)
+        for i in range(r):
+            acc = acc * np.uint64(0x100000001B3) + sl[:, i]
+    return _splitmix64(acc)
+
+
+class MinHashBandStage:
+    """Actor-pool map_batches stage: (id, text) batch → exploded (id, band, key)
+    rows. The MinHasher's permutation table is built once per actor."""
+
+    def __init__(self, *, n_perm: int = 128, bands: int = 32, k: int = 3,
+                 id_col: str = "doc_id", text_col: str = "text"):
+        self.mh = MinHasher(n_perm)
+        self.bands = bands
+        self.k = k
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_pylist()
+        texts = batch[self.text_col].to_pylist()
+        out_id, out_band, out_key = [], [], []
+        for i, t in zip(ids, texts):
+            keys = band_keys(self.mh.signature(shingle_hashes(t or "", self.k)), self.bands)
+            out_id.extend([i] * self.bands)
+            out_band.extend(range(self.bands))
+            out_key.extend(keys.astype(np.int64).tolist())  # int64 view for Arrow
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "band": pa.array(out_band, pa.int32()),
+            "key": pa.array(out_key, pa.int64()),
+        })
+
+
+def _bucket_pairs(group: pa.Table, max_bucket: int) -> pa.Table:
+    ids = sorted(set(group["doc_id"].to_pylist()))
+    a, b = [], []
+    if len(ids) > max_bucket:
+        # star pairing against the representative — linear in cluster size
+        rep = ids[0]
+        for x in ids[1:]:
+            a.append(rep); b.append(x)
+    else:
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i]); b.append(ids[j])
+    return pa.table({"id_a": pa.array(a, pa.int64()), "id_b": pa.array(b, pa.int64())})
+
+
+def minhash_candidates(ds: "ray.data.Dataset", *, n_perm: int = 128, bands: int = 32,
+                       k: int = 3, id_col: str = "doc_id", text_col: str = "text",
+                       max_bucket: int = 1024, concurrency=None) -> "ray.data.Dataset":
+    """documents → distinct candidate (id_a < id_b) pairs via LSH banding."""
+    # callable-class stages require an explicit pool; autoscale with headroom
+    kw = {"concurrency": concurrency if concurrency else (1, 8)}
+    exploded = ds.map_batches(
+        MinHashBandStage,
+        fn_constructor_kwargs=dict(n_perm=n_perm, bands=bands, k=k,
+                                   id_col=id_col, text_col=text_col),
+        batch_format="pyarrow", zero_copy_batch=True, **kw,
+    )
+    pairs = exploded.groupby(["band", "key"]).map_groups(
+        lambda g: _bucket_pairs(g, max_bucket), batch_format="pyarrow"
+    )
+    # distinct pairs (a pair can surface from several bands)
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    )
+
+
+def minhash_neardup_pairs(ds: "ray.data.Dataset", *, threshold: float = 0.8,
+                          n_perm: int = 128, bands: int = 32, k: int = 3,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          num_partitions: int = 8, concurrency=None) -> "ray.data.Dataset":
+    """Near-duplicate pairs with exact word-k-gram jaccard ≥ threshold.
+
+    Candidates from LSH; verification is exact, via two distributed hash joins
+    pulling each side's text to the pair (never a driver-side loop)."""
+    cand = minhash_candidates(ds, n_perm=n_perm, bands=bands, k=k, id_col=id_col,
+                              text_col=text_col, concurrency=concurrency)
+    docs = ds.select_columns([id_col, text_col])
+    j1 = cand.join(docs, "inner", num_partitions, on=("id_a",), right_on=(id_col,),
+                   right_suffix="_ra")
+    ta = text_col if text_col in ("text",) else text_col
+    j1 = j1.map_batches(lambda t: _rename(t, {ta: "text_a"}),
+                        batch_format="pyarrow", zero_copy_batch=True)
+    j2 = j1.join(docs, "inner", num_partitions, on=("id_b",), right_on=(id_col,),
+                 right_suffix="_rb")
+    j2 = j2.map_batches(lambda t: _rename(t, {ta: "text_b"}),
+                        batch_format="pyarrow", zero_copy_batch=True)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        a_ids = batch["id_a"].to_pylist()
+        b_ids = batch["id_b"].to_pylist()
+        js = [jaccard(x or "", y or "", k)
+              for x, y in zip(batch["text_a"].to_pylist(), batch["text_b"].to_pylist())]
+        keep = [i for i, v in enumerate(js) if v >= threshold]
+        return pa.table({
+            "id_a": pa.array([a_ids[i] for i in keep], pa.int64()),
+            "id_b": pa.array([b_ids[i] for i in keep], pa.int64()),
+            "jaccard": pa.array([js[i] for i in keep], pa.float64()),
+        })
+
+    return j2.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _rename(t: pa.Table, mapping: dict[str, str]) -> pa.Table:
+    return t.rename_columns([mapping.get(c, c) for c in t.column_names])
+
+
+# ---------------------------------------------------------------- exact dedup
+
+def exact_dedup(ds: "ray.data.Dataset", *, id_col: str = "doc_id",
+                text_col: str = "text") -> "ray.data.Dataset":
+    """Exact dedup: fingerprint → hash-partition groupby(fp) → keep min id.
+    Output: one row per distinct normalized text, (id, fp). Only (id, fp) is
+    shuffled — the payload column is dropped before the exchange."""
+
+    def fp_batch(batch: pa.Table) -> pa.Table:
+        fps = [fingerprint(t or "") for t in batch[text_col].to_pylist()]
+        return pa.table({
+            id_col: batch[id_col],
+            "fp": pa.array(fps, pa.string()),
+        })
+
+    fps = ds.map_batches(fp_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+    def keep_min(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=[(id_col, "ascending")])[0].as_py()
+        return group.slice(idx, 1)
+
+    return fps.groupby("fp").map_groups(keep_min, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- simhash
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over word tokens (Charikar 2002): weighted bit-vote of
+    per-word hashes, weight = term frequency. Vectorized numpy."""
+    wh = word_hashes(text)
+    if wh.size == 0:
+        return 0
+    vals, counts = np.unique(wh, return_counts=True)
+    bits = ((vals[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+    votes = ((bits * 2 - 1) * counts[:, None].astype(np.int64)).sum(axis=0)
+    out = np.uint64(0)
+    for bit in np.nonzero(votes > 0)[0]:
+        out |= np.uint64(1) << np.uint64(bit)
+    return int(out)
+
+
+def simhash_neardup_pairs(ds: "ray.data.Dataset", *, max_hamming: int = 3,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          max_bucket: int = 4096) -> "ray.data.Dataset":
+    """Pairs with hamming(simhash_a, simhash_b) ≤ max_hamming. Pigeonhole LSH:
+    split the 64-bit hash into (max_hamming+1) chunks — any pair within distance d
+    agrees exactly on ≥1 chunk — bucket by (chunk_idx, chunk_val), verify popcount."""
+    n_chunks = max_hamming + 1
+    chunk_bits = 64 // n_chunks
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        out_id, out_chunk, out_val, out_sh = [], [], [], []
+        for i, t in zip(ids, batch[text_col].to_pylist()):
+            sh = simhash64(t or "")
+            for c in range(n_chunks):
+                lo = c * chunk_bits
+                width = chunk_bits if c < n_chunks - 1 else 64 - lo
+                out_id.append(i)
+                out_chunk.append(c)
+                out_val.append((sh >> lo) & ((1 << width) - 1))
+                out_sh.append(sh - (1 << 63))  # signed view for Arrow int64
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "chunk": pa.array(out_chunk, pa.int32()),
+            "val": pa.array(out_val, pa.int64()),
+            "sh": pa.array(out_sh, pa.int64()),
+        })
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        rows = sorted({(i, s) for i, s in
+                       zip(group["doc_id"].to_pylist(), group["sh"].to_pylist())})
+        if len(rows) > max_bucket:
+            rows = rows[:max_bucket]
+        a, b, d = [], [], []
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                ham = bin((rows[i][1] ^ rows[j][1]) & ((1 << 64) - 1)).count("1")
+                if ham <= max_hamming:
+                    a.append(rows[i][0]); b.append(rows[j][0]); d.append(ham)
+        return pa.table({"id_a": pa.array(a, pa.int64()),
+                         "id_b": pa.array(b, pa.int64()),
+                         "hamming": pa.array(d, pa.int32())})
+
+    pairs = exploded.groupby(["chunk", "val"]).map_groups(
+        bucket_pairs, batch_format="pyarrow"
+    )
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------- embeddings
+
+def embedding_neardup_pairs(ds: "ray.data.Dataset", *, threshold: float = 0.95,
+                            id_col: str = "vec_id", vec_col: str = "embedding") -> "ray.data.Dataset":
+    """Pairs (id_a < id_b) with cosine similarity ≥ threshold.
+
+    Small-side broadcast: the full normalized matrix goes to the object store ONCE
+    (ray.put) and every map_batches task reads it zero-copy; each batch does one
+    float64 matmul against it. At 10^12 scale replace the broadcast with IVF
+    cell-partitioned block joins (similarity.py docstring)."""
+    mat_tbl = ds.select_columns([id_col, vec_col]).to_arrow_refs()
+    import pyarrow as _pa
+    full = _pa.concat_tables([ray.get(r) for r in mat_tbl])
+    ids = np.asarray(full[id_col].to_pylist(), dtype=np.int64)
+    M = np.asarray(full[vec_col].to_pylist(), dtype=np.float64)
+    M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    ref = ray.put((ids, M))
+
+    def pairs_batch(batch: pa.Table) -> pa.Table:
+        all_ids, mat = ray.get(ref)
+        b_ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        B = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+        B /= np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-12)
+        sims = B @ mat.T
+        out_a, out_b = [], []
+        for r in range(len(b_ids)):
+            hits = np.nonzero(sims[r] >= threshold)[0]
+            for c in hits:
+                if b_ids[r] < all_ids[c]:
+                    out_a.append(int(b_ids[r])); out_b.append(int(all_ids[c]))
+        return pa.table({"id_a": pa.array(out_a, pa.int64()),
+                         "id_b": pa.array(out_b, pa.int64())})
+
+    return ds.map_batches(pairs_batch, batch_format="pyarrow", zero_copy_batch=True)

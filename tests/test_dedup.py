@@ -1,0 +1,110 @@
+"""Dedup family: exact, MinHash+LSH (vs exact all-pairs jaccard), SimHash,
+embedding cosine near-dup."""
+import itertools
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from janet_ray.stages import dedup
+
+
+BASE = ("spark streams batches over arrow blocks while the scheduler "
+        "pipelines map tasks across the cluster with backpressure enabled")
+NEAR = ("spark streams batches over arrow blocks while the scheduler "
+        "pipelines map tasks across the cluster with backpressure disabled")
+OTHER = ("completely different content about cooking pasta with tomatoes "
+         "basil garlic and olive oil in a large pan tonight")
+
+
+def docs_table():
+    texts = [BASE, NEAR, OTHER, BASE, "tiny", "tiny", OTHER + " extra words here"]
+    return pa.table({"doc_id": list(range(len(texts))), "text": texts})
+
+
+def test_jaccard_exact():
+    assert dedup.jaccard(BASE, BASE) == 1.0
+    j = dedup.jaccard(BASE, NEAR)
+    assert 0.8 < j < 1.0
+    assert dedup.jaccard(BASE, OTHER) < 0.05
+    assert dedup.jaccard("", "") == 1.0
+
+
+def test_minhash_signature_similarity_estimates_jaccard():
+    mh = dedup.MinHasher(256)
+    sa = mh.signature(dedup.shingle_hashes(BASE))
+    sb = mh.signature(dedup.shingle_hashes(NEAR))
+    so = mh.signature(dedup.shingle_hashes(OTHER))
+    est_near = float(np.mean(sa == sb))
+    est_far = float(np.mean(sa == so))
+    true = dedup.jaccard(BASE, NEAR)
+    assert abs(est_near - true) < 0.15
+    assert est_far < 0.1
+
+
+def test_signatures_stable_across_instances():
+    a = dedup.MinHasher(128).signature(dedup.shingle_hashes(BASE))
+    b = dedup.MinHasher(128).signature(dedup.shingle_hashes(BASE))
+    assert np.array_equal(a, b)
+
+
+def test_exact_dedup(ray_session):
+    import ray.data
+
+    ds = ray.data.from_arrow(docs_table())
+    kept = sorted(r["doc_id"] for r in dedup.exact_dedup(ds).take_all())
+    # doc 3 duplicates doc 0; doc 5 duplicates doc 4 → keep min ids
+    assert kept == [0, 1, 2, 4, 6]
+
+
+def test_minhash_neardup_pairs_match_bruteforce(ray_session):
+    import ray.data
+
+    t = docs_table()
+    ds = ray.data.from_arrow(t)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in dedup.minhash_neardup_pairs(ds, threshold=0.8, num_partitions=2,
+                                                concurrency=2).take_all()}
+    texts = t["text"].to_pylist()
+    want = {}
+    for a, b in itertools.combinations(range(len(texts)), 2):
+        j = dedup.jaccard(texts[a], texts[b])
+        if j >= 0.8:
+            want[(a, b)] = j
+    assert got == want
+    assert (0, 3) in got and got[(0, 3)] == 1.0   # exact dup pair
+    assert (0, 1) in got                          # near-dup pair
+
+
+def test_simhash_properties():
+    assert dedup.simhash64(BASE) == dedup.simhash64(BASE)
+    ham_near = bin(dedup.simhash64(BASE) ^ dedup.simhash64(NEAR)).count("1")
+    ham_far = bin(dedup.simhash64(BASE) ^ dedup.simhash64(OTHER)).count("1")
+    assert ham_near < ham_far
+
+
+def test_simhash_neardup_pairs(ray_session):
+    import ray.data
+
+    ds = ray.data.from_arrow(docs_table())
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             dedup.simhash_neardup_pairs(ds, max_hamming=3).take_all()}
+    assert (0, 3) in pairs        # identical docs → hamming 0
+    assert (4, 5) in pairs
+    assert (0, 2) not in pairs    # unrelated
+
+
+def test_embedding_neardup_pairs(ray_session):
+    import ray.data
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(4, 16)
+    vecs = np.vstack([base, base[0] + 0.01 * rng.randn(16)])  # 4 ≈ 0
+    t = pa.table({
+        "vec_id": list(range(5)),
+        "embedding": [v.astype(np.float32).tolist() for v in vecs],
+    })
+    ds = ray.data.from_arrow(t)
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             dedup.embedding_neardup_pairs(ds, threshold=0.95).take_all()}
+    assert pairs == {(0, 4)}
