@@ -1,0 +1,184 @@
+"""Benchmark harness (driver contract).
+
+Default: runs the headline extraction pipeline + a query suite over
+``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1) with
+``ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and prints
+ONE JSON line::
+
+    {"metric": "...", "value": <headline wall sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+     "headline": {"rows": R, "docs_per_sec": D}}
+
+``--scaling``: runs the headline job twice in FRESH processes (num_cpus=8 then
+32) on the same input and reports both throughputs + scaling efficiency
+(T_8/T_32)/4 — the sandbox evidence for the north_rule's two-cluster-size
+criterion (SURVEY.md §6).
+
+``--headline-only``: internal child mode used by --scaling.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPLICATE = int(os.environ.get("GRAFT_BENCH_REPLICATE", "8"))
+
+
+def _sf(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def build_headline(sf_dir: str, replicate: int):
+    """documents → ×replicate mixed-route CC-style pages → full extraction.
+    Replication happens INSIDE map_batches (distinct urls per copy) so the
+    compute scales while the parquet read stays small."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from janet_ray.pipelines.extract import build_extract_pipeline
+    from janet_ray.sources import documents as docsrc
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+        override_num_blocks=128,
+    )
+
+    def replicate_batch(batch: pa.Table) -> pa.Table:
+        tables = []
+        n = batch.num_rows
+        for r in range(replicate):
+            ids = [i * replicate + r for i in batch["doc_id"].to_pylist()]
+            tables.append(pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": batch["text"],
+                "lang": batch["lang"] if "lang" in batch.column_names
+                else pa.array([""] * n, pa.string()),
+            }))
+        return pa.concat_tables(tables)
+
+    pages = docs.map_batches(replicate_batch, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    pages = pages.map_batches(docsrc.mixed_pages_batch, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return build_extract_pipeline(pages, dedupe=False, sort=False)
+
+
+def run_headline(sf_dir: str) -> dict:
+    out_dir = "/tmp/janet_bench_out"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.time()
+    ds = build_headline(sf_dir, REPLICATE)
+    ds.write_parquet(out_dir)  # real streaming sink, like production
+    wall = time.time() - t0
+    import pyarrow.parquet as pq
+    import glob
+
+    rows = sum(pq.ParquetFile(f).metadata.num_rows
+               for f in glob.glob(os.path.join(out_dir, "*.parquet")))
+    return {"rows": rows, "wall_s": round(wall, 3),
+            "docs_per_sec": round(rows / wall, 1)}
+
+
+def run_suite(sf_dir: str) -> dict[str, float]:
+    """Per-query wall seconds for a representative operator subset."""
+    from janet_ray.pipelines import queries as Q
+
+    suite = {
+        "extract_html": Q.q_extract_html_text,
+        "extract_pdf": Q.q_extract_pdf_text,
+        "extract_ocr": Q.q_extract_ocr_text,
+        "token_count": Q.q_token_count,
+        "lang_id": Q.q_lang_id,
+        "fingerprint": Q.q_fingerprint,
+        "exact_dedup": Q.q_exact_dedup,
+        "minhash_neardup": Q.q_minhash_neardup,
+        "simhash_neardup": Q.q_simhash_neardup,
+        "embedding_neardup": Q.q_embedding_neardup,
+        "ann_topk": Q.q_ann_topk,
+        "media_probe": Q.q_media_probe,
+        "last_wins_events": Q.q_dedupe_last_wins_events,
+        "events_by_type": Q.q_events_by_type,
+        "pricing_summary": Q.q_pricing_summary,
+        "top_orders": Q.q_top_orders,
+    }
+    out = {}
+    for name, fn in suite.items():
+        t0 = time.time()
+        ds = fn(sf_dir)
+        # consume fully without driver materialization of wide columns
+        n = 0
+        for b in ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
+            n += b.num_rows
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    if "--scaling" in sys.argv:
+        results = {}
+        for cpus in (8, 32):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=sf_dir)
+            p = subprocess.run([sys.executable, os.path.abspath(__file__),
+                                "--headline-only"], env=env, capture_output=True,
+                               text=True, timeout=3600)
+            line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
+            results[cpus] = json.loads(line)
+        t8, t32 = results[8]["wall_s"], results[32]["wall_s"]
+        eff = (t8 / t32) / 4
+        print(json.dumps({
+            "metric": "headline extraction scaling 8→32 cpus (same input)",
+            "sf": _sf(sf_dir),
+            "t_8cpu_s": t8, "t_32cpu_s": t32,
+            "docs_per_sec_8": results[8]["docs_per_sec"],
+            "docs_per_sec_32": results[32]["docs_per_sec"],
+            "speedup": round(t8 / t32, 3),
+            "scaling_efficiency": round(eff, 3),
+            "rows": results[32]["rows"],
+        }))
+        return
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    if "--headline-only" in sys.argv:
+        res = run_headline(sf_dir)
+        print(json.dumps(res))
+        ray.shutdown()
+        return
+
+    headline = run_headline(sf_dir)
+    queries = run_suite(sf_dir)
+    print(json.dumps({
+        "metric": "extracted docs/sec (HTML+PDF+OCR mixed), headline pipeline wall sec",
+        "value": headline["wall_s"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": _sf(sf_dir),
+        "num_cpus": num_cpus,
+        "headline": headline,
+    }))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -27,6 +27,7 @@ read per consumer, doubling the 100 TB scan.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -115,20 +116,37 @@ def build_extract_pipeline(
     return out
 
 
+N_DEDUPE_PARTS = 64
+
+
 def dedupe_last_wins(ds: "ray.data.Dataset") -> "ray.data.Dataset":
-    """A6/J4 — exact per-url dedupe, keep the latest ``warc_ts`` (the keyed last-wins
-    upsert of apps/legacy/src/utils/file.ts:40-49). A shuffle on url; per-group work
-    is vectorized argmax."""
+    """A6/J4 — exact per-url dedupe, keep the latest ``warc_ts`` (the keyed
+    last-wins upsert of apps/legacy/src/utils/file.ts:40-49).
 
-    def latest(group: pa.Table) -> pa.Table:
-        if group.num_rows == 1:
-            return group
+    One hash shuffle on a COARSE partition key (group-per-url would mean one
+    Python call per url — 10^12 calls at design scale); inside a partition the
+    per-url argmax is a vectorized sort + run-boundary take."""
+    import zlib
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        parts = [zlib.crc32(u.encode()) % N_DEDUPE_PARTS
+                 for u in batch["url"].to_pylist()]
+        return batch.append_column("part", pa.array(parts, pa.int32()))
+
+    def latest_per_url(part: pa.Table) -> pa.Table:
+        if part.num_rows <= 1:
+            return part.drop_columns(["part"])
         idx = pc.sort_indices(
-            group, sort_keys=[("warc_ts", "descending"), ("route", "ascending")]
-        )[0].as_py()
-        return group.slice(idx, 1)
+            part, sort_keys=[("url", "ascending"), ("warc_ts", "descending"),
+                             ("route", "ascending")]
+        )
+        t = part.take(idx)
+        urls = t["url"].to_numpy(zero_copy_only=False)
+        first_of_run = np.concatenate([[True], urls[1:] != urls[:-1]])
+        return t.filter(pa.array(first_of_run)).drop_columns(["part"])
 
-    return ds.groupby("url").map_groups(latest, batch_format="pyarrow")
+    withp = ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+    return withp.groupby("part").map_groups(latest_per_url, batch_format="pyarrow")
 
 
 def run_metrics(extracted: "ray.data.Dataset") -> dict:

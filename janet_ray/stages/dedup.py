@@ -164,25 +164,59 @@ class MinHashBandStage:
         })
 
 
-def _bucket_pairs(group: pa.Table, max_bucket: int) -> pa.Table:
-    ids = sorted(set(group["doc_id"].to_pylist()))
-    a, b = [], []
-    if len(ids) > max_bucket:
-        # star pairing against the representative — linear in cluster size
-        rep = ids[0]
-        for x in ids[1:]:
-            a.append(rep); b.append(x)
-    else:
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i]); b.append(ids[j])
-    return pa.table({"id_a": pa.array(a, pa.int64()), "id_b": pa.array(b, pa.int64())})
+def _pairs_in_partition(tbl: pa.Table, max_bucket: int) -> pa.Table:
+    """All (id_a < id_b) pairs sharing a (band, key) bucket, vectorized: sort the
+    partition's rows by combined bucket id, detect equal-key runs with diff, emit
+    pairs only for the (rare) runs longer than 1. One call per PARTITION — never
+    one Python call per bucket."""
+    if tbl.num_rows == 0:
+        return pa.table({"id_a": pa.array([], pa.int64()),
+                         "id_b": pa.array([], pa.int64())})
+    band = np.asarray(tbl["band"].to_numpy(zero_copy_only=False), dtype=np.uint64)
+    key = tbl["key"].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+    with np.errstate(over="ignore"):
+        bucket = band * np.uint64(0x9E3779B97F4A7C15) ^ key
+    ids = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((ids, bucket))
+    bucket, ids = bucket[order], ids[order]
+    run_starts = np.concatenate([[0], np.nonzero(np.diff(bucket))[0] + 1, [len(bucket)]])
+    a_out, b_out = [], []
+    for s, e in zip(run_starts[:-1], run_starts[1:]):
+        if e - s < 2:
+            continue
+        members = np.unique(ids[s:e])
+        if len(members) < 2:
+            continue
+        if len(members) > max_bucket:
+            a_out.append(np.full(len(members) - 1, members[0], dtype=np.int64))
+            b_out.append(members[1:])
+        else:
+            iu = np.triu_indices(len(members), 1)
+            a_out.append(members[iu[0]])
+            b_out.append(members[iu[1]])
+    a = np.concatenate(a_out) if a_out else np.zeros(0, dtype=np.int64)
+    b = np.concatenate(b_out) if b_out else np.zeros(0, dtype=np.int64)
+    return pa.table({"id_a": pa.array(a), "id_b": pa.array(b)})
+
+
+_N_SHUFFLE_PARTS = 64
+
+
+def _with_part(col_expr, n_parts: int = _N_SHUFFLE_PARTS):
+    def add(batch: pa.Table) -> pa.Table:
+        v = col_expr(batch)
+        return batch.append_column("part", pa.array(v % n_parts, pa.int32()))
+    return add
 
 
 def minhash_candidates(ds: "ray.data.Dataset", *, n_perm: int = 128, bands: int = 32,
                        k: int = 3, id_col: str = "doc_id", text_col: str = "text",
                        max_bucket: int = 1024, concurrency=None) -> "ray.data.Dataset":
-    """documents → distinct candidate (id_a < id_b) pairs via LSH banding."""
+    """documents → distinct candidate (id_a < id_b) pairs via LSH banding.
+
+    The bucket groupby is coarsened to ``_N_SHUFFLE_PARTS`` hash partitions
+    (group-per-bucket would mean one Python call per ~unique key — millions of
+    tiny groups at scale); pair emission inside a partition is vectorized."""
     # callable-class stages require an explicit pool; autoscale with headroom
     kw = {"concurrency": concurrency if concurrency else (1, 8)}
     exploded = ds.map_batches(
@@ -191,12 +225,23 @@ def minhash_candidates(ds: "ray.data.Dataset", *, n_perm: int = 128, bands: int 
                                    id_col=id_col, text_col=text_col),
         batch_format="pyarrow", zero_copy_batch=True, **kw,
     )
-    pairs = exploded.groupby(["band", "key"]).map_groups(
-        lambda g: _bucket_pairs(g, max_bucket), batch_format="pyarrow"
+    exploded = exploded.map_batches(
+        _with_part(lambda t: np.abs(t["key"].to_numpy(zero_copy_only=False)) ),
+        batch_format="pyarrow", zero_copy_batch=True,
     )
-    # distinct pairs (a pair can surface from several bands)
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    pairs = exploded.groupby("part").map_groups(
+        lambda g: _pairs_in_partition(g, max_bucket), batch_format="pyarrow"
+    )
+    # distinct pairs (a pair can surface from several bands) — same coarse trick
+    pairs = pairs.map_batches(
+        _with_part(lambda t: np.abs(
+            t["id_a"].to_numpy(zero_copy_only=False) * 1000003
+            + t["id_b"].to_numpy(zero_copy_only=False))),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return pairs.groupby("part").map_groups(
+        lambda g: g.group_by(["id_a", "id_b"]).aggregate([]),
+        batch_format="pyarrow",
     )
 
 
@@ -256,12 +301,17 @@ def exact_dedup(ds: "ray.data.Dataset", *, id_col: str = "doc_id",
         })
 
     fps = ds.map_batches(fp_batch, batch_format="pyarrow", zero_copy_batch=True)
+    fps = fps.map_batches(
+        _with_part(lambda t: np.asarray(
+            [int(f[:15], 16) for f in t["fp"].to_pylist()], dtype=np.int64)),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
 
-    def keep_min(group: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(group, sort_keys=[(id_col, "ascending")])[0].as_py()
-        return group.slice(idx, 1)
+    def keep_min_per_fp(part: pa.Table) -> pa.Table:
+        agg = part.group_by("fp").aggregate([(id_col, "min")])
+        return pa.table({id_col: agg[f"{id_col}_min"], "fp": agg["fp"]})
 
-    return fps.groupby("fp").map_groups(keep_min, batch_format="pyarrow")
+    return fps.groupby("part").map_groups(keep_min_per_fp, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------- simhash
@@ -310,28 +360,66 @@ def simhash_neardup_pairs(ds: "ray.data.Dataset", *, max_hamming: int = 3,
         })
 
     exploded = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    exploded = exploded.map_batches(
+        _with_part(lambda t: np.abs(
+            t["chunk"].to_numpy(zero_copy_only=False).astype(np.int64) * 1000003
+            + t["val"].to_numpy(zero_copy_only=False))),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        rows = sorted({(i, s) for i, s in
-                       zip(group["doc_id"].to_pylist(), group["sh"].to_pylist())})
-        if len(rows) > max_bucket:
-            rows = rows[:max_bucket]
+    def bucket_pairs_part(part: pa.Table) -> pa.Table:
+        """One call per coarse partition; buckets found as sorted runs."""
+        chunk = part["chunk"].to_numpy(zero_copy_only=False).astype(np.int64)
+        val = part["val"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = part["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sh = part["sh"].to_numpy(zero_copy_only=False).astype(np.int64)
+        with np.errstate(over="ignore"):
+            bucket = chunk.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15) ^ val.view(np.uint64)
+        order = np.lexsort((ids, bucket))
+        bucket, ids, sh = bucket[order], ids[order], sh[order]
+        runs = np.concatenate([[0], np.nonzero(np.diff(bucket))[0] + 1, [len(bucket)]])
         a, b, d = [], [], []
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                ham = bin((rows[i][1] ^ rows[j][1]) & ((1 << 64) - 1)).count("1")
-                if ham <= max_hamming:
-                    a.append(rows[i][0]); b.append(rows[j][0]); d.append(ham)
-        return pa.table({"id_a": pa.array(a, pa.int64()),
-                         "id_b": pa.array(b, pa.int64()),
-                         "hamming": pa.array(d, pa.int32())})
+        for s, e in zip(runs[:-1], runs[1:]):
+            if e - s < 2:
+                continue
+            m_ids, m_idx = np.unique(ids[s:e], return_index=True)
+            m_sh = sh[s:e][m_idx].view(np.uint64)
+            if len(m_ids) < 2:
+                continue
+            if len(m_ids) > max_bucket:
+                m_ids, m_sh = m_ids[:max_bucket], m_sh[:max_bucket]
+            iu = np.triu_indices(len(m_ids), 1)
+            xor = m_sh[iu[0]] ^ m_sh[iu[1]]
+            ham = np.zeros(len(xor), dtype=np.int64)
+            v = xor.copy()
+            for _ in range(64):  # vectorized popcount
+                ham += (v & np.uint64(1)).astype(np.int64)
+                v >>= np.uint64(1)
+                if not v.any():
+                    break
+            keep = ham <= max_hamming
+            a.append(m_ids[iu[0][keep]]); b.append(m_ids[iu[1][keep]])
+            d.append(ham[keep])
+        a = np.concatenate(a) if a else np.zeros(0, dtype=np.int64)
+        b = np.concatenate(b) if b else np.zeros(0, dtype=np.int64)
+        d = np.concatenate(d) if d else np.zeros(0, dtype=np.int64)
+        return pa.table({"id_a": pa.array(a), "id_b": pa.array(b),
+                         "hamming": pa.array(d.astype(np.int32))})
 
-    pairs = exploded.groupby(["chunk", "val"]).map_groups(
-        bucket_pairs, batch_format="pyarrow"
+    pairs = exploded.groupby("part").map_groups(bucket_pairs_part, batch_format="pyarrow")
+    pairs = pairs.map_batches(
+        _with_part(lambda t: np.abs(
+            t["id_a"].to_numpy(zero_copy_only=False) * 1000003
+            + t["id_b"].to_numpy(zero_copy_only=False))),
+        batch_format="pyarrow", zero_copy_batch=True,
     )
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
-    )
+
+    def distinct_pairs(part: pa.Table) -> pa.Table:
+        agg = part.group_by(["id_a", "id_b"]).aggregate([("hamming", "min")])
+        return pa.table({"id_a": agg["id_a"], "id_b": agg["id_b"],
+                         "hamming": pc.cast(agg["hamming_min"], pa.int32())})
+
+    return pairs.groupby("part").map_groups(distinct_pairs, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------- embeddings
