@@ -461,6 +461,134 @@ ORDER BY total_cents DESC, o_orderkey LIMIT 10
 """
 
 
+def q_events_hourly(sf_dir: str):
+    """Tumbling-window aggregate (streaming-window analogue): events → 1-hour
+    windows per event_type, partial-aggregated per batch before the shuffle."""
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "window_start": pc.floor_temporal(batch["ts"], unit="hour"),
+            "event_type": batch["event_type"],
+            "value_cents": _cents(batch["value"]),
+            "one": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+        })
+        return t.group_by(["window_start", "event_type"]).aggregate(
+            [("value_cents", "sum"), ("one", "sum")]
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["window_start", "event_type"])
+        .aggregate(Sum("value_cents_sum", alias_name="sum_value_cents"),
+                   Sum("one_sum", alias_name="n_events"))
+    )
+
+
+_EVENTS_HOURLY_SQL = f"""
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       sum({_CENTS_SQL.format(expr='value', scale=100)}) AS sum_value_cents,
+       count(*) AS n_events
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_asof_order(sf_dir: str):
+    """As-of join (custom operator — Ray Data has none): each event picks up the
+    latest order date of the same customer at or before the event time."""
+    from janet_ray.stages.joins import asof_join_latest
+
+    events = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+    out = asof_join_latest(events, orders, left_key="user_id", right_key="o_custkey",
+                           left_ts="ts", right_ts="o_orderdate",
+                           out_ts="last_order_date")
+    return out.select_columns(["event_id", "user_id", "ts", "last_order_date"])
+
+
+_ASOF_SQL = """
+SELECT e.event_id, e.user_id, e.ts, o.o_orderdate AS last_order_date
+FROM events e ASOF LEFT JOIN orders o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+"""
+
+
+def q_customer_orders_semi(sf_dir: str):
+    """J3 broadcast semi-join: high-balance customers (small side, collected
+    once) filter the orders stream without shuffling it."""
+    from janet_ray.stages.joins import broadcast_semi_join
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+    keys = [r["c_custkey"] for r in
+            cust.filter(lambda r: r["c_acctbal"] >= 9000).take_all()]
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    return broadcast_semi_join(orders, "o_custkey", keys)
+
+
+_SEMI_SQL = """
+SELECT o_orderkey, o_custkey FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal >= 9000)
+"""
+
+
+def q_recent_events(sf_dir: str):
+    """O1 order-by-time-desc top-k (db.ts:86,109) — partial top-k per batch."""
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "event_type"])
+    k = 20
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(batch, sort_keys=[("ts", "descending"),
+                                                ("event_id", "descending")])
+        return batch.take(idx[:k])
+
+    partials = ds.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+    return partials.repartition(1).map_batches(local_topk, batch_format="pyarrow")
+
+
+_RECENT_EVENTS_SQL = """
+SELECT event_id, ts, event_type FROM events
+ORDER BY ts DESC, event_id DESC LIMIT 20
+"""
+
+
+def q_search_index_projection(sf_dir: str):
+    """P10/S9 — the search-index doc projection with coalescing fallbacks
+    (server/pdf.ts:161-177): title = metadata.descriptiveTitle || filename."""
+    from janet_ray.stages.metadata import extract_metadata
+
+    pages = _docs(sf_dir).map_batches(docsrc.html_pages_batch, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+    out = build_extract_pipeline(pages, dedupe=False, sort=False)
+
+    def project(batch: pa.Table) -> pa.Table:
+        titles, types, failed = [], [], []
+        for text, fname in zip(batch["text"].to_pylist(),
+                               batch["filename"].to_pylist()):
+            md, f = extract_metadata(text)
+            titles.append(md["descriptive_title"] or fname)
+            types.append(md["document_type"])
+            failed.append(f)
+        return pa.table({
+            "url": batch["url"],
+            "title": pa.array(titles, pa.string()),
+            "document_type": pa.array(types, pa.string()),
+            "metadata_failed": pa.array(failed, pa.bool_()),
+        })
+
+    return out.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_SEARCH_PROJ_SQL = """
+SELECT 'https://docs.example/d-' || lpad(CAST(doc_id AS VARCHAR), 7, '0') AS url,
+       'Document ' || CAST(doc_id AS VARCHAR) || ' synthetic article' AS title,
+       CAST(NULL AS VARCHAR) AS document_type,
+       FALSE AS metadata_failed
+FROM documents
+"""
+
+
 # --------------------------------------------------------------- registry
 
 def build_queries() -> dict:
@@ -487,6 +615,11 @@ def build_queries() -> dict:
         "events_by_type": q_events_by_type,
         "pricing_summary": q_pricing_summary,
         "top_orders": q_top_orders,
+        "events_hourly": q_events_hourly,
+        "events_asof_order": q_events_asof_order,
+        "customer_orders_semi": q_customer_orders_semi,
+        "recent_events": q_recent_events,
+        "search_index_projection": q_search_index_projection,
     }
 
 
@@ -515,4 +648,9 @@ def build_oracles() -> dict[str, str]:
         "events_by_type": _EVENTS_BY_TYPE_SQL,
         "pricing_summary": _PRICING_SQL,
         "top_orders": _TOP_ORDERS_SQL,
+        "events_hourly": _EVENTS_HOURLY_SQL,
+        "events_asof_order": _ASOF_SQL,
+        "customer_orders_semi": _SEMI_SQL,
+        "recent_events": _RECENT_EVENTS_SQL,
+        "search_index_projection": _SEARCH_PROJ_SQL,
     }

@@ -1,0 +1,113 @@
+"""Join operators beyond Dataset.join (SURVEY.md §2.4 / §2.11).
+
+broadcast_semi_join   J3 semi-join: the small key side goes to the object store
+                      once (ray.put); every map_batches task filters its batch
+                      against the broadcast set — no shuffle of the big side at
+                      all (the pattern the reference's client-side search
+                      semi-join, apps/web/lib/store.ts:201-205, becomes at scale).
+
+asof_join_latest      As-of join (Ray Data has no native one): for each left row
+                      (key, ts) attach the latest right row with the same key and
+                      right_ts <= ts. Implemented as the cogroup-via-union
+                      pattern: both sides are tagged, hash-partitioned on a
+                      COARSE key (never group-per-key), unioned, and each
+                      partition does a vectorized sorted-merge (np.searchsorted
+                      per key present in the partition).
+
+Partitioning assumption (documented per the custom-operator mandate): all rows
+of one join key land in one coarse partition — guaranteed by the shared
+``key % n_parts`` hash on both sides. Skewed hot keys bound the partition size;
+raise ``n_parts`` proportionally to cluster size.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def broadcast_semi_join(ds: "ray.data.Dataset", key_col: str,
+                        keys) -> "ray.data.Dataset":
+    """Keep rows whose ``key_col`` is in ``keys`` (an iterable collected from the
+    small side). The key set ships to the object store once."""
+    arr = np.unique(np.asarray(list(keys), dtype=np.int64))
+    ref = ray.put(arr)
+
+    def f(batch: pa.Table) -> pa.Table:
+        keyset = ray.get(ref)
+        vals = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(keyset, vals)
+        idx[idx >= len(keyset)] = 0
+        mask = keyset[idx] == vals if len(keyset) else np.zeros(len(vals), bool)
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def asof_join_latest(left: "ray.data.Dataset", right: "ray.data.Dataset", *,
+                     left_key: str, right_key: str, left_ts: str, right_ts: str,
+                     out_ts: str = "matched_ts",
+                     n_parts: int = 64) -> "ray.data.Dataset":
+    """left + (latest right_ts <= left_ts per key) → left columns + ``out_ts``
+    (null when no right row qualifies)."""
+
+    # carry the full left row through the shuffle; right contributes only (k, t)
+    def tag_left_full(batch: pa.Table) -> pa.Table:
+        keys = batch[left_key].to_numpy(zero_copy_only=False).astype(np.int64)
+        out = batch.append_column("part", pa.array((keys % n_parts).astype(np.int32)))
+        out = out.append_column("_side", pa.array(np.zeros(len(keys), dtype=np.int8)))
+        return out
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        keys = batch[right_key].to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = {name: pa.nulls(len(keys), typ)
+                for name, typ in zip(left_schema_names, left_schema_types)}
+        t = pa.table(cols)
+        t = t.set_column(t.column_names.index(left_key),
+                         left_key, pa.array(keys, pa.int64()))
+        t = t.set_column(t.column_names.index(left_ts), left_ts,
+                         batch[right_ts].cast(left_ts_type))
+        t = t.append_column("part", pa.array((keys % n_parts).astype(np.int32)))
+        t = t.append_column("_side", pa.array(np.ones(len(keys), dtype=np.int8)))
+        return t
+
+    left_schema = left.schema()
+    left_schema_names = left_schema.names
+    left_schema_types = left_schema.types
+    left_ts_type = left_schema_types[left_schema_names.index(left_ts)]
+
+    lt = left.map_batches(tag_left_full, batch_format="pyarrow", zero_copy_batch=True)
+    rt = right.map_batches(tag_right, batch_format="pyarrow", zero_copy_batch=True)
+    both = lt.union(rt)
+
+    def merge(part: pa.Table) -> pa.Table:
+        side = part["_side"].to_numpy(zero_copy_only=False)
+        keys = part[left_key].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = part[left_ts].cast(pa.timestamp("us")).to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        l_idx = np.nonzero(side == 0)[0]
+        r_idx = np.nonzero(side == 1)[0]
+        l_tbl = part.take(l_idx).drop_columns(["part", "_side"])
+        matched = np.full(len(l_idx), np.iinfo(np.int64).min, dtype=np.int64)
+        if len(r_idx):
+            rk, rt_ = keys[r_idx], ts[r_idx]
+            order = np.lexsort((rt_, rk))
+            rk, rt_ = rk[order], rt_[order]
+            lk, lt_ = keys[l_idx], ts[l_idx]
+            # per key present in this partition: vectorized searchsorted
+            for k in np.unique(lk):
+                s, e = np.searchsorted(rk, k, "left"), np.searchsorted(rk, k, "right")
+                if s == e:
+                    continue
+                sel = np.nonzero(lk == k)[0]
+                pos = np.searchsorted(rt_[s:e], lt_[sel], "right") - 1
+                ok = pos >= 0
+                matched[sel[ok]] = rt_[s:e][pos[ok]]
+        valid = matched != np.iinfo(np.int64).min
+        m = pa.array(np.where(valid, matched, 0).view("datetime64[us]"),
+                     pa.timestamp("us"), mask=~valid)
+        return l_tbl.append_column(out_ts, m)
+
+    return both.groupby("part").map_groups(merge, batch_format="pyarrow")

@@ -1,0 +1,74 @@
+"""broadcast semi-join + as-of join vs straightforward in-memory references."""
+from datetime import datetime
+
+import pyarrow as pa
+
+from janet_ray.stages import joins
+
+
+def _ts(day, hour=0):
+    return datetime(2024, 1, day, hour)
+
+
+def test_broadcast_semi_join(ray_session):
+    import ray.data
+
+    t = pa.table({"k": [1, 2, 3, 4, 5, 2, 9], "v": list(range(7))})
+    ds = ray.data.from_arrow(t)
+    out = joins.broadcast_semi_join(ds, "k", [2, 5, 7]).take_all()
+    assert sorted((r["k"], r["v"]) for r in out) == [(2, 1), (2, 5), (5, 4)]
+    # empty key set → empty result
+    assert joins.broadcast_semi_join(ds, "k", []).count() == 0
+
+
+def test_asof_join_latest(ray_session):
+    import ray.data
+
+    left = pa.table({
+        "id": [1, 2, 3, 4, 5],
+        "key": [10, 10, 10, 20, 30],
+        "ts": [_ts(5), _ts(2), _ts(1), _ts(9), _ts(4)],
+    })
+    right = pa.table({
+        "rkey": [10, 10, 20, 20, 40],
+        "rts": [_ts(1, 12), _ts(4), _ts(3), _ts(9), _ts(1)],
+    })
+    lds = ray.data.from_arrow(left)
+    rds = ray.data.from_arrow(right)
+    out = joins.asof_join_latest(lds, rds, left_key="key", right_key="rkey",
+                                 left_ts="ts", right_ts="rts", n_parts=4).take_all()
+    got = {r["id"]: r["matched_ts"] for r in out}
+    assert got[1] == _ts(4)        # latest rts <= Jan 5 for key 10
+    assert got[2] == _ts(1, 12)    # Jan 2 → Jan 1 12:00
+    assert got[3] is None          # Jan 1 00:00 precedes all right rows
+    assert got[4] == _ts(9)        # boundary: rts == ts is included
+    assert got[5] is None          # key 30 has no right rows
+    assert len(got) == 5           # left join: every left row survives
+
+
+def test_asof_join_keys_split_across_parts(ray_session):
+    """Keys hashing to different coarse partitions must not interfere."""
+    import ray.data
+
+    n = 50
+    left = pa.table({
+        "id": list(range(n)),
+        "key": [i % 7 for i in range(n)],
+        "ts": [_ts(1 + i % 25) for i in range(n)],
+    })
+    right = pa.table({
+        "rkey": [i % 7 for i in range(21)],
+        "rts": [_ts(1 + (i * 3) % 25) for i in range(21)],
+    })
+    out = joins.asof_join_latest(
+        ray.data.from_arrow(left), ray.data.from_arrow(right),
+        left_key="key", right_key="rkey", left_ts="ts", right_ts="rts",
+        n_parts=3).take_all()
+    # reference: per-row max(rts <= ts) among same key
+    rk = right["rkey"].to_pylist()
+    rt = right["rts"].to_pylist()
+    got = {r["id"]: r["matched_ts"] for r in out}
+    for i, k, t in zip(left["id"].to_pylist(), left["key"].to_pylist(),
+                       left["ts"].to_pylist()):
+        cands = [x for kk, x in zip(rk, rt) if kk == k and x <= t]
+        assert got[i] == (max(cands) if cands else None), i
