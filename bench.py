@@ -9,10 +9,10 @@ ONE JSON line::
      "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
      "headline": {"rows": R, "docs_per_sec": D}}
 
-``--scaling``: runs the headline job twice in FRESH processes (num_cpus=8 then
-32) on the same input and reports both throughputs + scaling efficiency
-(T_8/T_32)/4 — the sandbox evidence for the north_rule's two-cluster-size
-criterion (SURVEY.md §6).
+``--scaling``: runs the headline job twice in FRESH processes (num_cpus=4 then
+16 — N and 4N) on the same input and reports both throughputs + scaling
+efficiency (T_N/T_4N)/4 — the sandbox evidence for the north_rule's
+two-cluster-size criterion (SURVEY.md §6, hardware-ceiling notes in BASELINE.md).
 
 ``--headline-only``: internal child mode used by --scaling.
 """
@@ -26,7 +26,7 @@ import subprocess
 import sys
 import time
 
-REPLICATE = int(os.environ.get("GRAFT_BENCH_REPLICATE", "8"))
+REPLICATE = int(os.environ.get("GRAFT_BENCH_REPLICATE", "64"))
 
 
 def _sf(sf_dir: str) -> float:
@@ -92,13 +92,13 @@ def build_headline(pages_dir: str):
 
     files = [os.path.join(pages_dir, f) for f in sorted(os.listdir(pages_dir))
              if f.endswith(".parquet")]
-    # measured sweet spot (see BASELINE.md): ~128 read tasks (Ray's size
-    # heuristic otherwise plans ONE serial read task that starves the pool),
-    # fixed-size pool at 3/4 of CPUs (steady-state bench: full pool up front,
-    # 1/4 of slots left for read/write tasks)
+    # measured sweet spot (see BASELINE.md): ~128 read tasks — Ray's size
+    # heuristic otherwise plans ONE serial read task that starves the pool
     pages = ray.data.read_parquet(files, override_num_blocks=128)
     cpus = int(ray.cluster_resources().get("CPU", 8))
-    pool = max(1, (cpus * 3) // 4)
+    # measured sweep: larger pools win until reads starve; cpus-2 is the knee
+    # (cpus-0 deadlocks the read stage outright)
+    pool = max(1, cpus - 1 if cpus <= 4 else cpus - 2)
     return build_extract_pipeline(pages, dedupe=False, sort=False,
                                   concurrency=(pool, pool))
 

@@ -52,7 +52,10 @@ def _drop_size(batch: pa.Table) -> pa.Table:
 def build_extract_pipeline(
     ds: "ray.data.Dataset",
     *,
-    batch_size: int = 64,
+    batch_size: int | None = None,  # None = whole Arrow blocks: batches stay
+    # byte-bounded by DataContext.target_max_block_size (multi-MB payloads ⇒
+    # few rows/batch automatically) and per-batch overhead amortizes — measured
+    # 24% faster than batch_size=64 at sf0.1×256
     giant_batch_size: int = 4,
     concurrency=None,
     skew_threshold: int = DEFAULT_SKEW_THRESHOLD,
