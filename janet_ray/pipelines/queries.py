@@ -150,6 +150,107 @@ FROM documents
 """
 
 
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _company_case_sql() -> str:
+    """CASE mapping doc_id → colloquial org name, generated from the SAME
+    vocabulary the naming stage compiles (naming.ORG_VOCAB/COLLOQUIAL)."""
+    from janet_ray.stages.naming import COLLOQUIAL, ORG_VOCAB
+
+    whens = " ".join(
+        f"WHEN {i} THEN {_sql_quote(COLLOQUIAL.get(org, org))}"
+        for i, org in enumerate(ORG_VOCAB)
+    )
+    return f"CASE doc_id % {len(ORG_VOCAB)} {whens} END"
+
+
+def _org_case_sql() -> str:
+    from janet_ray.stages.naming import ORG_VOCAB
+
+    whens = " ".join(
+        f"WHEN {i} THEN {_sql_quote(org)}" for i, org in enumerate(ORG_VOCAB)
+    )
+    return f"CASE doc_id % {len(ORG_VOCAB)} {whens} END"
+
+
+_RICH_DATE_PARTS = """
+    2020 + doc_id % 6 AS _y, 1 + doc_id % 12 AS _m, 1 + doc_id % 27 AS _d,
+    1000000 + doc_id AS _num, 10 + doc_id % 4990 AS _amt
+"""
+
+
+def q_derive_filenames_rich(sf_dir: str):
+    """P9 full derivation path: date + org-vocabulary + doc-type + document
+    number from the lead paragraph (openai.ts:36-67 format spec)."""
+    pages = _docs(sf_dir).map_batches(docsrc.rich_pages_batch, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+    out = build_extract_pipeline(pages, dedupe=False, sort=False)
+    return out.select_columns(["url", "filename"])
+
+
+def _filenames_rich_sql() -> str:
+    return f"""
+WITH p AS (SELECT doc_id, {_RICH_DATE_PARTS} FROM documents)
+SELECT 'https://docs.example/d-' || lpad(CAST(doc_id AS VARCHAR), 7, '0') AS url,
+       CAST(_y AS VARCHAR) || '-' || lpad(CAST(_m AS VARCHAR), 2, '0') || '-' ||
+       lpad(CAST(_d AS VARCHAR), 2, '0') || ' ' || {_company_case_sql()} ||
+       ' - Statement ' || CAST(_num AS VARCHAR) || '.pdf' AS filename
+FROM p
+"""
+
+
+def q_metadata_extract(sf_dir: str):
+    """P13 heuristic metadata struct over extracted rich pages (flattened to
+    scalar columns for the oracle compare)."""
+    from janet_ray.stages.metadata import extract_metadata
+
+    pages = _docs(sf_dir).map_batches(docsrc.rich_pages_batch, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+    out = build_extract_pipeline(pages, dedupe=False, sort=False)
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        cols = {"url": batch["url"], "document_type": [], "issuing_organization": [],
+                "primary_date": [], "account_details": [], "first_amount": [],
+                "metadata_failed": []}
+        for text in batch["text"].to_pylist():
+            md, failed = extract_metadata(text)
+            cols["document_type"].append(md["document_type"])
+            cols["issuing_organization"].append(md["issuing_organization"])
+            cols["primary_date"].append(md["primary_date"])
+            cols["account_details"].append(md["account_details"])
+            amts = md["monetary_amounts"]
+            cols["first_amount"].append(amts[0] if amts else None)
+            cols["metadata_failed"].append(failed)
+        return pa.table({
+            "url": cols["url"],
+            "document_type": pa.array(cols["document_type"], pa.string()),
+            "issuing_organization": pa.array(cols["issuing_organization"], pa.string()),
+            "primary_date": pa.array(cols["primary_date"], pa.string()),
+            "account_details": pa.array(cols["account_details"], pa.string()),
+            "first_amount": pa.array(cols["first_amount"], pa.string()),
+            "metadata_failed": pa.array(cols["metadata_failed"], pa.bool_()),
+        })
+
+    return out.map_batches(flatten, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _metadata_extract_sql() -> str:
+    return f"""
+WITH p AS (SELECT doc_id, {_RICH_DATE_PARTS} FROM documents)
+SELECT 'https://docs.example/d-' || lpad(CAST(doc_id AS VARCHAR), 7, '0') AS url,
+       'statement' AS document_type,
+       {_company_case_sql()} AS issuing_organization,
+       lpad(CAST(_m AS VARCHAR), 2, '0') || '/' || lpad(CAST(_d AS VARCHAR), 2, '0')
+         || '/' || CAST(_y AS VARCHAR) AS primary_date,
+       CAST(_num AS VARCHAR) AS account_details,
+       '$' || CAST(_amt AS VARCHAR) || '.00' AS first_amount,
+       FALSE AS metadata_failed
+FROM p
+"""
+
+
 # --------------------------------------------------------------- search / text
 
 def q_search_count(sf_dir: str):
@@ -170,6 +271,37 @@ SELECT doc_id,
        CAST(len(regexp_extract_all(lower(text), 'data')) AS BIGINT) AS n_data,
        CAST(len(regexp_extract_all(lower(text), ' spark ')) AS BIGINT) AS n_spark_w
 FROM documents
+"""
+
+
+def q_search_topk(sf_dir: str):
+    """O2/A3 — keyword-relevance top-k (Meili `limit: 10`, search/route.ts:35):
+    score = match count, partial top-k per batch then one reduce."""
+    k = 10
+
+    def score(batch: pa.Table) -> pa.Table:
+        texts = [t or "" for t in batch["text"].to_pylist()]
+        t = pa.table({
+            "doc_id": batch["doc_id"],
+            "score": pa.array([count_matches(x, "data") for x in texts], pa.int64()),
+        })
+        idx = pc.sort_indices(t, sort_keys=[("score", "descending"),
+                                            ("doc_id", "ascending")])
+        return t.take(idx[:k])
+
+    partials = _docs(sf_dir).map_batches(score, batch_format="pyarrow",
+                                         zero_copy_batch=True)
+    def reduce_topk(batch: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(batch, sort_keys=[("score", "descending"),
+                                                ("doc_id", "ascending")])
+        return batch.take(idx[:k])
+
+    return partials.repartition(1).map_batches(reduce_topk, batch_format="pyarrow")
+
+
+_SEARCH_TOPK_SQL = """
+SELECT doc_id, CAST(len(regexp_extract_all(lower(text), 'data')) AS BIGINT) AS score
+FROM documents ORDER BY score DESC, doc_id LIMIT 10
 """
 
 
@@ -620,6 +752,9 @@ def build_queries() -> dict:
         "customer_orders_semi": q_customer_orders_semi,
         "recent_events": q_recent_events,
         "search_index_projection": q_search_index_projection,
+        "derive_filenames_rich": q_derive_filenames_rich,
+        "metadata_extract": q_metadata_extract,
+        "search_topk": q_search_topk,
     }
 
 
@@ -653,4 +788,7 @@ def build_oracles() -> dict[str, str]:
         "customer_orders_semi": _SEMI_SQL,
         "recent_events": _RECENT_EVENTS_SQL,
         "search_index_projection": _SEARCH_PROJ_SQL,
+        "derive_filenames_rich": _filenames_rich_sql(),
+        "metadata_extract": _metadata_extract_sql(),
+        "search_topk": _SEARCH_TOPK_SQL,
     }

@@ -76,6 +76,47 @@ def scan_payload(text: str) -> bytes:
     return jpdf.encode([{"scan": text}])
 
 
+MONTH_NAMES = ["January", "February", "March", "April", "May", "June", "July",
+               "August", "September", "October", "November", "December"]
+
+
+def rich_lead(doc_id: int) -> tuple[int, int, int, int, int]:
+    """Deterministic (year, month, day, doc_number, amount) for the rich lead —
+    the SAME arithmetic the SQL oracles replay (doc_id-derived)."""
+    m = 1 + doc_id % 12
+    d = 1 + doc_id % 27
+    y = 2020 + doc_id % 6
+    num = 1_000_000 + doc_id
+    amt = 10 + doc_id % 4990
+    return y, m, d, num, amt
+
+
+def rich_html_payload(doc_id: int, text: str, org: str) -> bytes:
+    """Article whose lead paragraph carries real filename/metadata signal
+    (date + org + Statement number + amount) — exercises the P9/P13 derivation
+    beyond the identity-fallback path."""
+    y, m, d, num, amt = rich_lead(doc_id)
+    lead = (f"Published {MONTH_NAMES[m - 1]} {d}, {y} by {org} "
+            f"Statement Account No. {num} amount ${amt}.00. ")
+    title = f"Document {doc_id} synthetic article"
+    para = lead + text
+    nav = f"<nav>{_link_soup(doc_id, 8)}</nav>"
+    doc = (
+        f"<!DOCTYPE html><html><head><title>{title}</title></head>"
+        f"<body>{nav}<article><h1>{title}</h1><p>{para}</p></article></body></html>"
+    )
+    return doc.encode("utf-8")
+
+
+def rich_pages_batch(batch: pa.Table) -> pa.Table:
+    from janet_ray.stages.naming import ORG_VOCAB
+
+    ids, texts, langs, tss = _common(batch)
+    payloads = [rich_html_payload(i, t, ORG_VOCAB[i % len(ORG_VOCAB)])
+                for i, t in zip(ids, texts)]
+    return _pages_table(ids, tss, payloads, [""] * len(ids), langs)
+
+
 def media_payload(doc_id: int, text: str) -> bytes:
     w, h = 8 + doc_id % 9, 6 + doc_id % 5
     body = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)

@@ -421,32 +421,3 @@ def ensure_pages_dir(n: int, seed: int = SEED, root: str = "/tmp/janet_ray_pages
     else:
         os.replace(tmp, out)
     return out
-
-
-def pages_from_documents(sf_dir: str) -> pa.Table:
-    """Wrap the driver's ``documents`` table into the pages shape (deterministic):
-    each document's text becomes a clean HTML article page. Used by ``entry()`` so
-    the flagship pipeline consumes the provisioned testdata."""
-    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
-    rng = np.random.RandomState(7)
-    urls, tss, payloads, hints, langs = [], [], [], [], []
-    for i, (doc_id, text, lang) in enumerate(
-        zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist(), docs["lang"].to_pylist())
-    ):
-        title = f"Document {doc_id} synthetic article"
-        paras = [text] if len(text) >= 60 else [text + " " + "pad " * 20]
-        urls.append(f"https://docs.example/d-{doc_id:07d}")
-        tss.append(EPOCH + timedelta(seconds=i))
-        payloads.append(_html_page(rng, title, paras, False))
-        hints.append("")
-        langs.append(lang)
-    return pa.table(
-        {
-            "url": pa.array(urls, pa.string()),
-            "warc_ts": pa.array(tss, pa.timestamp("us")),
-            "html": pa.array(payloads, pa.binary()),
-            "text": pa.array(hints, pa.string()),
-            "lang": pa.array(langs, pa.string()),
-        },
-        schema=PAGES_SCHEMA,
-    )

@@ -1,0 +1,103 @@
+"""Property-based robustness tests (hypothesis): arbitrary/adversarial inputs
+must never crash the extractors — errors are data (the engine-wide contract),
+spans are always valid offsets, and scalar operators are total functions."""
+import hypothesis.strategies as st
+import pyarrow as pa
+from hypothesis import given, settings
+
+from janet_ray.formats import jpdf
+from janet_ray.stages import dedup, textstats as ts
+from janet_ray.stages.html_extract import extract_html
+from janet_ray.stages.search import count_matches, find_matches, normalize_keyword
+
+html_ish = st.text(
+    alphabet=st.sampled_from(list("<>/ab cp!&\"'=-\n\tä文%[]")), max_size=400
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(html_ish)
+def test_extract_html_total_and_spans_valid(s):
+    payload = s.encode("utf-8")
+    text, spans = extract_html(payload)
+    assert isinstance(text, str)
+    for sp in spans:
+        assert 0 <= sp["start"] <= sp["end"] <= len(text)
+        # a span's slice is exactly one kept block's text
+        assert "\n\n" not in text[sp["start"]:sp["end"]]
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=300))
+def test_extract_html_arbitrary_bytes_never_raise(b):
+    text, spans = extract_html(b)
+    assert isinstance(text, str) and isinstance(spans, list)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=200))
+def test_jpdf_parse_total(b):
+    """parse() either returns pages or raises JPdfError — never anything else."""
+    payload = jpdf.MAGIC + b
+    try:
+        pages = jpdf.parse(payload)
+        assert isinstance(pages, list)
+    except jpdf.JPdfError:
+        pass
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=120), st.text(min_size=1, max_size=8),
+       st.booleans(), st.booleans())
+def test_count_matches_total_and_consistent(text, kw, mc, ww):
+    n = count_matches(text, kw, match_case=mc, whole_words=ww)
+    assert n >= 0
+    spans = find_matches([text], normalize_keyword(kw, mc, ww))
+    assert len(spans) == n
+    for m in spans:
+        assert 0 <= m["start"] <= m["end"] <= len(text)
+        assert m["page_index"] == 0
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=200))
+def test_textstats_total(s):
+    r = ts.text_stats_row(s)
+    assert r["n_chars"] == len(s)
+    assert 0 <= r["alpha_ratio"] <= 1
+    assert 0 <= r["stopword_ratio"] <= 1
+    assert ts.lang_id(s) in ("en", "es", "de", "fr", "zh", "unknown")
+    assert len(ts.fingerprint(s)) == 32
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(max_size=150), st.text(max_size=150))
+def test_jaccard_bounds_and_symmetry(a, b):
+    j = dedup.jaccard(a, b)
+    assert 0.0 <= j <= 1.0
+    assert j == dedup.jaccard(b, a)
+    assert dedup.jaccard(a, a) == 1.0
+
+
+def test_extract_stage_junk_batch_is_error_rows(ray_session):
+    """Poison rows become error rows, never task failures (fileProcessor.ts:70-76)."""
+    from datetime import datetime
+
+    from janet_ray.stages.extract import ExtractStage
+    from janet_ray.stages.router import sniff_routes
+
+    junk = [b"%PDF-1.7\n%JRAY\n\x01\x02trunc", b"<html><p>" + b"\xff" * 20,
+            b"", b"\x00" * 50, jpdf.MAGIC + b"PG\xff\xff\xff\xff"]
+    batch = pa.table({
+        "url": [f"https://x.example/j{i}" for i in range(len(junk))],
+        "warc_ts": pa.array([datetime(2024, 1, 1)] * len(junk), pa.timestamp("us")),
+        "html": pa.array(junk, pa.binary()),
+        "text": [""] * len(junk),
+        "lang": ["en"] * len(junk),
+    })
+    out = ExtractStage()(sniff_routes(batch))
+    assert out.num_rows == len(junk)
+    for r in out.to_pylist():
+        assert isinstance(r["success"], bool)
+        if not r["success"]:
+            assert r["route"] == "error" and r["error"]
