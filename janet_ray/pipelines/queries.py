@@ -432,6 +432,40 @@ def q_ivf_topk(sf_dir: str):
                                cents, k=10, nprobe=4)
 
 
+def q_ocr_word_boxes(sf_dir: str):
+    """P8/S11 — per-word text-layer geometry over scanned pages (rows-only:
+    positions depend on the raster line-wrap; golden-tested in pytest)."""
+    from janet_ray.formats import jpdf
+    from janet_ray.stages import ocr as ocr_mod
+
+    pages = _docs(sf_dir).map_batches(docsrc.scan_pages_batch, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+
+    class BoxStage:
+        def __init__(self):
+            self.engine = ocr_mod.GlyphGridEngine()
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            urls, pgs, words, x0s, y0s, x1s, y1s = [], [], [], [], [], [], []
+            for url, payload in zip(batch["url"].to_pylist(),
+                                    batch["html"].to_pylist()):
+                for pi, boxes in enumerate(
+                        ocr_mod.ocr_word_boxes(jpdf.parse(payload), self.engine)):
+                    for b in boxes:
+                        urls.append(url); pgs.append(pi); words.append(b["text"])
+                        x0s.append(b["x0"]); y0s.append(b["y0"])
+                        x1s.append(b["x1"]); y1s.append(b["y1"])
+            return pa.table({
+                "url": pa.array(urls, pa.string()),
+                "page": pa.array(pgs, pa.int32()),
+                "word": pa.array(words, pa.string()),
+                "x0": pa.array(x0s, pa.float64()), "y0": pa.array(y0s, pa.float64()),
+                "x1": pa.array(x1s, pa.float64()), "y1": pa.array(y1s, pa.float64()),
+            })
+
+    return pages.map_batches(BoxStage, batch_format="pyarrow", concurrency=(1, 4))
+
+
 # --------------------------------------------------------------- multimodal
 
 def q_media_probe(sf_dir: str):
@@ -755,6 +789,7 @@ def build_queries() -> dict:
         "derive_filenames_rich": q_derive_filenames_rich,
         "metadata_extract": q_metadata_extract,
         "search_topk": q_search_topk,
+        "ocr_word_boxes": q_ocr_word_boxes,
     }
 
 

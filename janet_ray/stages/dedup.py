@@ -65,17 +65,29 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
     return x
 
 
+_WORD_HASH_CACHE: dict[str, int] = {}
+_WORD_HASH_CACHE_MAX = 1 << 20  # bounded: cleared wholesale when full
+
+
+def _word_hash(w: str) -> int:
+    h = _WORD_HASH_CACHE.get(w)
+    if h is None:
+        if len(_WORD_HASH_CACHE) >= _WORD_HASH_CACHE_MAX:
+            _WORD_HASH_CACHE.clear()
+        h = int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
+        _WORD_HASH_CACHE[w] = h
+    return h
+
+
 def word_hashes(text: str) -> np.ndarray:
-    """Stable 64-bit hash per word token (PYTHONHASHSEED-independent)."""
+    """Stable 64-bit hash per word token (PYTHONHASHSEED-independent). Hashes
+    memoized per worker process — corpus vocabularies repeat heavily, so the
+    blake2b cost is paid once per distinct word, not once per occurrence."""
     words = _WORD_RE.findall(text.lower())
     if not words:
         return np.zeros(0, dtype=np.uint64)
-    h = np.fromiter(
-        (int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
-         for w in words),
-        dtype=np.uint64, count=len(words),
-    )
-    return h
+    return np.fromiter((_word_hash(w) for w in words),
+                       dtype=np.uint64, count=len(words))
 
 
 def shingle_hashes(text: str, k: int = 3) -> np.ndarray:

@@ -53,6 +53,51 @@ class TesseractEngine(OcrEngine):  # pragma: no cover - production stub
         )
 
 
+def word_boxes_page(page_text: str) -> list[dict]:
+    """P8 — text-layer geometry (ocr-utils.ts:227-274): per-word bounding boxes
+    on the glyph grid plus the reference's font-size rule
+    ``fontSize = max(0.8 * h, 8)`` (ocr-utils.ts:253).
+
+    The glyph grid is deterministic (formats/jpdf.py): character (line i, col j)
+    occupies the cell x∈[j·CELL_W, j·CELL_W+GLYPH_W), y∈[i·CELL_H, i·CELL_H+GLYPH_H),
+    so a k-char word's box is exact — the analogue of Vision's 4-vertex
+    boundingPoly (ocr-utils.ts:240-251)."""
+    import re as _re
+
+    out: list[dict] = []
+    for line_idx, line in enumerate(page_text.split("\n")):
+        for m in _re.finditer(r"\S+", line):
+            x0 = m.start() * jpdf.CELL_W
+            y0 = line_idx * jpdf.CELL_H
+            w = (m.end() - m.start() - 1) * jpdf.CELL_W + jpdf.GLYPH_W
+            h = jpdf.GLYPH_H
+            out.append({
+                "text": m.group(0),
+                "x0": x0, "y0": y0, "x1": x0 + w, "y1": y0 + h,
+                "font_size": max(0.8 * jpdf.CELL_H, 8.0),
+            })
+    return out
+
+
+def ocr_word_boxes(pages: list[dict], engine: OcrEngine) -> list[list[dict]]:
+    """Per-page word geometry for a parsed jpdf container — the data a
+    searchable-PDF sink (S11, ocr-utils.ts:279-336) would lay under the image."""
+    boxes: list[list[dict]] = []
+    for page in pages:
+        if page["kind"] == "scan":
+            boxes.append(word_boxes_page(
+                engine.decode_page(page["packed"], page["width"], page["height"])))
+        else:
+            items = sorted(page["items"], key=lambda it: (it[1], it[0]))
+            boxes.append([
+                {"text": t, "x0": float(x), "y0": float(y),
+                 "x1": float(x) + 6.0 * len(t), "y1": float(y) + 8.0,
+                 "font_size": 8.0}
+                for x, y, t in items
+            ])
+    return boxes
+
+
 def ocr_document(pages: list[dict], engine: OcrEngine) -> tuple[str, list[dict], int]:
     """Decode all scan pages of a parsed jpdf container.
 

@@ -73,3 +73,27 @@ def test_travelers_golden_substrings():
 def test_tesseract_engine_is_a_documented_stub():
     with pytest.raises(NotImplementedError):
         ocr_mod.TesseractEngine()
+
+
+def test_word_boxes_geometry():
+    """P8: boxes align exactly with the glyph grid of the wrapped raster text."""
+    from janet_ray.formats import jpdf
+    from janet_ray.stages import ocr as ocr_mod
+
+    text = "hello world this is a scanned page with several words to wrap"
+    payload = jpdf.encode([{"scan": text}])
+    pages = jpdf.parse(payload)
+    engine = ocr_mod.GlyphGridEngine()
+    boxes = ocr_mod.ocr_word_boxes(pages, engine)
+    assert len(boxes) == 1
+    decoded = engine.decode_page(pages[0]["packed"], pages[0]["width"], pages[0]["height"])
+    words = decoded.split()
+    assert [b["text"] for b in boxes[0]] == words
+    lines = decoded.split("\n")
+    for b in boxes[0]:
+        line_idx = b["y0"] // jpdf.CELL_H
+        col = b["x0"] // jpdf.CELL_W
+        line = lines[int(line_idx)]
+        assert line[int(col):int(col) + len(b["text"])] == b["text"]
+        assert b["x1"] > b["x0"] and b["y1"] == b["y0"] + jpdf.GLYPH_H
+        assert b["font_size"] == max(0.8 * jpdf.CELL_H, 8.0)
