@@ -43,10 +43,15 @@ def run_partitioned(
     num_partitions: int = 16,
     resume: bool = True,
     fail_after_partitions: int | None = None,
-    batch_size: int = 64,
+    batch_size: int | None = None,
     concurrency=None,
+    pipeline=None,
 ) -> dict:
-    """Run the flagship pipeline partition-by-partition with manifests + resume.
+    """Run a pipeline partition-by-partition with manifests + resume.
+
+    ``pipeline``: ``Dataset -> Dataset`` builder; defaults to the flagship
+    extraction pipeline. Any analysis pipeline (dedup, textstats, …) gets the
+    same checkpoint/resume semantics by passing its builder here.
 
     Returns the run summary dict (also persisted to _manifest/summary.json)."""
     files = sorted(glob.glob(os.path.join(input_dir, "*.parquet")))
@@ -66,10 +71,13 @@ def run_partitioned(
                                  started_at=started)
         try:
             ds = ray.data.read_parquet(part_files)
-            out = build_extract_pipeline(
-                ds, batch_size=batch_size, concurrency=concurrency,
-                dedupe=True, sort=True,
-            )
+            if pipeline is not None:
+                out = pipeline(ds)
+            else:
+                out = build_extract_pipeline(
+                    ds, batch_size=batch_size, concurrency=concurrency,
+                    dedupe=True, sort=True,
+                )
             tmp_dir = os.path.join(out_dir, f"_tmp-part-{pid:05d}")
             if os.path.isdir(tmp_dir):
                 import shutil
@@ -85,12 +93,20 @@ def run_partitioned(
             n_rows = n_success = bytes_out = 0
             routes: dict[str, int] = {}
             for f in sorted(glob.glob(os.path.join(mf.partition_dir(out_dir, pid), "*.parquet"))):
-                t = pq.read_table(f, columns=["success", "route"])
-                n_rows += t.num_rows
-                n_success += pc.sum(pc.cast(t["success"], "int64")).as_py() or 0
-                for r in pc.value_counts(t["route"]).to_pylist():
-                    routes[r["values"]] = routes.get(r["values"], 0) + r["counts"]
+                pf = pq.ParquetFile(f)
+                have = set(pf.schema_arrow.names)
+                n_rows += pf.metadata.num_rows
                 bytes_out += os.path.getsize(f)
+                # route/success metrics only exist for the extraction pipeline;
+                # custom pipelines still get rows/bytes/time lineage
+                cols = [c for c in ("success", "route") if c in have]
+                if cols:
+                    t = pq.read_table(f, columns=cols)
+                    if "success" in cols:
+                        n_success += pc.sum(pc.cast(t["success"], "int64")).as_py() or 0
+                    if "route" in cols:
+                        for r in pc.value_counts(t["route"]).to_pylist():
+                            routes[r["values"]] = routes.get(r["values"], 0) + r["counts"]
             m.status, m.n_rows, m.n_success, m.routes, m.bytes_out = (
                 "complete", n_rows, n_success, routes, bytes_out,
             )

@@ -755,6 +755,41 @@ FROM documents
 """
 
 
+
+def q_format_dates(sf_dir: str):
+    """P15 — ordinal long-date scalar fn (apps/web/lib/utils.ts:7-33) applied
+    distributed over the orders dates."""
+    from janet_ray.functions.text import format_long_date
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        iso = [d.strftime("%Y-%m-%d") for d in batch["o_orderdate"].to_pylist()]
+        return pa.table({
+            "o_orderkey": batch["o_orderkey"],
+            "long_date": pa.array([format_long_date(s) for s in iso], pa.string()),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _format_dates_sql() -> str:
+    from janet_ray.functions.text import _MONTHS
+
+    months = " ".join(f"WHEN {i+1} THEN '{m}'" for i, m in enumerate(_MONTHS))
+    return f"""
+SELECT o_orderkey,
+       (CASE CAST(month(o_orderdate) AS INTEGER) {months} END) || ' ' ||
+       CAST(day(o_orderdate) AS VARCHAR) ||
+       (CASE WHEN day(o_orderdate) % 100 BETWEEN 11 AND 13 THEN 'th'
+             WHEN day(o_orderdate) % 10 = 1 THEN 'st'
+             WHEN day(o_orderdate) % 10 = 2 THEN 'nd'
+             WHEN day(o_orderdate) % 10 = 3 THEN 'rd'
+             ELSE 'th' END) || ', ' || CAST(year(o_orderdate) AS VARCHAR) AS long_date
+FROM orders
+"""
+
+
 # --------------------------------------------------------------- registry
 
 def build_queries() -> dict:
@@ -790,6 +825,7 @@ def build_queries() -> dict:
         "metadata_extract": q_metadata_extract,
         "search_topk": q_search_topk,
         "ocr_word_boxes": q_ocr_word_boxes,
+        "format_dates": q_format_dates,
     }
 
 
@@ -826,4 +862,5 @@ def build_oracles() -> dict[str, str]:
         "derive_filenames_rich": _filenames_rich_sql(),
         "metadata_extract": _metadata_extract_sql(),
         "search_topk": _SEARCH_TOPK_SQL,
+        "format_dates": _format_dates_sql(),
     }
