@@ -1,0 +1,61 @@
+"""CLI batch entry point — the analogue of the reference's flagship CLI
+(apps/legacy/rename.ts: scan → extract → derive names → persist mapping,
+resumable), re-expressed as a checkpointed partitioned Ray Data run.
+
+Usage:
+    python -m janet_ray run --input <pages_parquet_dir> --out <out_dir> \
+        [--partitions 16] [--no-resume] [--num-cpus 8]
+
+The CLI owns the Ray session (library code never calls ray.init —
+__ray_entry__.py contract).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="janet_ray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    run = sub.add_parser("run", help="checkpointed extraction run over a pages dir")
+    run.add_argument("--input", required=True, help="dir of pages parquet shards")
+    run.add_argument("--out", required=True, help="output dir (parquet + _manifest)")
+    run.add_argument("--partitions", type=int, default=16)
+    run.add_argument("--no-resume", action="store_true",
+                     help="recompute even complete partitions")
+    run.add_argument("--num-cpus", type=int, default=None,
+                     help="ray.init num_cpus (default: all)")
+    args = ap.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        kw = {"num_cpus": args.num_cpus} if args.num_cpus else {}
+        ray.init(address="local", include_dashboard=False,
+                 logging_level="ERROR", **kw)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from janet_ray.pipelines.checkpoint import run_partitioned
+
+    try:
+        summary = run_partitioned(
+            args.input, args.out,
+            num_partitions=args.partitions,
+            resume=not args.no_resume,
+        )
+    except FileNotFoundError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    finally:
+        ray.shutdown()
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

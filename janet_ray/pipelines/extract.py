@@ -62,6 +62,8 @@ def build_extract_pipeline(
     skew_split: bool = False,
     dedupe: bool = True,
     sort: bool = True,
+    num_cpus: float | None = None,  # per-actor CPU reservation; >1 for engines
+    # that thread internally (real Tesseract), <1 to oversubscribe cheap stages
 ) -> "ray.data.Dataset":
     """pages Dataset → extracted Dataset (EXTRACTED_SCHEMA)."""
     routed = ds.map_batches(sniff_routes, batch_format="pyarrow", zero_copy_batch=True)
@@ -80,6 +82,8 @@ def build_extract_pipeline(
     if isinstance(concurrency, int):
         concurrency = (1, max(1, concurrency))
     kw = {"concurrency": concurrency}
+    if num_cpus is not None:
+        kw["num_cpus"] = num_cpus
 
     if not skew_split:
         out = routed.map_batches(
