@@ -16,7 +16,7 @@ from __future__ import annotations
 import re
 
 from janet_ray.functions.text import find_first_date, truncate_content
-from janet_ray.stages.naming import COLLOQUIAL, DOC_TYPES, ORG_VOCAB, _find_first, _ORG_RES, _TYPE_RES
+from janet_ray.stages.naming import COLLOQUIAL, DOC_TYPES, ORG_VOCAB, find_doc_type, find_org
 
 # Label vocabulary (pdf-metadata.ts:32-55)
 LABEL_VOCAB = [
@@ -70,9 +70,9 @@ def extract_metadata(text: str | None) -> tuple[dict, bool]:
     try:
         content = truncate_content(text)
         md = dict(empty)
-        doc_type = _find_first(content, _TYPE_RES)
+        doc_type = find_doc_type(content)
         md["document_type"] = doc_type.lower() if doc_type else None
-        org = _find_first(content, _ORG_RES)
+        org = find_org(content)
         md["issuing_organization"] = COLLOQUIAL.get(org, org) if org else None
         ymd = find_first_date(content)
         if ymd:

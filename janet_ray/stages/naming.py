@@ -104,6 +104,28 @@ _TYPE_RES: list[tuple[re.Pattern, str]] = [
     (re.compile(r"(?<![A-Za-z])" + re.escape(t) + r"(?![A-Za-z])", re.IGNORECASE), t)
     for t in DOC_TYPES
 ]
+
+# Single-scan alternations (hot path): regex alternation is leftmost-position
+# first, then first-listed alternative — exactly _find_first's earliest-start /
+# first-in-vocab tie-break, at 1/28th the scans. Canonical casing recovered via
+# a lowercase lookup (vocab entries are case-insensitively unique).
+_ORG_COMBINED = re.compile("|".join(re.escape(o) for o in ORG_VOCAB), re.IGNORECASE)
+_ORG_CANON = {o.lower(): o for o in ORG_VOCAB}
+_TYPE_COMBINED = re.compile(
+    r"(?<![A-Za-z])(?:" + "|".join(re.escape(t) for t in DOC_TYPES) + r")(?![A-Za-z])",
+    re.IGNORECASE,
+)
+_TYPE_CANON = {t.lower(): t for t in DOC_TYPES}
+
+
+def find_org(text: str) -> str | None:
+    m = _ORG_COMBINED.search(text)
+    return _ORG_CANON[m.group(0).lower()] if m else None
+
+
+def find_doc_type(text: str) -> str | None:
+    m = _TYPE_COMBINED.search(text)
+    return _TYPE_CANON[m.group(0).lower()] if m else None
 # Document number: "No. 612266004", "Number 612266004", "#612266004",
 # "Policy Number 612266004". The captured token must contain a digit (so label words
 # like "Number" are never captured) and stays case-sensitive while the prefix
@@ -134,7 +156,7 @@ def derive_filename(url: str, text: str | None) -> str:
         return fallback
     date_s = f"{ymd[0]:04d}-{ymd[1]:02d}-{ymd[2]:02d}"
 
-    org = _find_first(content, _ORG_RES)
+    org = find_org(content)
     if org is not None:
         company = COLLOQUIAL.get(org, org)
     else:
@@ -142,7 +164,7 @@ def derive_filename(url: str, text: str | None) -> str:
         label = host.split(".", 1)[0] if host else "Unknown"
         company = label.capitalize() or "Unknown"
 
-    doc_type = _find_first(content, _TYPE_RES)
+    doc_type = find_doc_type(content)
     desc = doc_type if doc_type else "Document"  # canonical vocab casing
     m = _DOCNUM_RE.search(content)
     if m:
