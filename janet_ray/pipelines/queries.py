@@ -790,6 +790,34 @@ FROM orders
 """
 
 
+
+def q_quality_filter(sf_dir: str):
+    """Training-data quality gate: keep documents passing length/alpha/stopword
+    thresholds (the classic pretraining-corpus filter, vectorized per batch)."""
+    ds = _docs(sf_dir)
+
+    def f(batch: pa.Table) -> pa.Table:
+        t = ts.add_textstats(batch)
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(t["n_tokens"], 10),
+                    pc.greater_equal(t["alpha_ratio"], 0.5)),
+            pc.less_equal(t["mean_token_len"], 12.0),
+        )
+        return t.filter(keep).select(["doc_id", "n_tokens", "alpha_ratio"])
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _quality_filter_sql() -> str:
+    stats = ts.textstats_sql()
+    return f"""
+SELECT doc_id, {stats['n_tokens']} AS n_tokens, {stats['alpha_ratio']} AS alpha_ratio
+FROM documents
+WHERE ({stats['n_tokens']}) >= 10 AND ({stats['alpha_ratio']}) >= 0.5
+  AND ({stats['mean_token_len']}) <= 12.0
+"""
+
+
 # --------------------------------------------------------------- registry
 
 def build_queries() -> dict:
@@ -826,6 +854,7 @@ def build_queries() -> dict:
         "search_topk": q_search_topk,
         "ocr_word_boxes": q_ocr_word_boxes,
         "format_dates": q_format_dates,
+        "quality_filter": q_quality_filter,
     }
 
 
@@ -863,4 +892,5 @@ def build_oracles() -> dict[str, str]:
         "metadata_extract": _metadata_extract_sql(),
         "search_topk": _SEARCH_TOPK_SQL,
         "format_dates": _format_dates_sql(),
+        "quality_filter": _quality_filter_sql(),
     }
