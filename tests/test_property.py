@@ -101,3 +101,38 @@ def test_extract_stage_junk_batch_is_error_rows(ray_session):
         assert isinstance(r["success"], bool)
         if not r["success"]:
             assert r["route"] == "error" and r["error"]
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 15), st.integers(0, 50)),
+                min_size=1, max_size=60))
+def test_dedupe_last_wins_matches_reference(ray_session, pairs):
+    """Random (url_idx, ts) multisets: the distributed last-wins dedupe equals
+    the obvious sequential reference for every dup pattern."""
+    from datetime import datetime, timedelta
+
+    from janet_ray.pipelines.extract import dedupe_last_wins
+    import ray.data
+
+    rows = [
+        {"url": f"https://h{u % 4}.example/p{u}",
+         "warc_ts": datetime(2024, 1, 1) + timedelta(hours=t),
+         "route": "html", "text": f"text-{u}-{t}"}
+        for u, t in pairs
+    ]
+    t = pa.table({
+        "url": [r["url"] for r in rows],
+        "warc_ts": pa.array([r["warc_ts"] for r in rows], pa.timestamp("us")),
+        "route": [r["route"] for r in rows],
+        "text": [r["text"] for r in rows],
+    })
+    got = {r["url"]: (r["warc_ts"], r["text"])
+           for r in dedupe_last_wins(ray.data.from_arrow(t)).take_all()}
+    want = {}
+    for r in rows:
+        cur = want.get(r["url"])
+        if cur is None or r["warc_ts"] > cur[0]:
+            want[r["url"]] = (r["warc_ts"], r["text"])
+    assert set(got) == set(want)
+    for u in want:
+        assert got[u][0] == want[u][0], u
