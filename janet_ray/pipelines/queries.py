@@ -166,14 +166,6 @@ def _company_case_sql() -> str:
     return f"CASE doc_id % {len(ORG_VOCAB)} {whens} END"
 
 
-def _org_case_sql() -> str:
-    from janet_ray.stages.naming import ORG_VOCAB
-
-    whens = " ".join(
-        f"WHEN {i} THEN {_sql_quote(org)}" for i, org in enumerate(ORG_VOCAB)
-    )
-    return f"CASE doc_id % {len(ORG_VOCAB)} {whens} END"
-
 
 _RICH_DATE_PARTS = """
     2020 + doc_id % 6 AS _y, 1 + doc_id % 12 AS _m, 1 + doc_id % 27 AS _d,
@@ -818,6 +810,53 @@ WHERE ({stats['n_tokens']}) >= 10 AND ({stats['alpha_ratio']}) >= 0.5
 """
 
 
+
+def q_extract_html_spans(sf_dir: str):
+    """Span offsets under oracle check: html pages have exactly two kept blocks
+    (h1 title + content paragraph), so every span's (page ordinal, start, end,
+    kind) is arithmetically derivable from the document lengths."""
+    pages = _docs(sf_dir).map_batches(docsrc.html_pages_batch, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+    out = build_extract_pipeline(pages, dedupe=False, sort=False)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        urls, ordinals, starts, ends, kinds = [], [], [], [], []
+        for url, spans in zip(batch["url"].to_pylist(), batch["spans"].to_pylist()):
+            for s in spans:
+                urls.append(url); ordinals.append(s["page"])
+                starts.append(s["start"]); ends.append(s["end"])
+                kinds.append(s["kind"])
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "ordinal": pa.array(ordinals, pa.int32()),
+            "start": pa.array(starts, pa.int64()),
+            "end_off": pa.array(ends, pa.int64()),
+            "kind": pa.array(kinds, pa.string()),
+        })
+
+    return out.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_HTML_SPANS_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         length('Document ' || CAST(doc_id AS VARCHAR) || ' synthetic article') AS tl,
+         length(trim(regexp_replace(
+             CASE WHEN length(text) >= 60 THEN text ELSE text || ' ' || repeat('pad ', 20) END,
+             '\\s+', ' ', 'g'))) AS pl
+  FROM documents
+), u AS (
+  SELECT 'https://docs.example/d-' || lpad(CAST(doc_id AS VARCHAR), 7, '0') AS url,
+         tl, pl FROM p
+)
+SELECT url, CAST(0 AS INTEGER) AS ordinal, CAST(0 AS BIGINT) AS start,
+       CAST(tl AS BIGINT) AS end_off, 'h1' AS kind FROM u
+UNION ALL
+SELECT url, CAST(1 AS INTEGER), CAST(tl + 2 AS BIGINT),
+       CAST(tl + 2 + pl AS BIGINT), 'p' FROM u
+"""
+
+
 # --------------------------------------------------------------- registry
 
 def build_queries() -> dict:
@@ -855,6 +894,7 @@ def build_queries() -> dict:
         "ocr_word_boxes": q_ocr_word_boxes,
         "format_dates": q_format_dates,
         "quality_filter": q_quality_filter,
+        "extract_html_spans": q_extract_html_spans,
     }
 
 
@@ -893,4 +933,5 @@ def build_oracles() -> dict[str, str]:
         "search_topk": _SEARCH_TOPK_SQL,
         "format_dates": _format_dates_sql(),
         "quality_filter": _quality_filter_sql(),
+        "extract_html_spans": _HTML_SPANS_SQL,
     }
