@@ -382,6 +382,40 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.
 """
 
 
+
+def q_dup_clusters(sf_dir: str):
+    """Duplicate-cluster assignment: union-find over MinHash near-dup pairs
+    (j ≥ 0.8) → every doc labeled with its component's min doc_id."""
+    docs = _docs(sf_dir)
+    pairs = dedup.minhash_neardup_pairs(docs, threshold=0.8)
+    return dedup.dup_clusters(docs, pairs)
+
+
+_DUP_CLUSTERS_SQL = """
+WITH RECURSIVE sh AS (
+  SELECT doc_id,
+         list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                        for i in range(1, len(ws) - 1)]) AS shingles
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents)
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+        len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
+), e AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+), r AS (
+  SELECT doc_id AS id, doc_id AS reach FROM documents
+  UNION
+  SELECT r.id, e.b FROM r JOIN e ON e.a = r.reach
+)
+SELECT id AS doc_id, min(reach) AS cluster_rep FROM r GROUP BY id
+"""
+
+
+# --------------------------------------------------------------- clusters registry marker
+
 # --------------------------------------------------------------- similarity
 
 def _query_vectors(sf_dir: str, n: int = 5) -> dict[int, np.ndarray]:
@@ -895,6 +929,7 @@ def build_queries() -> dict:
         "format_dates": q_format_dates,
         "quality_filter": q_quality_filter,
         "extract_html_spans": q_extract_html_spans,
+        "dup_clusters": q_dup_clusters,
     }
 
 
@@ -934,4 +969,5 @@ def build_oracles() -> dict[str, str]:
         "format_dates": _format_dates_sql(),
         "quality_filter": _quality_filter_sql(),
         "extract_html_spans": _HTML_SPANS_SQL,
+        "dup_clusters": _DUP_CLUSTERS_SQL,
     }

@@ -434,6 +434,48 @@ def simhash_neardup_pairs(ds: "ray.data.Dataset", *, max_hamming: int = 3,
     return pairs.groupby("part").map_groups(distinct_pairs, batch_format="pyarrow")
 
 
+# ---------------------------------------------------------------- clusters
+
+def dup_clusters(ds: "ray.data.Dataset", pairs: "ray.data.Dataset", *,
+                 id_col: str = "doc_id") -> "ray.data.Dataset":
+    """Connected components over near-dup pairs → (id, cluster_rep) with
+    rep = min id in the component (singletons map to themselves).
+
+    The pair list is a SMALL aggregate-like result (near-dups are a tiny
+    fraction of the corpus), so union-find runs on the driver and the resulting
+    rep mapping is broadcast via ``ray.put`` — the corpus itself is only
+    map_batches'ed. At extreme dup rates swap in label-propagation rounds
+    (iterated groupby) — same output contract."""
+    edge_rows = pairs.select_columns(["id_a", "id_b"]).take_all()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for e in edge_rows:
+        a, b = find(int(e["id_a"])), find(int(e["id_b"]))
+        if a != b:
+            if b < a:
+                a, b = b, a
+            parent[b] = a  # min id wins → rep is the component min
+    rep = {x: find(x) for x in list(parent)}
+    ref = ray.put(rep)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        mapping = ray.get(ref)
+        ids = batch[id_col].to_pylist()
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "cluster_rep": pa.array([mapping.get(int(i), int(i)) for i in ids],
+                                    pa.int64()),
+        })
+
+    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # ---------------------------------------------------------------- embeddings
 
 def embedding_neardup_pairs(ds: "ray.data.Dataset", *, threshold: float = 0.95,

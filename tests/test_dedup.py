@@ -108,3 +108,22 @@ def test_embedding_neardup_pairs(ray_session):
     pairs = {(r["id_a"], r["id_b"]) for r in
              dedup.embedding_neardup_pairs(ds, threshold=0.95).take_all()}
     assert pairs == {(0, 4)}
+
+
+def test_dup_clusters_transitive(ray_session):
+    """Union-find clusters: the (0,1),(0,3) triangle-ish component collapses to
+    rep 0 transitively; singletons map to themselves."""
+    import ray.data
+
+    t = docs_table()
+    ds = ray.data.from_arrow(t)
+    pairs = dedup.minhash_neardup_pairs(ds, threshold=0.8, num_partitions=2,
+                                        concurrency=2)
+    got = {r["doc_id"]: r["cluster_rep"]
+           for r in dedup.dup_clusters(ds, pairs).take_all()}
+    # docs 0,1,3 form one component (0-1 near, 0-3 exact) -> rep 0
+    assert got[0] == got[1] == got[3] == 0
+    # docs 2 and 6 are near-dups too (adding 3 words to 18 keeps j = 16/19 ≈ 0.84)
+    assert got[2] == got[6] == 2
+    assert got[4] == got[5] == 4                  # tiny exact dup pair
+    assert dedup.jaccard(t["text"][2].as_py(), t["text"][6].as_py()) >= 0.8
