@@ -27,7 +27,15 @@ def _normalize(batch: pa.Table, mapping: dict[str, str], payload_b64: bool) -> p
     url = pc.cast(col("url", pa.string()), pa.string())
     ts = col("warc_ts", pa.timestamp("us"))
     if pa.types.is_string(ts.type):
-        ts = pc.strptime(ts, format="%Y-%m-%dT%H:%M:%S", unit="us")
+        for fmt in ("%Y-%m-%dT%H:%M:%S", "%Y-%m-%d %H:%M:%S", "%Y-%m-%d"):
+            try:
+                ts = pc.strptime(ts, format=fmt, unit="us")
+                break
+            except pa.ArrowInvalid:
+                continue
+        else:
+            raise ValueError("warc_ts strings match none of the supported formats "
+                             "(ISO seconds, space-separated, date-only)")
     else:
         ts = pc.cast(ts, pa.timestamp("us"))
     raw = col("html", pa.binary())

@@ -32,16 +32,30 @@ import ray.data
 def broadcast_semi_join(ds: "ray.data.Dataset", key_col: str,
                         keys) -> "ray.data.Dataset":
     """Keep rows whose ``key_col`` is in ``keys`` (an iterable collected from the
-    small side). The key set ships to the object store once."""
-    arr = np.unique(np.asarray(list(keys), dtype=np.int64))
-    ref = ray.put(arr)
+    small side). The key set ships to the object store once. Integer keys use a
+    sorted-array binary search; any other type falls back to a hash set."""
+    key_list = list(keys)
+    int_keys = all(isinstance(k, (int, np.integer)) for k in key_list)
+    if int_keys:
+        payload = np.unique(np.asarray(key_list, dtype=np.int64)) if key_list \
+            else np.zeros(0, dtype=np.int64)
+    else:
+        payload = frozenset(key_list)
+    ref = ray.put(payload)
 
     def f(batch: pa.Table) -> pa.Table:
         keyset = ray.get(ref)
-        vals = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        idx = np.searchsorted(keyset, vals)
-        idx[idx >= len(keyset)] = 0
-        mask = keyset[idx] == vals if len(keyset) else np.zeros(len(vals), bool)
+        if isinstance(keyset, np.ndarray):
+            vals = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(keyset) == 0:
+                mask = np.zeros(len(vals), bool)
+            else:
+                idx = np.searchsorted(keyset, vals)
+                idx[idx >= len(keyset)] = 0
+                mask = keyset[idx] == vals
+        else:
+            mask = np.fromiter((v in keyset for v in batch[key_col].to_pylist()),
+                               dtype=bool, count=batch.num_rows)
         return batch.filter(pa.array(mask))
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
@@ -53,6 +67,11 @@ def asof_join_latest(left: "ray.data.Dataset", right: "ray.data.Dataset", *,
                      n_parts: int = 64) -> "ray.data.Dataset":
     """left + (latest right_ts <= left_ts per key) → left columns + ``out_ts``
     (null when no right row qualifies)."""
+
+    for reserved in ("part", "_side"):
+        if reserved in left.schema().names:
+            raise ValueError(f"asof_join_latest: left column {reserved!r} collides "
+                             "with an internal tag column — rename it first")
 
     # carry the full left row through the shuffle; right contributes only (k, t)
     def tag_left_full(batch: pa.Table) -> pa.Table:

@@ -72,3 +72,26 @@ def test_asof_join_keys_split_across_parts(ray_session):
                        left["ts"].to_pylist()):
         cands = [x for kk, x in zip(rk, rt) if kk == k and x <= t]
         assert got[i] == (max(cands) if cands else None), i
+
+
+def test_broadcast_semi_join_string_keys(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    t = pa.table({"k": ["a", "b", "c", "b"], "v": [1, 2, 3, 4]})
+    out = joins.broadcast_semi_join(ray.data.from_arrow(t), "k", ["b", "z"]).take_all()
+    assert sorted((r["k"], r["v"]) for r in out) == [("b", 2), ("b", 4)]
+
+
+def test_asof_join_rejects_reserved_columns(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray.data
+    from datetime import datetime
+
+    t = pa.table({"id": [1], "key": [1], "ts": [datetime(2024, 1, 1)],
+                  "part": [0]})
+    with pytest.raises(ValueError, match="collides"):
+        joins.asof_join_latest(ray.data.from_arrow(t), ray.data.from_arrow(t),
+                               left_key="key", right_key="key",
+                               left_ts="ts", right_ts="ts")
