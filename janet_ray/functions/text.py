@@ -89,24 +89,25 @@ def find_first_date(text: str) -> tuple[int, int, int] | None:
     """First date mentioned in the text → (year, month, day), or None."""
     best: tuple[int, tuple[int, int, int]] | None = None
     for pat_idx, pat in enumerate(_DATE_PATTERNS):
-        m = pat.search(text)
-        if not m:
-            continue
-        g = m.groups()
-        if pat_idx == 0:
-            month = _MONTH_NAMES.get(g[0].lower()) or _MONTH_ABBR.get(g[0][:3].lower())
-            if month is None:
+        # scan ALL candidates per pattern: a word+number hit that fails month
+        # lookup (e.g. "Revision 2 2024") must not mask a real date later on
+        for m in pat.finditer(text):
+            g = m.groups()
+            if pat_idx == 0:
+                month = _MONTH_NAMES.get(g[0].lower()) or _MONTH_ABBR.get(g[0][:3].lower())
+                if month is None:
+                    continue
+                ymd = (int(g[2]), month, int(g[1]))
+            elif pat_idx == 1:
+                ymd = (int(g[0]), int(g[1]), int(g[2]))
+            else:
+                ymd = (int(g[2]), int(g[0]), int(g[1]))
+            y, mo, d = ymd
+            if not (1900 <= y <= 2100 and 1 <= mo <= 12 and 1 <= d <= 31):
                 continue
-            ymd = (int(g[2]), month, int(g[1]))
-        elif pat_idx == 1:
-            ymd = (int(g[0]), int(g[1]), int(g[2]))
-        else:
-            ymd = (int(g[2]), int(g[0]), int(g[1]))
-        y, mo, d = ymd
-        if not (1900 <= y <= 2100 and 1 <= mo <= 12 and 1 <= d <= 31):
-            continue
-        if best is None or m.start() < best[0]:
-            best = (m.start(), ymd)
+            if best is None or m.start() < best[0]:
+                best = (m.start(), ymd)
+            break  # first VALID match of this pattern is its earliest
     return best[1] if best else None
 
 

@@ -62,7 +62,9 @@ def run_partitioned(
 
     done_this_run = 0
     for pid, part_files in enumerate(parts):
-        if resume and mf.is_complete(out_dir, pid):
+        if resume and mf.is_complete(
+                out_dir, pid,
+                expected_files=[os.path.basename(f) for f in part_files]):
             continue
         if fail_after_partitions is not None and done_this_run >= fail_after_partitions:
             raise InjectedFailure(f"injected failure before partition {pid}")

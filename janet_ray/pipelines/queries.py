@@ -526,15 +526,34 @@ FROM documents
 
 def q_dedupe_last_wins_events(sf_dir: str):
     """J4 keyed last-wins upsert (cache.ts:44-63) over the events stream: latest
-    row per (user_id, event_type)."""
+    row per (user_id, event_type). Coarse 64-way hash partition + vectorized
+    run detection — NEVER one Python call per key (the repo-wide shuffle rule)."""
     ds = _read(sf_dir, "events", columns=["event_id", "user_id", "event_type", "ts", "value"])
+    n_parts = 64
 
-    def latest(group: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(group, sort_keys=[("ts", "descending"),
-                                                ("event_id", "descending")])[0].as_py()
-        return group.slice(idx, 1)
+    def add_part(batch: pa.Table) -> pa.Table:
+        import zlib
 
-    return ds.groupby(["user_id", "event_type"]).map_groups(latest, batch_format="pyarrow")
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # stable across worker processes (builtin hash() is salted per process
+        # and would scatter one key over several partitions)
+        et = np.array([zlib.crc32(s.encode()) for s in batch["event_type"].to_pylist()],
+                      dtype=np.int64)
+        part = ((uid * 1000003 + et) % n_parts).astype(np.int32)
+        return batch.append_column("part", pa.array(part))
+
+    def latest_per_key(part: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(part, sort_keys=[
+            ("user_id", "ascending"), ("event_type", "ascending"),
+            ("ts", "descending"), ("event_id", "descending")])
+        t = part.take(idx)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        et = np.asarray(t["event_type"].to_pylist(), dtype=object)
+        first = np.concatenate([[True], (uid[1:] != uid[:-1]) | (et[1:] != et[:-1])])
+        return t.filter(pa.array(first)).drop_columns(["part"])
+
+    withp = ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+    return withp.groupby("part").map_groups(latest_per_key, batch_format="pyarrow")
 
 
 _LAST_WINS_SQL = """

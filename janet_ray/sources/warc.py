@@ -102,8 +102,17 @@ def parse_warc_bytes(data: bytes) -> tuple[list[dict], int]:
 def warc_batch_to_pages(batch: pa.Table) -> pa.Table:
     """map_batches body over read_binary_files output (columns: bytes, path)."""
     urls, tss, payloads, skips = [], [], [], []
-    for data in batch["bytes"].to_pylist():
+    paths = (batch["path"].to_pylist() if "path" in batch.column_names
+             else [""] * batch.num_rows)
+    for data, path in zip(batch["bytes"].to_pylist(), paths):
         rows, skipped = parse_warc_bytes(data or b"")
+        if not rows and (skipped or data):
+            # a fully-corrupt / non-WARC segment would otherwise vanish from the
+            # audit — surface it as one error-as-data row (empty payload →
+            # route=error downstream)
+            skipped = max(skipped, 1)
+            rows = [{"url": f"warc-error://{path or 'unknown-segment'}",
+                     "warc_ts": datetime(1970, 1, 1), "html": b""}]
         for r in rows:
             urls.append(r["url"])
             tss.append(r["warc_ts"])
@@ -126,6 +135,7 @@ def read_warc(paths, **read_kwargs) -> "ray.data.Dataset":
     """WARC file(s)/dir → pages Dataset (+ ``warc_skipped`` audit column)."""
     import ray.data
 
+    read_kwargs.setdefault("include_paths", True)  # names the audit rows
     files = ray.data.read_binary_files(paths, **read_kwargs)
     return files.map_batches(warc_batch_to_pages, batch_format="pyarrow",
                              zero_copy_batch=True)

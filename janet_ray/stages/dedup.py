@@ -91,12 +91,14 @@ def word_hashes(text: str) -> np.ndarray:
 
 
 def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """Distinct 64-bit hashes of word k-grams (vectorized combine of word hashes)."""
+    """Distinct 64-bit hashes of word k-grams (vectorized combine of word
+    hashes). Docs with fewer than k words have NO shingles — they can never be
+    near-dup candidates (matching the SQL oracle's k-gram comprehension, and
+    keeping token-less docs out of a single giant LSH bucket at scale; exact
+    dedup still catches identical short docs)."""
     wh = word_hashes(text)
-    if len(wh) == 0:
-        return np.zeros(0, dtype=np.uint64)
     if len(wh) < k:
-        return np.unique(_splitmix64(wh.sum(dtype=np.uint64)[None]))
+        return np.zeros(0, dtype=np.uint64)
     with np.errstate(over="ignore"):
         acc = np.zeros(len(wh) - k + 1, dtype=np.uint64)
         for i in range(k):
@@ -105,9 +107,11 @@ def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
 
 
 def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
+    """Exact word-k-gram jaccard; shingle-less docs similarity is DEFINED 0.0
+    (no evidence of duplication — SQL-oracle NULL semantics)."""
     sa, sb = shingle_hashes(text_a, k), shingle_hashes(text_b, k)
-    if len(sa) == 0 and len(sb) == 0:
-        return 1.0
+    if len(sa) == 0 or len(sb) == 0:
+        return 0.0
     inter = np.intersect1d(sa, sb, assume_unique=True).size
     union = sa.size + sb.size - inter
     return inter / union if union else 0.0
@@ -165,7 +169,10 @@ class MinHashBandStage:
         texts = batch[self.text_col].to_pylist()
         out_id, out_band, out_key = [], [], []
         for i, t in zip(ids, texts):
-            keys = band_keys(self.mh.signature(shingle_hashes(t or "", self.k)), self.bands)
+            sh = shingle_hashes(t or "", self.k)
+            if sh.size == 0:
+                continue  # shingle-less docs emit no bands (see shingle_hashes)
+            keys = band_keys(self.mh.signature(sh), self.bands)
             out_id.extend([i] * self.bands)
             out_band.extend(range(self.bands))
             out_key.extend(keys.astype(np.int64).tolist())  # int64 view for Arrow
@@ -270,12 +277,11 @@ def minhash_neardup_pairs(ds: "ray.data.Dataset", *, threshold: float = 0.8,
     docs = ds.select_columns([id_col, text_col])
     j1 = cand.join(docs, "inner", num_partitions, on=("id_a",), right_on=(id_col,),
                    right_suffix="_ra")
-    ta = text_col if text_col in ("text",) else text_col
-    j1 = j1.map_batches(lambda t: _rename(t, {ta: "text_a"}),
+    j1 = j1.map_batches(lambda t: _rename(t, {text_col: "text_a"}),
                         batch_format="pyarrow", zero_copy_batch=True)
     j2 = j1.join(docs, "inner", num_partitions, on=("id_b",), right_on=(id_col,),
                  right_suffix="_rb")
-    j2 = j2.map_batches(lambda t: _rename(t, {ta: "text_b"}),
+    j2 = j2.map_batches(lambda t: _rename(t, {text_col: "text_b"}),
                         batch_format="pyarrow", zero_copy_batch=True)
 
     def verify(batch: pa.Table) -> pa.Table:
@@ -399,8 +405,12 @@ def simhash_neardup_pairs(ds: "ray.data.Dataset", *, max_hamming: int = 3,
             if len(m_ids) < 2:
                 continue
             if len(m_ids) > max_bucket:
-                m_ids, m_sh = m_ids[:max_bucket], m_sh[:max_bucket]
-            iu = np.triu_indices(len(m_ids), 1)
+                # star pairing against the bucket min — linear, keeps cluster
+                # connectivity transitively (same fallback as the minhash path)
+                iu = (np.zeros(len(m_ids) - 1, dtype=np.int64),
+                      np.arange(1, len(m_ids), dtype=np.int64))
+            else:
+                iu = np.triu_indices(len(m_ids), 1)
             xor = m_sh[iu[0]] ^ m_sh[iu[1]]
             ham = np.zeros(len(xor), dtype=np.int64)
             v = xor.copy()

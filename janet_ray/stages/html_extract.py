@@ -44,6 +44,10 @@ RAWTEXT_TAGS = frozenset({"script", "style", "noscript", "template", "textarea",
 
 _WS_RE = re.compile(r"\s+")
 _TAGNAME_RE = re.compile(r"[a-zA-Z][a-zA-Z0-9:-]*")
+# case-insensitive close-tag finders for rawtext elements — compiled once; a
+# naive html_str.lower().find() would copy the WHOLE document per <script> tag
+_RAWTEXT_CLOSE_RE = {t: re.compile("</" + t, re.IGNORECASE) for t in
+                     ("script", "style", "noscript", "template", "textarea", "svg")}
 
 
 class Block:
@@ -143,10 +147,10 @@ def tokenize_blocks(html_str: str) -> list[Block]:
             break  # unterminated tag: drop the tail
         i = end
         if not closing and tag in RAWTEXT_TAGS:
-            close = html_str.lower().find(f"</{tag}", i)
-            if close == -1:
+            cm = _RAWTEXT_CLOSE_RE[tag].search(html_str, i)
+            if cm is None:
                 break
-            i = _find_tag_end(html_str, close)
+            i = _find_tag_end(html_str, cm.start())
             if i == -1:
                 break
             continue

@@ -29,7 +29,9 @@ LABEL_VOCAB = [
 # Account-holder vocabulary (pdf-metadata.ts "Try and use the following account holders")
 HOLDER_VOCAB = ["Jason", "Diana"]
 
-_MONEY_RE = re.compile(r"\$\s?\d{1,3}(?:,\d{3})*(?:\.\d{2})?")
+# \d+ then optional comma groups: matches both "$1,234.56" and plain "$1234.56"
+# (the old \d{1,3} head silently truncated uncomma'd amounts >= $1000)
+_MONEY_RE = re.compile(r"\$\s?\d+(?:,\d{3})*(?:\.\d{2})?")
 _ACCOUNT_RE = re.compile(
     r"(?i:\bAccount|\bPolicy|\bReference|\bInvoice)(?i:\s*(?:No\.?|Number|#)?)\s*:?\s*"
     r"((?=[A-Z0-9-]*\d)[A-Z0-9][A-Z0-9-]{3,})"

@@ -97,18 +97,10 @@ DOC_TYPES: list[str] = [
     "Summary",
 ]
 
-_ORG_RES: list[tuple[re.Pattern, str]] = [
-    (re.compile(re.escape(org), re.IGNORECASE), org) for org in ORG_VOCAB
-]
-_TYPE_RES: list[tuple[re.Pattern, str]] = [
-    (re.compile(r"(?<![A-Za-z])" + re.escape(t) + r"(?![A-Za-z])", re.IGNORECASE), t)
-    for t in DOC_TYPES
-]
-
 # Single-scan alternations (hot path): regex alternation is leftmost-position
-# first, then first-listed alternative — exactly _find_first's earliest-start /
-# first-in-vocab tie-break, at 1/28th the scans. Canonical casing recovered via
-# a lowercase lookup (vocab entries are case-insensitively unique).
+# first, then first-listed alternative — the earliest-start / first-in-vocab
+# tie-break, in one scan instead of one per vocab entry. Canonical casing
+# recovered via a lowercase lookup (vocab entries are case-insensitively unique).
 _ORG_COMBINED = re.compile("|".join(re.escape(o) for o in ORG_VOCAB), re.IGNORECASE)
 _ORG_CANON = {o.lower(): o for o in ORG_VOCAB}
 _TYPE_COMBINED = re.compile(
@@ -126,6 +118,8 @@ def find_org(text: str) -> str | None:
 def find_doc_type(text: str) -> str | None:
     m = _TYPE_COMBINED.search(text)
     return _TYPE_CANON[m.group(0).lower()] if m else None
+
+
 # Document number: "No. 612266004", "Number 612266004", "#612266004",
 # "Policy Number 612266004". The captured token must contain a digit (so label words
 # like "Number" are never captured) and stays case-sensitive while the prefix
@@ -134,15 +128,6 @@ _DOCNUM_RE = re.compile(
     r"(?:(?i:\bNo\.?|\bNumber|\bPolicy|\bAccount|\bInvoice|\bReference)|#)"
     r"(?i:\s*(?:No\.?|Number|#)?)\s*:?\s*((?=[A-Z0-9-]*\d)[A-Z0-9][A-Z0-9-]{3,})"
 )
-
-
-def _find_first(text: str, patterns: list[tuple[re.Pattern, str]]) -> str | None:
-    best: tuple[int, str] | None = None
-    for pat, canonical in patterns:
-        m = pat.search(text)
-        if m and (best is None or m.start() < best[0]):
-            best = (m.start(), canonical)
-    return best[1] if best else None
 
 
 def derive_filename(url: str, text: str | None) -> str:

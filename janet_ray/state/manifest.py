@@ -74,9 +74,26 @@ def load_manifest(out_dir: str, pid: int) -> PartitionManifest | None:
         return None  # torn write → treat as not-done; the data dir rename is atomic
 
 
-def is_complete(out_dir: str, pid: int) -> bool:
+class PartitionPlanChanged(RuntimeError):
+    """Resume attempted with a different partition plan than the manifests were
+    written under — silently skipping by pid would drop/duplicate input files."""
+
+
+def is_complete(out_dir: str, pid: int,
+                expected_files: list[str] | None = None) -> bool:
     m = load_manifest(out_dir, pid)
-    return m is not None and m.status == "complete" and os.path.isdir(partition_dir(out_dir, pid))
+    done = (m is not None and m.status == "complete"
+            and os.path.isdir(partition_dir(out_dir, pid)))
+    if done and expected_files is not None and m.input_files != expected_files:
+        raise PartitionPlanChanged(
+            f"partition {pid}: manifest covers {len(m.input_files)} file(s) "
+            f"{m.input_files[:2]}… but the current plan assigns "
+            f"{len(expected_files)} file(s) {expected_files[:2]}…. Resume "
+            "requires the same input file list and --partitions as the "
+            "original run (partition ids are a pure function of both); "
+            "use a fresh out_dir or the original parameters."
+        )
+    return done
 
 
 def write_manifest(out_dir: str, m: PartitionManifest) -> None:

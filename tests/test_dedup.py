@@ -27,7 +27,11 @@ def test_jaccard_exact():
     j = dedup.jaccard(BASE, NEAR)
     assert 0.8 < j < 1.0
     assert dedup.jaccard(BASE, OTHER) < 0.05
-    assert dedup.jaccard("", "") == 1.0
+    # shingle-less docs (< k words) are DEFINED non-duplicates (oracle parity:
+    # the SQL k-gram comprehension yields no shingles either)
+    assert dedup.jaccard("", "") == 0.0
+    assert dedup.jaccard("tiny", "tiny") == 0.0
+    assert dedup.jaccard("two words", "two words") == 0.0
 
 
 def test_minhash_signature_similarity_estimates_jaccard():
@@ -125,5 +129,7 @@ def test_dup_clusters_transitive(ray_session):
     assert got[0] == got[1] == got[3] == 0
     # docs 2 and 6 are near-dups too (adding 3 words to 18 keeps j = 16/19 ≈ 0.84)
     assert got[2] == got[6] == 2
-    assert got[4] == got[5] == 4                  # tiny exact dup pair
+    # 'tiny' docs have < 3 words → no shingles → NOT near-dups (exact dedup
+    # would still catch them); they stay singletons here
+    assert got[4] == 4 and got[5] == 5
     assert dedup.jaccard(t["text"][2].as_py(), t["text"][6].as_py()) >= 0.8

@@ -76,7 +76,10 @@ def test_jaccard_bounds_and_symmetry(a, b):
     j = dedup.jaccard(a, b)
     assert 0.0 <= j <= 1.0
     assert j == dedup.jaccard(b, a)
-    assert dedup.jaccard(a, a) == 1.0
+    # self-similarity is 1.0 whenever the doc has shingles at all; shingle-less
+    # docs are defined non-duplicates of everything, themselves included
+    expected_self = 1.0 if dedup.shingle_hashes(a).size else 0.0
+    assert dedup.jaccard(a, a) == expected_self
 
 
 def test_extract_stage_junk_batch_is_error_rows(ray_session):
