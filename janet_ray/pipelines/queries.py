@@ -416,6 +416,22 @@ SELECT id AS doc_id, min(reach) AS cluster_rep FROM r GROUP BY id
 
 # --------------------------------------------------------------- clusters registry marker
 
+
+def q_dup_clusters_lp(sf_dir: str):
+    """Distributed label-propagation connected components (the scale path) —
+    must equal the union-find result, so it shares the recursive-CTE oracle."""
+    docs = _docs(sf_dir)
+    pairs = dedup.minhash_neardup_pairs(docs, threshold=0.8)
+    return dedup.dup_clusters_distributed(docs, pairs)
+
+
+def q_embedding_neardup_ivf(sf_dir: str):
+    """IVF-partitioned embedding near-dup (approximate scale path; recall vs
+    the exact broadcast operator asserted in tests) — rows-only check."""
+    return dedup.embedding_neardup_ivf(_read(sf_dir, "embeddings"),
+                                       threshold=0.4, n_cells=8)
+
+
 # --------------------------------------------------------------- similarity
 
 def _query_vectors(sf_dir: str, n: int = 5) -> dict[int, np.ndarray]:
@@ -949,6 +965,8 @@ def build_queries() -> dict:
         "quality_filter": q_quality_filter,
         "extract_html_spans": q_extract_html_spans,
         "dup_clusters": q_dup_clusters,
+        "dup_clusters_lp": q_dup_clusters_lp,
+        "embedding_neardup_ivf": q_embedding_neardup_ivf,
     }
 
 
@@ -989,4 +1007,5 @@ def build_oracles() -> dict[str, str]:
         "quality_filter": _quality_filter_sql(),
         "extract_html_spans": _HTML_SPANS_SQL,
         "dup_clusters": _DUP_CLUSTERS_SQL,
+        "dup_clusters_lp": _DUP_CLUSTERS_SQL,
     }

@@ -486,6 +486,58 @@ def dup_clusters(ds: "ray.data.Dataset", pairs: "ray.data.Dataset", *,
     return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def dup_clusters_distributed(ds: "ray.data.Dataset", pairs: "ray.data.Dataset", *,
+                             id_col: str = "doc_id", max_iters: int = 50,
+                             num_partitions: int = 8) -> "ray.data.Dataset":
+    """Connected components via distributed min-label propagation — the scale
+    path promised by ``dup_clusters`` for dup graphs too large to collect.
+
+    Each round: every node sends its current label to its neighbors (one hash
+    join edges⋈labels), then labels reduce by ``min`` (Ray's vectorized
+    groupby-aggregate — no per-key Python). Converges in O(component diameter)
+    rounds; near-dup clusters are shallow (dup cliques), so 2–3 rounds typical.
+    Convergence is detected by the global label sum reaching a fixpoint.
+
+    Output contract matches dup_clusters: (id, cluster_rep), rep = component min.
+    """
+    from ray.data.aggregate import Min, Sum
+
+    edges = pairs.select_columns(["id_a", "id_b"])
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": pa.chunked_array([t["id_a"], t["id_b"]]),
+            "dst": pa.chunked_array([t["id_b"], t["id_a"]]),
+        })
+
+    e = edges.map_batches(both_dirs, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+
+    labels = ds.map_batches(
+        lambda t: pa.table({"id": pc.cast(t[id_col], pa.int64()),
+                            "label": pc.cast(t[id_col], pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()
+    prev_sum = None
+    for _ in range(max_iters):
+        msgs = e.join(labels, "inner", num_partitions, on=("src",), right_on=("id",))
+        msgs = msgs.map_batches(
+            lambda t: pa.table({"id": t["dst"], "label": t["label"]}),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        labels = labels.union(msgs).groupby("id").aggregate(
+            Min("label", alias_name="label")
+        ).materialize()
+        cur = labels.aggregate(Sum("label", alias_name="s"))["s"]
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+    return labels.map_batches(
+        lambda t: pa.table({id_col: t["id"], "cluster_rep": t["label"]}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
 # ---------------------------------------------------------------- embeddings
 
 def embedding_neardup_pairs(ds: "ray.data.Dataset", *, threshold: float = 0.95,
@@ -520,3 +572,37 @@ def embedding_neardup_pairs(ds: "ray.data.Dataset", *, threshold: float = 0.95,
                          "id_b": pa.array(out_b, pa.int64())})
 
     return ds.map_batches(pairs_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def embedding_neardup_ivf(ds: "ray.data.Dataset", *, threshold: float = 0.95,
+                          n_cells: int = 16, id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          sample_size: int = 4096) -> "ray.data.Dataset":
+    """IVF-partitioned near-dup pairs — the 10^12-scale path: vectors are
+    hash-partitioned by nearest-centroid cell (ONE shuffle), and pairwise
+    similarity is computed only WITHIN a cell (vectorized matmul per cell).
+
+    Approximate by construction: a pair straddling a cell boundary is missed —
+    acceptable for near-dup thresholds ≥ ~0.9, where the two vectors are nearly
+    parallel and almost surely share a nearest centroid. Recall vs the exact
+    broadcast operator is asserted in tests."""
+    from janet_ray.stages.similarity import ivf_assign, kmeans_centroids
+
+    sample_tbl = ds.select_columns([vec_col]).limit(sample_size).take_all()
+    sample = np.asarray([r[vec_col] for r in sample_tbl], dtype=np.float64)
+    cents = kmeans_centroids(sample, n_cells)
+    assigned = ivf_assign(ds, cents, id_col=id_col, vec_col=vec_col)
+
+    def cell_pairs(group: pa.Table) -> pa.Table:
+        ids = np.asarray(group[id_col].to_pylist(), dtype=np.int64)
+        M = np.asarray(group[vec_col].to_pylist(), dtype=np.float64)
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        sims = M @ M.T
+        iu = np.triu_indices(len(ids), 1)
+        hit = sims[iu] >= threshold
+        a, b = ids[iu[0][hit]], ids[iu[1][hit]]
+        swap = a > b
+        a[swap], b[swap] = b[swap], a[swap]
+        return pa.table({"id_a": pa.array(a), "id_b": pa.array(b)})
+
+    return assigned.groupby("cell").map_groups(cell_pairs, batch_format="pyarrow")

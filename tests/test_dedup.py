@@ -133,3 +133,51 @@ def test_dup_clusters_transitive(ray_session):
     # would still catch them); they stay singletons here
     assert got[4] == 4 and got[5] == 5
     assert dedup.jaccard(t["text"][2].as_py(), t["text"][6].as_py()) >= 0.8
+
+
+def test_dup_clusters_distributed_equals_unionfind(ray_session):
+    """Label propagation (scale path) must produce the same components as the
+    driver-side union-find, including on a chained component A-B-C-D."""
+    import random
+
+    import ray.data
+
+    rng = random.Random(5)
+    n = 60
+    edges = [(i, i + 1) for i in range(0, 12, 1)]          # chain 0..12
+    edges += [(rng.randrange(20, n), rng.randrange(20, n)) for _ in range(15)]
+    edges = [(min(a, b), max(a, b)) for a, b in edges if a != b]
+    ids = pa.table({"doc_id": list(range(n))})
+    pairs = pa.table({"id_a": [a for a, _ in edges], "id_b": [b for _, b in edges]})
+    ds = ray.data.from_arrow(ids)
+    pds = ray.data.from_arrow(pairs)
+    uf = {r["doc_id"]: r["cluster_rep"]
+          for r in dedup.dup_clusters(ds, pds).take_all()}
+    lp = {r["doc_id"]: r["cluster_rep"]
+          for r in dedup.dup_clusters_distributed(ds, pds).take_all()}
+    assert uf == lp
+    assert lp[12] == 0  # chain collapses to 0 transitively
+
+
+def test_embedding_neardup_ivf_recall(ray_session):
+    """IVF-partitioned near-dup finds all planted high-sim pairs (vectors that
+    are nearly parallel share a nearest centroid)."""
+    import ray.data
+
+    rng = np.random.RandomState(9)
+    base = rng.randn(100, 24)
+    planted = base[:10] + 0.001 * rng.randn(10, 24)   # pairs (i, 100+i), sim≈1
+    vecs = np.vstack([base, planted])
+    t = pa.table({
+        "vec_id": list(range(len(vecs))),
+        "embedding": [v.astype(np.float32).tolist() for v in vecs],
+    })
+    ds = ray.data.from_arrow(t)
+    exact = {(r["id_a"], r["id_b"]) for r in
+             dedup.embedding_neardup_pairs(ds, threshold=0.99).take_all()}
+    ivf = {(r["id_a"], r["id_b"]) for r in
+           dedup.embedding_neardup_ivf(ds, threshold=0.99, n_cells=8).take_all()}
+    want = {(i, 100 + i) for i in range(10)}
+    assert want <= exact
+    recall = len(ivf & exact) / len(exact)
+    assert recall == 1.0, (recall, exact - ivf)
