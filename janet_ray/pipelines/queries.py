@@ -926,6 +926,116 @@ SELECT url, CAST(1 AS INTEGER), CAST(tl + 2 AS BIGINT),
 """
 
 
+
+def q_events_sessions(sf_dir: str):
+    """Sessionization (gap-based session windows): per user, a new session
+    starts when the gap to the previous event exceeds 30 minutes. Coarse
+    partition on user hash; session boundaries detected vectorized."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    n_parts = 64
+    GAP_US = 30 * 60 * 1_000_000
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column("part", pa.array((uid % n_parts).astype(np.int32)))
+
+    def sessions(part: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(part, sort_keys=[("user_id", "ascending"),
+                                               ("ts", "ascending"),
+                                               ("event_id", "ascending")])
+        t = part.take(idx)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].cast(pa.timestamp("us")).to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        new_user = np.concatenate([[True], uid[1:] != uid[:-1]])
+        gap = np.concatenate([[0], ts[1:] - ts[:-1]])
+        new_sess = new_user | (gap > GAP_US)
+        sess_id = np.cumsum(new_sess) - 1  # global within partition
+        cents = _cents(t["value"]).to_numpy(zero_copy_only=False)
+        tbl = pa.table({
+            "user_id": pa.array(uid),
+            "sess": pa.array(sess_id),
+            "ts_us": pa.array(ts),
+            "cents": pa.array(cents),
+            "one": pa.array(np.ones(len(uid), dtype=np.int64)),
+        })
+        agg = tbl.group_by(["user_id", "sess"]).aggregate(
+            [("ts_us", "min"), ("cents", "sum"), ("one", "sum")])
+        return pa.table({
+            "user_id": agg["user_id"],
+            "session_start": pc.cast(agg["ts_us_min"], pa.timestamp("us")),
+            "n_events": pc.cast(agg["one_sum"], pa.int64()),
+            "sum_value_cents": pc.cast(agg["cents_sum"], pa.int64()),
+        })
+
+    withp = ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+    return withp.groupby("part").map_groups(sessions, batch_format="pyarrow")
+
+
+_SESSIONS_SQL = f"""
+WITH marked AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sess
+  FROM marked
+)
+SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+       sum({_CENTS_SQL.format(expr='value', scale=100)}) AS sum_value_cents
+FROM numbered GROUP BY user_id, sess
+"""
+
+
+def q_events_sliding(sf_dir: str):
+    """Sliding-window aggregate: 1-hour windows every 30 minutes — each event
+    belongs to exactly two windows (flat window assignment per batch, then the
+    partial-agg + small-groupby pattern)."""
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+    STEP_US = 30 * 60 * 1_000_000
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.timestamp("us")).to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        anchor = (ts // STEP_US) * STEP_US
+        cents = _cents(batch["value"]).to_numpy(zero_copy_only=False)
+        et = batch["event_type"].to_pylist()
+        starts = np.concatenate([anchor, anchor - STEP_US])
+        tbl = pa.table({
+            "window_start": pc.cast(pa.array(starts), pa.timestamp("us")),
+            "event_type": pa.array(et + et, pa.string()),
+            "value_cents": pa.array(np.concatenate([cents, cents])),
+            "one": pa.array(np.ones(2 * len(ts), dtype=np.int64)),
+        })
+        return tbl.group_by(["window_start", "event_type"]).aggregate(
+            [("value_cents", "sum"), ("one", "sum")])
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["window_start", "event_type"])
+        .aggregate(Sum("value_cents_sum", alias_name="sum_value_cents"),
+                   Sum("one_sum", alias_name="n_events"))
+    )
+
+
+_SLIDING_SQL = f"""
+WITH assigned AS (
+  SELECT to_timestamp(floor(epoch(ts) / 1800) * 1800)::TIMESTAMP AS window_start,
+         event_type, value FROM events
+  UNION ALL
+  SELECT to_timestamp(floor(epoch(ts) / 1800) * 1800 - 1800)::TIMESTAMP,
+         event_type, value FROM events
+)
+SELECT window_start, event_type,
+       sum({_CENTS_SQL.format(expr='value', scale=100)}) AS sum_value_cents,
+       count(*) AS n_events
+FROM assigned GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------- registry
 
 def build_queries() -> dict:
@@ -967,6 +1077,8 @@ def build_queries() -> dict:
         "dup_clusters": q_dup_clusters,
         "dup_clusters_lp": q_dup_clusters_lp,
         "embedding_neardup_ivf": q_embedding_neardup_ivf,
+        "events_sessions": q_events_sessions,
+        "events_sliding": q_events_sliding,
     }
 
 
@@ -1008,4 +1120,6 @@ def build_oracles() -> dict[str, str]:
         "extract_html_spans": _HTML_SPANS_SQL,
         "dup_clusters": _DUP_CLUSTERS_SQL,
         "dup_clusters_lp": _DUP_CLUSTERS_SQL,
+        "events_sessions": _SESSIONS_SQL,
+        "events_sliding": _SLIDING_SQL,
     }
