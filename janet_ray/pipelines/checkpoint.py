@@ -36,6 +36,41 @@ class InjectedFailure(RuntimeError):
     """Raised by run_partitioned(fail_after_partitions=k) — the kill-resume test hook."""
 
 
+def _prewarm_fsspec_http() -> None:
+    """Make Ray's lazy ``fsspec.implementations.http`` import deterministic
+    before spawning partition threads.
+
+    Ray's path resolution tries this import on EVERY read/write; when aiohttp
+    is absent the import fails and is retried forever, so two threads racing
+    the first half of the import observe a partially-initialized module and
+    die with a bare ImportError that escapes Ray's ModuleNotFoundError guard.
+    aiohttp/yarl are only used at HTTP *runtime* (never at class definition),
+    so a momentary stub lets the fsspec module import once and stay cached in
+    sys.modules — after which the per-call import is a race-free dict hit. The
+    stubs are removed again so an unrelated ``import aiohttp`` still fails
+    loudly."""
+    import sys
+    import types
+
+    try:
+        import fsspec.implementations.http  # noqa: F401
+        return  # real deps present — nothing to do
+    except ImportError:
+        pass
+    stubbed = []
+    for name in ("aiohttp", "yarl"):
+        if name not in sys.modules:
+            sys.modules[name] = types.ModuleType(name)
+            stubbed.append(name)
+    try:
+        import fsspec.implementations.http  # noqa: F401
+    except Exception:
+        pass
+    finally:
+        for name in stubbed:
+            sys.modules.pop(name, None)
+
+
 def run_partitioned(
     input_dir: str,
     out_dir: str,
@@ -46,12 +81,20 @@ def run_partitioned(
     batch_size: int | None = None,
     concurrency=None,
     pipeline=None,
+    max_concurrent_partitions: int = 1,
 ) -> dict:
     """Run a pipeline partition-by-partition with manifests + resume.
 
     ``pipeline``: ``Dataset -> Dataset`` builder; defaults to the flagship
     extraction pipeline. Any analysis pipeline (dedup, textstats, …) gets the
     same checkpoint/resume semantics by passing its builder here.
+
+    ``max_concurrent_partitions > 1`` overlaps partitions from driver threads
+    (Ray datasets execute concurrently and share the cluster): stragglers stop
+    serializing the run, at the cost of manifest COMPLETION order no longer
+    being partition order — safe, since manifests are per-partition atomic
+    files and resume checks each pid independently. The failure-injection hook
+    is sequential-mode only (deterministic kill point for tests).
 
     Returns the run summary dict (also persisted to _manifest/summary.json)."""
     files = sorted(glob.glob(os.path.join(input_dir, "*.parquet")))
@@ -60,24 +103,21 @@ def run_partitioned(
     parts = mf.plan_partitions(files, num_partitions)
     os.makedirs(out_dir, exist_ok=True)
 
-    done_this_run = 0
-    for pid, part_files in enumerate(parts):
-        if resume and mf.is_complete(
-                out_dir, pid,
-                expected_files=[os.path.basename(f) for f in part_files]):
-            continue
-        if fail_after_partitions is not None and done_this_run >= fail_after_partitions:
-            raise InjectedFailure(f"injected failure before partition {pid}")
+    def run_one(pid: int, part_files: list[str],
+                concurrency_override=None) -> None:
         started = time.time()
-        m = mf.PartitionManifest(partition_id=pid, input_files=[os.path.basename(f) for f in part_files],
-                                 started_at=started)
+        m = mf.PartitionManifest(
+            partition_id=pid,
+            input_files=[os.path.basename(f) for f in part_files],
+            started_at=started)
         try:
             ds = ray.data.read_parquet(part_files)
             if pipeline is not None:
                 out = pipeline(ds)
             else:
                 out = build_extract_pipeline(
-                    ds, batch_size=batch_size, concurrency=concurrency,
+                    ds, batch_size=batch_size,
+                    concurrency=concurrency_override or concurrency,
                     dedupe=True, sort=True,
                 )
             tmp_dir = os.path.join(out_dir, f"_tmp-part-{pid:05d}")
@@ -85,7 +125,6 @@ def run_partitioned(
                 import shutil
 
                 shutil.rmtree(tmp_dir)
-            # drop the heavy text for byte accounting AFTER write; write full table
             out.write_parquet(tmp_dir)
             mf.commit_partition_dir(out_dir, pid, tmp_dir)
 
@@ -112,8 +151,6 @@ def run_partitioned(
             m.status, m.n_rows, m.n_success, m.routes, m.bytes_out = (
                 "complete", n_rows, n_success, routes, bytes_out,
             )
-        except InjectedFailure:
-            raise
         except Exception as e:
             m.status, m.error = "failed", f"{type(e).__name__}: {e}"
             m.finished_at = time.time()
@@ -123,7 +160,39 @@ def run_partitioned(
         m.finished_at = time.time()
         m.wall_s = m.finished_at - started
         mf.write_manifest(out_dir, m)
-        done_this_run += 1
+
+    todo: list[tuple[int, list[str]]] = []
+    for pid, part_files in enumerate(parts):
+        if resume and mf.is_complete(
+                out_dir, pid,
+                expected_files=[os.path.basename(f) for f in part_files]):
+            continue
+        todo.append((pid, part_files))
+
+    if max_concurrent_partitions <= 1 or fail_after_partitions is not None:
+        done_this_run = 0
+        for pid, part_files in todo:
+            if fail_after_partitions is not None and done_this_run >= fail_after_partitions:
+                raise InjectedFailure(f"injected failure before partition {pid}")
+            run_one(pid, part_files)
+            done_this_run += 1
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _prewarm_fsspec_http()
+        # Resource-deadlock guard: N concurrent extraction pipelines each pin
+        # >= 1 pool actor; without headroom for their read/write tasks the
+        # whole run wedges (observed on a 4-cpu cluster with 4 threads). Cap
+        # the thread count at cpus/2 and split the pool budget per thread.
+        total_cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+        n_threads = min(max_concurrent_partitions, max(1, total_cpus // 2))
+        per_pool = max(1, (total_cpus - n_threads) // n_threads)
+        conc_override = (1, per_pool) if pipeline is None and concurrency is None else None
+        with ThreadPoolExecutor(max_workers=n_threads) as ex:
+            futures = [ex.submit(run_one, pid, pf, conc_override)
+                       for pid, pf in todo]
+            for f in futures:
+                f.result()  # re-raise the first failure
 
     return mf.summarize(out_dir, len(parts))
 

@@ -53,3 +53,24 @@ def test_skew_split_mode_same_results(ray_session, small_corpus):
     a = run(skew_split=False)
     b = run(skew_split=True, skew_threshold=2048, giant_batch_size=2)
     assert a == b and len(a) > 0
+
+
+def test_concurrent_partitions_same_output(ray_session, small_corpus, tmp_path):
+    """max_concurrent_partitions=4 produces byte-identical partition contents
+    to the sequential run (manifests per-partition atomic; order-free)."""
+    import pyarrow as pq_mod
+
+    seq_out = str(tmp_path / "seq")
+    con_out = str(tmp_path / "con")
+    pages = os.path.join(small_corpus, "pages")
+    s1 = run_partitioned(pages, seq_out, num_partitions=4)
+    s2 = run_partitioned(pages, con_out, num_partitions=4,
+                         max_concurrent_partitions=4)
+    assert s1["n_rows"] == s2["n_rows"] and s1["complete"] == s2["complete"] == 4
+    for pid in range(4):
+        a = sorted(glob.glob(os.path.join(seq_out, f"part-{pid:05d}", "*.parquet")))
+        b = sorted(glob.glob(os.path.join(con_out, f"part-{pid:05d}", "*.parquet")))
+        ta = pq.read_table(a).sort_by("url")
+        tb = pq.read_table(b).sort_by("url")
+        assert ta.select(["url", "text", "route"]).equals(
+            tb.select(["url", "text", "route"])), pid
