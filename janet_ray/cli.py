@@ -28,6 +28,8 @@ def main(argv: list[str] | None = None) -> int:
                      help="recompute even complete partitions")
     run.add_argument("--num-cpus", type=int, default=None,
                      help="ray.init num_cpus (default: all)")
+    run.add_argument("--concurrent-partitions", type=int, default=1,
+                     help="overlap up to N partitions (straggler mitigation)")
     args = ap.parse_args(argv)
 
     import ray
@@ -47,6 +49,7 @@ def main(argv: list[str] | None = None) -> int:
             args.input, args.out,
             num_partitions=args.partitions,
             resume=not args.no_resume,
+            max_concurrent_partitions=args.concurrent_partitions,
         )
     except FileNotFoundError as e:
         print(f"error: {e}", file=sys.stderr)
