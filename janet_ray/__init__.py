@@ -1,14 +1,30 @@
-"""janet_ray — a from-scratch Ray-Data-native main-content extraction engine.
+"""janet_ray — a Ray-Data-native web-scale main-content extraction engine.
 
-Capabilities modeled on the reference ``jasonLaster/janet`` (see SURVEY.md for the
-operator inventory with file:line citations), re-expressed as idiomatic Ray Data:
-``ray.data.read_parquet`` over Common-Crawl-style page tables
-``(url, warc_ts, html:binary, text, lang)`` → zero-copy Arrow ``map_batches`` stages
-(byte sniffer router → HTML boilerplate-strip / PDF layout parse / OCR actor pool) →
-``groupby(url)`` dedupe → ``sort(url)`` → partitioned Parquet with lineage manifests.
+Public API (stable surface a reference user migrates to):
 
-No code is copied from the reference; it defines WHAT is computed (routing semantics,
-join/trim rules, span shapes, filename format), not HOW.
+    from janet_ray import build_extract_pipeline, run_partitioned, read_output
+    from janet_ray.sources.warc import read_warc
+    from janet_ray.stages import dedup, similarity, textstats, media, joins
+
+Library code NEVER calls ray.init()/ray.shutdown(); the caller (CLI, bench,
+tests, the graft driver) owns the Ray session.
 """
 
-__version__ = "0.1.0"
+from janet_ray.pipelines.checkpoint import read_output, run_partitioned
+from janet_ray.pipelines.extract import (
+    build_extract_pipeline,
+    dedupe_last_wins,
+    run_metrics,
+)
+from janet_ray.schemas import EXTRACTED_SCHEMA, PAGES_SCHEMA, SPAN_TYPE
+
+__all__ = [
+    "build_extract_pipeline",
+    "dedupe_last_wins",
+    "run_metrics",
+    "run_partitioned",
+    "read_output",
+    "PAGES_SCHEMA",
+    "EXTRACTED_SCHEMA",
+    "SPAN_TYPE",
+]

@@ -151,6 +151,10 @@ def run_partitioned(
             m.status, m.n_rows, m.n_success, m.routes, m.bytes_out = (
                 "complete", n_rows, n_success, routes, bytes_out,
             )
+            try:  # per-partition execution stats → lineage (best effort)
+                m.exec_stats = out.stats()[:4000]
+            except Exception:
+                pass
         except Exception as e:
             m.status, m.error = "failed", f"{type(e).__name__}: {e}"
             m.finished_at = time.time()

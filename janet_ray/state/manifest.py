@@ -39,6 +39,9 @@ class PartitionManifest:
     started_at: float = 0.0
     finished_at: float = 0.0
     error: str = ""
+    # truncated Ray Data stats for the partition's execution (observability;
+    # optional so manifests from older runs still load)
+    exec_stats: str = ""
 
 
 def manifest_dir(out_dir: str) -> str:
