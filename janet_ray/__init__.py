@@ -6,25 +6,31 @@ Public API (stable surface a reference user migrates to):
     from janet_ray.sources.warc import read_warc
     from janet_ray.stages import dedup, similarity, textstats, media, joins
 
-Library code NEVER calls ray.init()/ray.shutdown(); the caller (CLI, bench,
-tests, the graft driver) owns the Ray session.
+Attribute access is LAZY (PEP 562): importing ``janet_ray`` — or a
+dependency-free submodule like ``janet_ray.sources.warc`` — does not pull in
+``ray.data``. Library code NEVER calls ray.init()/ray.shutdown(); the caller
+(CLI, bench, tests, the graft driver) owns the Ray session.
 """
 
-from janet_ray.pipelines.checkpoint import read_output, run_partitioned
-from janet_ray.pipelines.extract import (
-    build_extract_pipeline,
-    dedupe_last_wins,
-    run_metrics,
-)
-from janet_ray.schemas import EXTRACTED_SCHEMA, PAGES_SCHEMA, SPAN_TYPE
+_EXPORTS = {
+    "build_extract_pipeline": ("janet_ray.pipelines.extract", "build_extract_pipeline"),
+    "dedupe_last_wins": ("janet_ray.pipelines.extract", "dedupe_last_wins"),
+    "run_metrics": ("janet_ray.pipelines.extract", "run_metrics"),
+    "run_partitioned": ("janet_ray.pipelines.checkpoint", "run_partitioned"),
+    "read_output": ("janet_ray.pipelines.checkpoint", "read_output"),
+    "PAGES_SCHEMA": ("janet_ray.schemas", "PAGES_SCHEMA"),
+    "EXTRACTED_SCHEMA": ("janet_ray.schemas", "EXTRACTED_SCHEMA"),
+    "SPAN_TYPE": ("janet_ray.schemas", "SPAN_TYPE"),
+}
 
-__all__ = [
-    "build_extract_pipeline",
-    "dedupe_last_wins",
-    "run_metrics",
-    "run_partitioned",
-    "read_output",
-    "PAGES_SCHEMA",
-    "EXTRACTED_SCHEMA",
-    "SPAN_TYPE",
-]
+__all__ = list(_EXPORTS)
+
+
+def __getattr__(name: str):
+    try:
+        module, attr = _EXPORTS[name]
+    except KeyError:
+        raise AttributeError(f"module 'janet_ray' has no attribute {name!r}") from None
+    import importlib
+
+    return getattr(importlib.import_module(module), attr)

@@ -133,12 +133,10 @@ def dedupe_last_wins(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     One hash shuffle on a COARSE partition key (group-per-url would mean one
     Python call per url — 10^12 calls at design scale); inside a partition the
     per-url argmax is a vectorized sort + run-boundary take."""
-    import zlib
+    from janet_ray.functions.partitioning import with_part
 
     def add_part(batch: pa.Table) -> pa.Table:
-        parts = [zlib.crc32(u.encode()) % N_DEDUPE_PARTS
-                 for u in batch["url"].to_pylist()]
-        return batch.append_column("part", pa.array(parts, pa.int32()))
+        return with_part(batch, ["url"], n_parts=N_DEDUPE_PARTS)
 
     def latest_per_url(part: pa.Table) -> pa.Table:
         if part.num_rows <= 1:

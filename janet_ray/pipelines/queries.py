@@ -544,19 +544,12 @@ def q_dedupe_last_wins_events(sf_dir: str):
     """J4 keyed last-wins upsert (cache.ts:44-63) over the events stream: latest
     row per (user_id, event_type). Coarse 64-way hash partition + vectorized
     run detection — NEVER one Python call per key (the repo-wide shuffle rule)."""
+    from janet_ray.functions.partitioning import with_part
+
     ds = _read(sf_dir, "events", columns=["event_id", "user_id", "event_type", "ts", "value"])
-    n_parts = 64
 
     def add_part(batch: pa.Table) -> pa.Table:
-        import zlib
-
-        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        # stable across worker processes (builtin hash() is salted per process
-        # and would scatter one key over several partitions)
-        et = np.array([zlib.crc32(s.encode()) for s in batch["event_type"].to_pylist()],
-                      dtype=np.int64)
-        part = ((uid * 1000003 + et) % n_parts).astype(np.int32)
-        return batch.append_column("part", pa.array(part))
+        return with_part(batch, ["user_id", "event_type"])
 
     def latest_per_key(part: pa.Table) -> pa.Table:
         idx = pc.sort_indices(part, sort_keys=[
@@ -931,13 +924,13 @@ def q_events_sessions(sf_dir: str):
     """Sessionization (gap-based session windows): per user, a new session
     starts when the gap to the previous event exceeds 30 minutes. Coarse
     partition on user hash; session boundaries detected vectorized."""
+    from janet_ray.functions.partitioning import with_part
+
     ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
-    n_parts = 64
     GAP_US = 30 * 60 * 1_000_000
 
     def add_part(batch: pa.Table) -> pa.Table:
-        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return batch.append_column("part", pa.array((uid % n_parts).astype(np.int32)))
+        return with_part(batch, ["user_id"])
 
     def sessions(part: pa.Table) -> pa.Table:
         idx = pc.sort_indices(part, sort_keys=[("user_id", "ascending"),
@@ -1023,10 +1016,12 @@ def q_events_sliding(sf_dir: str):
 
 _SLIDING_SQL = f"""
 WITH assigned AS (
-  SELECT to_timestamp(floor(epoch(ts) / 1800) * 1800)::TIMESTAMP AS window_start,
+  -- tz-free window arithmetic: to_timestamp()::TIMESTAMP would round-trip
+  -- through the DuckDB session TimeZone and shift windows on non-UTC hosts
+  SELECT TIMESTAMP '1970-01-01' + CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) * INTERVAL 1 SECOND AS window_start,
          event_type, value FROM events
   UNION ALL
-  SELECT to_timestamp(floor(epoch(ts) / 1800) * 1800 - 1800)::TIMESTAMP,
+  SELECT TIMESTAMP '1970-01-01' + CAST(floor(epoch(ts) / 1800) * 1800 - 1800 AS BIGINT) * INTERVAL 1 SECOND,
          event_type, value FROM events
 )
 SELECT window_start, event_type,

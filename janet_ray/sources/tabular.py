@@ -27,15 +27,23 @@ def _normalize(batch: pa.Table, mapping: dict[str, str], payload_b64: bool) -> p
     url = pc.cast(col("url", pa.string()), pa.string())
     ts = col("warc_ts", pa.timestamp("us"))
     if pa.types.is_string(ts.type):
-        for fmt in ("%Y-%m-%dT%H:%M:%S", "%Y-%m-%d %H:%M:%S", "%Y-%m-%d"):
+        # per-row ISO-8601 parse (handles 'Z', offsets, fractional seconds,
+        # date-only, and MIXED formats within one column — real JSON exports
+        # are rarely uniform); tz-aware values normalize to UTC-naive
+        from datetime import datetime, timezone
+
+        def parse_one(s):
+            if s is None:
+                return None
             try:
-                ts = pc.strptime(ts, format=fmt, unit="us")
-                break
-            except pa.ArrowInvalid:
-                continue
-        else:
-            raise ValueError("warc_ts strings match none of the supported formats "
-                             "(ISO seconds, space-separated, date-only)")
+                dt = datetime.fromisoformat(s.replace("Z", "+00:00"))
+            except ValueError:
+                return None
+            if dt.tzinfo is not None:
+                dt = dt.astimezone(timezone.utc).replace(tzinfo=None)
+            return dt
+
+        ts = pa.array([parse_one(s) for s in ts.to_pylist()], pa.timestamp("us"))
     else:
         ts = pc.cast(ts, pa.timestamp("us"))
     raw = col("html", pa.binary())

@@ -33,12 +33,17 @@ _CRLF2 = b"\r\n\r\n"
 
 
 def gunzip_multi(data: bytes) -> bytes:
-    """Decompress a gzip stream with any number of members (CC layout)."""
+    """Decompress a gzip stream with any number of members (CC layout).
+    Trailing garbage / corrupt members keep whatever decompressed cleanly —
+    never fatal (the skipped-record audit reports the loss downstream)."""
     out = []
     while data:
         d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
-        out.append(d.decompress(data))
-        out.append(d.flush())
+        try:
+            out.append(d.decompress(data))
+            out.append(d.flush())
+        except zlib.error:
+            break  # corrupt member or non-gzip padding: keep prior members
         data = d.unused_data
         if not d.eof:  # truncated member: keep what we got
             break
@@ -54,12 +59,17 @@ def _parse_headers(block: bytes) -> dict[str, str]:
     return headers
 
 
-def parse_warc_bytes(data: bytes) -> tuple[list[dict], int]:
-    """→ ([{url, warc_ts, html}, ...] for response records, n_skipped)."""
+def parse_warc_bytes(data: bytes) -> tuple[list[dict], int, int]:
+    """→ (rows for response records, n_skipped, n_records_seen).
+
+    ``n_records_seen`` counts every record header encountered (any WARC-Type),
+    so a valid request-only/metadata-only segment is distinguishable from a
+    corrupt one."""
     if data[:2] == b"\x1f\x8b":
         data = gunzip_multi(data)
     rows: list[dict] = []
     skipped = 0
+    seen = 0
     pos = 0
     n = len(data)
     while pos < n:
@@ -72,6 +82,7 @@ def parse_warc_bytes(data: bytes) -> tuple[list[dict], int]:
             break
         head = data[start:hdr_end]
         headers = _parse_headers(head)
+        seen += 1
         try:
             length = int(headers.get("content-length", ""))
         except ValueError:
@@ -96,7 +107,7 @@ def parse_warc_bytes(data: bytes) -> tuple[list[dict], int]:
         http_split = block.find(_CRLF2)
         body = block[http_split + 4 :] if http_split != -1 else block
         rows.append({"url": url, "warc_ts": ts, "html": body})
-    return rows, skipped
+    return rows, skipped, seen
 
 
 def warc_batch_to_pages(batch: pa.Table) -> pa.Table:
@@ -105,11 +116,15 @@ def warc_batch_to_pages(batch: pa.Table) -> pa.Table:
     paths = (batch["path"].to_pylist() if "path" in batch.column_names
              else [""] * batch.num_rows)
     for data, path in zip(batch["bytes"].to_pylist(), paths):
-        rows, skipped = parse_warc_bytes(data or b"")
-        if not rows and (skipped or data):
-            # a fully-corrupt / non-WARC segment would otherwise vanish from the
-            # audit — surface it as one error-as-data row (empty payload →
-            # route=error downstream)
+        try:
+            rows, skipped, seen = parse_warc_bytes(data or b"")
+        except Exception:  # never let one segment kill the pipeline
+            rows, skipped, seen = [], 1, 0
+        if not rows and (skipped or (data and seen == 0)):
+            # a fully-corrupt / non-WARC segment would otherwise vanish from
+            # the audit — surface it as one error-as-data row. A VALID
+            # request-/metadata-only segment (seen > 0, skipped == 0) is NOT
+            # loss and emits nothing.
             skipped = max(skipped, 1)
             rows = [{"url": f"warc-error://{path or 'unknown-segment'}",
                      "warc_ts": datetime(1970, 1, 1), "html": b""}]
@@ -131,14 +146,56 @@ def warc_batch_to_pages(batch: pa.Table) -> pa.Table:
     return t.append_column("warc_skipped", pa.array(skips, pa.int64()))
 
 
-def read_warc(paths, **read_kwargs) -> "ray.data.Dataset":
-    """WARC file(s)/dir → pages Dataset (+ ``warc_skipped`` audit column)."""
+def _list_warc_files(paths) -> list[str]:
+    import os
+
+    if isinstance(paths, (str, bytes)):
+        paths = [paths]
+    out: list[str] = []
+    for p in paths:
+        if os.path.isdir(p):
+            out.extend(os.path.join(p, f) for f in sorted(os.listdir(p))
+                       if not f.startswith("_"))
+        else:
+            out.append(p)
+    return sorted(out)
+
+
+def _load_warc_paths(batch: pa.Table) -> pa.Table:
+    """Read each segment's RAW bytes (no extension-based auto-gunzip — Ray's
+    reader hard-fails on trailing padding, which gunzip_multi tolerates)."""
+    from pyarrow import fs as pafs
+
+    rows = []
+    for path in batch["path"].to_pylist():
+        if "://" in path:
+            filesystem, rel = pafs.FileSystem.from_uri(path)
+        else:
+            filesystem, rel = pafs.LocalFileSystem(), path
+        try:
+            with filesystem.open_input_stream(rel, compression=None) as f:
+                data = f.readall()
+        except OSError:
+            data = b"\x00"  # unreadable segment → audit row downstream
+        rows.append(data)
+    return pa.table({"bytes": pa.array(rows, pa.binary()), "path": batch["path"]})
+
+
+def read_warc(paths, **kwargs) -> "ray.data.Dataset":
+    """WARC file(s)/dir → pages Dataset (+ ``warc_skipped`` audit column).
+
+    One task per segment file (CC segments are ~1 GB — natural partitioning);
+    bytes are read raw and decompressed by the tolerant ``gunzip_multi``."""
     import ray.data
 
-    read_kwargs.setdefault("include_paths", True)  # names the audit rows
-    files = ray.data.read_binary_files(paths, **read_kwargs)
-    return files.map_batches(warc_batch_to_pages, batch_format="pyarrow",
-                             zero_copy_batch=True)
+    files = _list_warc_files(paths)
+    if not files:
+        raise FileNotFoundError(f"no WARC files under {paths!r}")
+    ds = ray.data.from_items([{"path": p} for p in files],
+                             override_num_blocks=len(files))
+    return ds.map_batches(_load_warc_paths, batch_format="pyarrow",
+                          zero_copy_batch=True, **kwargs).map_batches(
+        warc_batch_to_pages, batch_format="pyarrow", zero_copy_batch=True)
 
 
 # ------------------------------------------------------------------ writer

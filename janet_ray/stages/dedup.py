@@ -405,8 +405,12 @@ def simhash_neardup_pairs(ds: "ray.data.Dataset", *, max_hamming: int = 3,
             if len(m_ids) < 2:
                 continue
             if len(m_ids) > max_bucket:
-                # star pairing against the bucket min — linear, keeps cluster
-                # connectivity transitively (same fallback as the minhash path)
+                # Overflow fallback: star pairing against the bucket min keeps
+                # the pair count linear. APPROXIMATION: only (min, X) distances
+                # are tested, so a near-dup pair whose members are both far
+                # from the hub is missed in this bucket (it can still surface
+                # from another chunk's bucket). Exact enumeration of a
+                # pathological mega-bucket would be quadratic.
                 iu = (np.zeros(len(m_ids) - 1, dtype=np.int64),
                       np.arange(1, len(m_ids), dtype=np.int64))
             else:
@@ -519,6 +523,7 @@ def dup_clusters_distributed(ds: "ray.data.Dataset", pairs: "ray.data.Dataset", 
         batch_format="pyarrow", zero_copy_batch=True,
     ).materialize()
     prev_sum = None
+    converged = False
     for _ in range(max_iters):
         msgs = e.join(labels, "inner", num_partitions, on=("src",), right_on=("id",))
         msgs = msgs.map_batches(
@@ -530,8 +535,16 @@ def dup_clusters_distributed(ds: "ray.data.Dataset", pairs: "ray.data.Dataset", 
         ).materialize()
         cur = labels.aggregate(Sum("label", alias_name="s"))["s"]
         if cur == prev_sum:
+            converged = True
             break
         prev_sum = cur
+    if not converged:
+        # silent wrong answers violate the equals-union-find contract: a
+        # component with diameter > max_iters hasn't finished collapsing
+        raise RuntimeError(
+            f"label propagation did not converge within max_iters={max_iters} "
+            "(a dup component's diameter exceeds it); raise max_iters"
+        )
     return labels.map_batches(
         lambda t: pa.table({id_col: t["id"], "cluster_rep": t["label"]}),
         batch_format="pyarrow", zero_copy_batch=True,

@@ -85,15 +85,18 @@ def text_stats_row(text: str) -> dict:
     n_nonspace = sum(len(t) for t in tokens)
     n_alpha = len(_ALPHA_RE.findall(text))
     words = _WORD_RE.findall(text.lower())
+    n_words = len(words)
     n_stop_en = sum(1 for w in words if w in _STOPSETS["en"])
     return {
         "n_chars": n_chars,
         "n_tokens": n_tokens,
         "n_alpha": n_alpha,
         "n_stop_en": n_stop_en,
-        # single exact-int divisions → bit-identical doubles in any engine
+        # single exact-int divisions → bit-identical doubles in any engine;
+        # stopword_ratio is per WORD (a token like "the,and" holds two words —
+        # a token denominator could push the ratio above 1)
         "alpha_ratio": (n_alpha / n_chars) if n_chars else 0.0,
-        "stopword_ratio": (n_stop_en / n_tokens) if n_tokens else 0.0,
+        "stopword_ratio": (n_stop_en / n_words) if n_words else 0.0,
         "mean_token_len": (n_nonspace / n_tokens) if n_tokens else 0.0,
     }
 
@@ -182,6 +185,7 @@ def textstats_sql(expr: str = "text") -> dict[str, str]:
     n_tokens = token_count_sql(expr)
     n_nonspace = f"length(regexp_replace({expr}, '\\s', '', 'g'))"
     n_alpha = f"len(regexp_extract_all({expr}, '[A-Za-z]'))"
+    n_words = f"len({_sql_word_list(expr)})"
     n_stop = _sql_stop_count("en", expr)
     return {
         "n_chars": f"CAST({n_chars} AS BIGINT)",
@@ -189,6 +193,6 @@ def textstats_sql(expr: str = "text") -> dict[str, str]:
         "n_alpha": f"CAST({n_alpha} AS BIGINT)",
         "n_stop_en": f"CAST({n_stop} AS BIGINT)",
         "alpha_ratio": f"CASE WHEN {n_chars} > 0 THEN CAST({n_alpha} AS DOUBLE) / {n_chars} ELSE 0.0 END",
-        "stopword_ratio": f"CASE WHEN {n_tokens} > 0 THEN CAST({n_stop} AS DOUBLE) / {n_tokens} ELSE 0.0 END",
+        "stopword_ratio": f"CASE WHEN {n_words} > 0 THEN CAST({n_stop} AS DOUBLE) / {n_words} ELSE 0.0 END",
         "mean_token_len": f"CASE WHEN {n_tokens} > 0 THEN CAST({n_nonspace} AS DOUBLE) / {n_tokens} ELSE 0.0 END",
     }

@@ -25,8 +25,8 @@ def _records():
 
 def test_parse_warc_roundtrip():
     data = warc.build_warc(_records())
-    rows, skipped = warc.parse_warc_bytes(data)
-    assert skipped == 0 and len(rows) == 5
+    rows, skipped, seen = warc.parse_warc_bytes(data)
+    assert skipped == 0 and len(rows) == 5 and seen == 5
     assert rows[0]["url"] == "https://w.example/p0"
     assert rows[0]["warc_ts"] == datetime(2024, 1, 1, 0)
     assert rows[2]["html"].startswith(b"<html>")
@@ -35,8 +35,8 @@ def test_parse_warc_roundtrip():
 def test_parse_warc_gzip_members():
     data = warc.build_warc(_records(), gzip_members=True)
     assert data[:2] == b"\x1f\x8b"
-    rows, skipped = warc.parse_warc_bytes(data)
-    assert skipped == 0 and len(rows) == 5
+    rows, skipped, seen = warc.parse_warc_bytes(data)
+    assert skipped == 0 and len(rows) == 5 and seen == 5
 
 
 def test_parse_warc_skips_malformed_and_nonresponse():
@@ -45,9 +45,10 @@ def test_parse_warc_skips_malformed_and_nonresponse():
                b"WARC-Target-URI: https://w.example/req\r\n"
                b"WARC-Date: 2024-01-01T00:00:00Z\r\nContent-Length: 4\r\n\r\nGET \r\n\r\n")
     bad = b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: oops\r\n\r\n"
-    rows, skipped = warc.parse_warc_bytes(nonresp + good + bad)
+    rows, skipped, seen = warc.parse_warc_bytes(nonresp + good + bad)
     assert len(rows) == 2          # request record ignored silently
     assert skipped == 1            # malformed length counted
+    assert seen == 4               # every record header observed
 
 
 def test_read_warc_to_extraction(ray_session, tmp_path):
@@ -105,3 +106,46 @@ def test_read_pages_csv(ray_session, tmp_path, page_rows):
                                          "html": "payload", "lang": "language"})
     rows = sorted(ds.take_all(), key=lambda r: r["url"])
     assert len(rows) == 3 and rows[2]["html"].endswith(b"</html>")
+
+
+def test_warc_request_only_segment_is_not_loss(ray_session, tmp_path):
+    """A valid request-only WARC (CC publishes those) must emit neither rows
+    nor a fabricated error row."""
+    nonresp = (b"WARC/1.0\r\nWARC-Type: request\r\n"
+               b"WARC-Target-URI: https://w.example/req\r\n"
+               b"WARC-Date: 2024-01-01T00:00:00Z\r\nContent-Length: 4\r\n\r\nGET \r\n\r\n")
+    with open(tmp_path / "req.warc", "wb") as f:
+        f.write(nonresp * 3)
+    assert warc.read_warc(str(tmp_path)).count() == 0
+
+
+def test_warc_gzip_trailing_garbage_not_fatal(ray_session, tmp_path):
+    """Trailing non-gzip padding after the last member keeps the good records
+    (the review repro: gzip.compress(rec) + NUL padding crashed the read)."""
+    data = warc.build_warc(_records()[:3], gzip_members=True) + b"\x00" * 16
+    with open(tmp_path / "pad.warc.gz", "wb") as f:
+        f.write(data)
+    rows = warc.read_warc(str(tmp_path)).take_all()
+    assert len(rows) == 3
+    assert all(not r["url"].startswith("warc-error") for r in rows)
+
+
+def test_read_pages_json_iso_variants(ray_session, tmp_path):
+    """Z-suffix, offset, fractional seconds, and date-only timestamps all
+    parse — including MIXED within one column (the common real-export case)."""
+    rows = [
+        {"u": "https://t/1", "when": "2024-01-01T10:00:00Z", "payload": None},
+        {"u": "https://t/2", "when": "2024-01-01T05:00:00-05:00", "payload": None},
+        {"u": "https://t/3", "when": "2024-01-01T10:00:00.250Z", "payload": None},
+        {"u": "https://t/4", "when": "2024-01-01", "payload": None},
+    ]
+    p = tmp_path / "iso.jsonl"
+    with open(p, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    out = {r["url"]: r["warc_ts"] for r in read_pages_json(
+        str(p), mapping={"url": "u", "warc_ts": "when", "html": "payload"}).take_all()}
+    assert out["https://t/1"] == datetime(2024, 1, 1, 10)
+    assert out["https://t/2"] == datetime(2024, 1, 1, 10)  # offset normalized to UTC
+    assert out["https://t/3"] == datetime(2024, 1, 1, 10, 0, 0, 250000)
+    assert out["https://t/4"] == datetime(2024, 1, 1)
