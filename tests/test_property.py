@@ -139,3 +139,24 @@ def test_dedupe_last_wins_matches_reference(ray_session, pairs):
     assert set(got) == set(want)
     for u in want:
         assert got[u][0] == want[u][0], u
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=400))
+def test_warc_parse_total(b):
+    """parse_warc_bytes is total on arbitrary bytes (incl. fake gzip magic)."""
+    from janet_ray.sources.warc import parse_warc_bytes
+
+    rows, skipped, seen = parse_warc_bytes(b)
+    assert isinstance(rows, list) and skipped >= 0 and seen >= 0
+    for r in rows:
+        assert r["url"] and isinstance(r["html"], bytes)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=300))
+def test_warc_parse_total_with_warc_prefix(b):
+    from janet_ray.sources.warc import parse_warc_bytes
+
+    rows, skipped, seen = parse_warc_bytes(b"WARC/1.0\r\n" + b)
+    assert isinstance(rows, list)
