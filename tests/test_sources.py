@@ -149,3 +149,38 @@ def test_read_pages_json_iso_variants(ray_session, tmp_path):
     assert out["https://t/2"] == datetime(2024, 1, 1, 10)  # offset normalized to UTC
     assert out["https://t/3"] == datetime(2024, 1, 1, 10, 0, 0, 250000)
     assert out["https://t/4"] == datetime(2024, 1, 1)
+
+
+def test_warc_and_parquet_paths_extract_identically(ray_session, small_corpus, tmp_path):
+    """The same corpus served via WARC segments and via parquet pages must
+    extract byte-identically (source adapters are transparent)."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+    import ray.data
+    from janet_ray.pipelines.extract import build_extract_pipeline
+
+    files = sorted(_glob.glob(os.path.join(small_corpus, "pages", "*.parquet")))[:2]
+    pages = pq.read_table(files)
+    # render the html-routed rows as WARC response records
+    recs = [
+        {"url": u, "ts": t, "html": h}
+        for u, t, h in zip(pages["url"].to_pylist(), pages["warc_ts"].to_pylist(),
+                           pages["html"].to_pylist())
+        if h and h[:1] == b"<"
+    ]
+    assert len(recs) > 10
+    for shard in range(2):
+        with open(tmp_path / f"s{shard}.warc.gz", "wb") as f:
+            f.write(warc.build_warc(recs[shard::2], gzip_members=True))
+
+    via_warc = build_extract_pipeline(
+        warc.read_warc(str(tmp_path)).drop_columns(["warc_skipped"]),
+        dedupe=True, sort=True)
+    via_parquet = build_extract_pipeline(
+        ray.data.read_parquet(files).filter(
+            lambda r: bool(r["html"]) and bytes(r["html"])[:1] == b"<"),
+        dedupe=True, sort=True)
+    a = [(r["url"], r["text"], r["route"]) for r in via_warc.take_all()]
+    b = [(r["url"], r["text"], r["route"]) for r in via_parquet.take_all()]
+    assert a == b and len(a) == len({u for u, _, _ in a})
