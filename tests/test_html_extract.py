@@ -87,3 +87,22 @@ def test_table_wrapped_content_survives():
     html = f"<table><tr><td><div><p>{LONG}</p></div></td></tr></table>".encode()
     text, _ = extract_html(html)
     assert text == LONG
+
+
+def test_true_megapage_bounded_and_correct():
+    """A 5 MB single-document page extracts correctly in one pass (O(n)
+    tokenizer, no pathological blowup) — the megapage skew class at real size."""
+    import time
+
+    para = "meaningful content words repeated here for density scoring " * 10
+    paras = [f"<p>{para}{i}</p>" for i in range(9000)]
+    html = ("<html><head><title>t</title></head><body><nav>"
+            + " ".join(f'<a href="/x{i}">link</a>' for i in range(50))
+            + f"<article>{''.join(paras)}</article></body></html>").encode()
+    assert len(html) > 5_000_000
+    t0 = time.time()
+    text, spans = extract_html(html)
+    dt = time.time() - t0
+    assert len(spans) == 9000
+    assert text.startswith("meaningful content")
+    assert dt < 10, f"megapage extraction took {dt:.1f}s"
