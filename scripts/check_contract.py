@@ -30,6 +30,13 @@ def to_pandas(res) -> pd.DataFrame:
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)]
+    # Normalize timestamp resolution only (us vs ns is a storage artifact the
+    # driver's value-hash does not see). Numeric dtypes are NOT normalized:
+    # DuckDB sum(BIGINT) -> HUGEINT -> float64 must FAIL here, because it fails
+    # the driver's hash — oracles must CAST(sum(...) AS BIGINT) (VERDICT r01 #2).
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[ns]")
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 
@@ -84,7 +91,7 @@ def main() -> int:
             failures += 1
             continue
         try:
-            pd.testing.assert_frame_equal(mine, want, check_dtype=False,
+            pd.testing.assert_frame_equal(mine, want, check_dtype=True,
                                           check_exact=True)
             print(f"PASS {name}: {len(mine)} rows (ray {ray_s:.1f}s, sql {sql_s:.1f}s)")
         except AssertionError as e:
