@@ -513,6 +513,34 @@ def q_ocr_word_boxes(sf_dir: str):
     return pages.map_batches(BoxStage, batch_format="pyarrow", concurrency=(1, 4))
 
 
+def q_searchable_artifact(sf_dir: str):
+    """S11 — searchable-artifact sink (ocr-utils.ts:279-336): per-doc raster +
+    invisible positioned text-layer blob. Rows-only check (bytes not
+    SQL-expressible); the md5 column pins the exact artifact bytes so any
+    byte-level drift flips the row hash. Byte-golden pytest in
+    tests/test_textlayer.py."""
+    import hashlib as _hashlib
+
+    from janet_ray.stages.ocr import SearchableArtifactStage
+
+    pages = _docs(sf_dir).map_batches(docsrc.scan_pages_batch, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+    arts = pages.map_batches(SearchableArtifactStage, batch_format="pyarrow",
+                             concurrency=(1, 4))
+
+    def digest(t: pa.Table) -> pa.Table:
+        md5 = [None if b is None else _hashlib.md5(b).hexdigest()
+               for b in t["artifact"].to_pylist()]
+        sizes = [0 if b is None else len(b) for b in t["artifact"].to_pylist()]
+        return pa.table({
+            "url": t["url"], "n_pages": t["n_pages"], "n_words": t["n_words"],
+            "artifact_bytes": pa.array(sizes, pa.int64()),
+            "artifact_md5": pa.array(md5, pa.string()),
+        })
+
+    return arts.map_batches(digest, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # --------------------------------------------------------------- multimodal
 
 def q_media_probe(sf_dir: str):
@@ -1041,6 +1069,26 @@ FROM assigned GROUP BY 1, 2
 """
 
 
+# ------------------------------------------------------------- highlights
+
+_HL_KEYWORD = "scan join"
+
+
+def q_search_highlights(sf_dir: str):
+    """A4/O4 — char→span map + %-of-page highlight geometry on the wrapped
+    glyph grid (Highlights.tsx:273-294, :136-154, sort :44-60). One row per
+    highlight rect; arithmetic oracle generated from the same grid constants."""
+    from janet_ray.stages import highlights as hl
+
+    return hl.search_highlights(_docs(sf_dir), _HL_KEYWORD)
+
+
+def _search_highlights_sql() -> str:
+    from janet_ray.stages import highlights as hl
+
+    return hl.highlights_sql(_HL_KEYWORD)
+
+
 # --------------------------------------------------------------- registry
 
 def build_queries() -> dict:
@@ -1084,6 +1132,8 @@ def build_queries() -> dict:
         "embedding_neardup_ivf": q_embedding_neardup_ivf,
         "events_sessions": q_events_sessions,
         "events_sliding": q_events_sliding,
+        "search_highlights": q_search_highlights,
+        "searchable_artifact": q_searchable_artifact,
     }
 
 
@@ -1127,4 +1177,5 @@ def build_oracles() -> dict[str, str]:
         "dup_clusters_lp": _DUP_CLUSTERS_SQL,
         "events_sessions": _SESSIONS_SQL,
         "events_sliding": _SLIDING_SQL,
+        "search_highlights": _search_highlights_sql(),
     }

@@ -98,6 +98,44 @@ def ocr_word_boxes(pages: list[dict], engine: OcrEngine) -> list[list[dict]]:
     return boxes
 
 
+class SearchableArtifactStage:
+    """S11 — the searchable-artifact sink (ocr-utils.ts:279-336) as an actor-pool
+    stage: jpdf payload → per-page raster + invisible positioned text layer,
+    serialized with formats/textlayer. Engine state is warm per actor; malformed
+    payloads become error rows (null artifact), never exceptions."""
+
+    def __init__(self) -> None:
+        self.engine = GlyphGridEngine()
+
+    def __call__(self, batch):
+        import pyarrow as pa
+
+        from janet_ray.formats.textlayer import build_searchable_artifact
+
+        urls, blobs, n_pages, n_words, errors = [], [], [], [], []
+        for url, payload in zip(batch["url"].to_pylist(), batch["html"].to_pylist()):
+            urls.append(url)
+            try:
+                pages = jpdf.parse(payload)
+                boxes = ocr_word_boxes(pages, self.engine)
+                blobs.append(build_searchable_artifact(pages, boxes))
+                n_pages.append(len(pages))
+                n_words.append(sum(len(b) for b in boxes))
+                errors.append(None)
+            except (jpdf.JPdfError, ValueError) as e:
+                blobs.append(None)
+                n_pages.append(0)
+                n_words.append(0)
+                errors.append(f"{type(e).__name__}: {e}")
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "artifact": pa.array(blobs, pa.large_binary()),
+            "n_pages": pa.array(n_pages, pa.int64()),
+            "n_words": pa.array(n_words, pa.int64()),
+            "error": pa.array(errors, pa.string()),
+        })
+
+
 def ocr_document(pages: list[dict], engine: OcrEngine) -> tuple[str, list[dict], int]:
     """Decode all scan pages of a parsed jpdf container.
 
