@@ -122,10 +122,15 @@ def raster_page(text: str) -> tuple[bytes, int, int]:
     return packed, width, height
 
 
-def decode_bitmap(packed: bytes, width: int, height: int) -> str:
-    """Invert raster_page: packed bitmap → text. Fully vectorized cell extraction
-    (the hot kernel of the OCR engine): reshape to (lines, cells, 7, 5) glyph blocks,
-    pack each to a 40-bit key, look up in the reverse font table."""
+def decode_bitmap_stats(packed: bytes, width: int, height: int) -> tuple[str, int, int]:
+    """Invert raster_page with recognition stats: (text, n_glyph_cells,
+    n_unknown). Fully vectorized cell extraction (the hot kernel of the OCR
+    engine): reshape to (lines, cells, 7, 5) glyph blocks, pack each to a
+    40-bit key, look up in the reverse font table.
+
+    ``n_glyph_cells`` counts non-blank cells; ``n_unknown`` counts those whose
+    key is not in the font table (decoded as '?') — the basis of the per-page
+    OCR confidence (A5, apps/legacy/src/services/ocr.ts:58)."""
     row_bytes = (width + 7) // 8
     if len(packed) != row_bytes * height:
         raise JPdfError(
@@ -145,13 +150,24 @@ def decode_bitmap(packed: bytes, width: int, height: int) -> str:
     )
     keys = np.packbits(cells, axis=2)  # (lines, cols, 5)
     out_lines = []
+    n_glyphs = n_unknown = 0
     for r in range(n_lines):
         chars = []
         for c in range(n_cols):
             key = keys[r, c].tobytes()
-            chars.append(FONT_REVERSE.get(key, "?"))
+            ch = FONT_REVERSE.get(key)
+            if key != _SPACE_KEY:
+                n_glyphs += 1
+                if ch is None:
+                    n_unknown += 1
+            chars.append(ch if ch is not None else "?")
         out_lines.append("".join(chars).rstrip())
-    return "\n".join(out_lines)
+    return "\n".join(out_lines), n_glyphs, n_unknown
+
+
+def decode_bitmap(packed: bytes, width: int, height: int) -> str:
+    """Invert raster_page: packed bitmap → text (stats discarded)."""
+    return decode_bitmap_stats(packed, width, height)[0]
 
 
 # ---------------------------------------------------------------- container I/O

@@ -165,14 +165,24 @@ def run_metrics(extracted: "ray.data.Dataset") -> dict:
         Count(alias_name="rows"),
         Sum("success", alias_name="succeeded"),
         Sum("n_chars", alias_name="chars"),
+        Sum("n_failed_pages", alias_name="failed_pages"),
+        Sum("ocr_confidence", alias_name="conf_sum"),
     ).take_all()
     routes = {r["route"]: int(r["rows"]) for r in per_route}
     processed = sum(routes.values())
     succeeded = sum(int(r["succeeded"] or 0) for r in per_route)
+    # A5: confidence is only non-null on the ocr route → its mean is
+    # conf_sum / rows of that route (Sum ignores nulls)
+    ocr_rows = routes.get("ocr", 0)
+    ocr_conf = next((r["conf_sum"] for r in per_route if r["route"] == "ocr"), None)
     return {
         "processed": processed,
         "succeeded": succeeded,
         "failed": processed - succeeded,
         "total_chars": sum(int(r["chars"] or 0) for r in per_route),
+        # A2: per-page failure accounting across the run (ocr-controller.ts:120-124)
+        "failed_pages": sum(int(r["failed_pages"] or 0) for r in per_route),
+        "ocr_confidence_mean": (float(ocr_conf) / ocr_rows
+                                if ocr_rows and ocr_conf is not None else None),
         "routes": routes,
     }

@@ -45,5 +45,9 @@ EXTRACTED_SCHEMA = pa.schema(
         pa.field("error", pa.string()),
         pa.field("n_pages", pa.int32()),
         pa.field("n_chars", pa.int64()),
+        # A2/A5: per-page failure count + mean OCR confidence (null for
+        # non-OCR routes) — ocr-controller.ts:120-131, ocr.ts:58
+        pa.field("n_failed_pages", pa.int32()),
+        pa.field("ocr_confidence", pa.float64()),
     ]
 )

@@ -30,50 +30,70 @@ from janet_ray.stages.router import ROUTE_ERROR, ROUTE_HTML, ROUTE_PDF, ROUTE_TE
 
 
 class ExtractStage:
-    """Callable class → Ray actor pool. Engine + vocab state built once per actor."""
+    """Callable class → Ray actor pool. Engine + vocab state built once per actor.
 
-    def __init__(self, engine_factory=ocr_mod.GlyphGridEngine):
+    ``deadline_s``: per-row wall-clock budget (SURVEY §4; the reference's 30 s
+    pdftoppm kill / 60 s Vision cap) — a row that exceeds it becomes an error
+    row, the actor and batch survive. ``strict_ocr``: A2 strict gate — any
+    failed OCR page fails the document (ocr-controller.ts:120-131)."""
+
+    def __init__(self, engine_factory=ocr_mod.GlyphGridEngine,
+                 deadline_s: float | None = 30.0, strict_ocr: bool = False):
         self.engine = engine_factory()
+        self.deadline_s = deadline_s
+        self.strict_ocr = strict_ocr
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from janet_ray.functions.deadline import RowDeadlineExceeded, row_deadline
+
         urls = batch["url"].to_pylist()
         routes = batch["route"].to_pylist()
         payloads = batch["html"].to_pylist()
         texts = batch["text"].to_pylist() if "text" in batch.column_names else [None] * len(urls)
 
         out = {k: [] for k in (
-            "filename", "text", "spans", "route", "success", "error", "n_pages", "n_chars"
+            "filename", "text", "spans", "route", "success", "error", "n_pages",
+            "n_chars", "n_failed_pages", "ocr_confidence"
         )}
         for url, route, payload, hint_text in zip(urls, routes, payloads, texts):
             text: str | None = None
             spans: list[dict] = []
             n_pages = 0
+            n_failed_pages = 0
+            confidence: float | None = None
             err = ""
             final_route = route
             try:
-                if route == ROUTE_HTML:
-                    text, spans = extract_html(payload)
-                    n_pages = 1
-                    if not text:
-                        final_route, err = ROUTE_ERROR, "no main content"
-                elif route == ROUTE_PDF:
-                    text, spans, n_pages = extract_pdf_text(payload)
-                    if text is None:
-                        # content-emptiness OCR fallback (fileProcessor.ts:25,44)
-                        pages = jpdf.parse(payload)
-                        text, spans, n_pages = ocr_mod.ocr_document(pages, self.engine)
-                        final_route = "ocr"
+                with row_deadline(self.deadline_s):
+                    if route == ROUTE_HTML:
+                        text, spans = extract_html(payload)
+                        n_pages = 1
                         if not text:
-                            final_route, err = ROUTE_ERROR, "ocr produced no text"
-                elif route == ROUTE_TEXT:
-                    text = hint_text or ""
-                    spans = [{"page": 0, "start": 0, "end": len(text), "kind": "text"}]
-                    n_pages = 1
-                    if not text:
-                        final_route, err = ROUTE_ERROR, "empty text"
-                else:
-                    err = "unrecognized payload"
-                    final_route = ROUTE_ERROR
+                            final_route, err = ROUTE_ERROR, "no main content"
+                    elif route == ROUTE_PDF:
+                        text, spans, n_pages = extract_pdf_text(payload)
+                        if text is None:
+                            # content-emptiness OCR fallback (fileProcessor.ts:25,44)
+                            pages = jpdf.parse(payload)
+                            text, spans, n_pages, n_failed_pages, confidence = (
+                                ocr_mod.ocr_document_stats(pages, self.engine,
+                                                           strict=self.strict_ocr))
+                            final_route = "ocr"
+                            if not text:
+                                final_route, err = ROUTE_ERROR, "ocr produced no text"
+                    elif route == ROUTE_TEXT:
+                        text = hint_text or ""
+                        spans = [{"page": 0, "start": 0, "end": len(text), "kind": "text"}]
+                        n_pages = 1
+                        if not text:
+                            final_route, err = ROUTE_ERROR, "empty text"
+                    else:
+                        err = "unrecognized payload"
+                        final_route = ROUTE_ERROR
+            except RowDeadlineExceeded as e:
+                final_route, err, text, spans = ROUTE_ERROR, str(e), None, []
+            except ocr_mod.OcrStrictError as e:
+                final_route, err, text, spans = ROUTE_ERROR, f"strict gate: {e}", None, []
             except jpdf.JPdfError as e:
                 final_route, err, text, spans = ROUTE_ERROR, f"malformed container: {e}", None, []
             except Exception as e:  # poison row → error row, never a task failure
@@ -91,6 +111,8 @@ class ExtractStage:
             out["error"].append(err)
             out["n_pages"].append(n_pages)
             out["n_chars"].append(len(text_out))
+            out["n_failed_pages"].append(n_failed_pages)
+            out["ocr_confidence"].append(confidence)
 
         hosts = [url_host(u) for u in urls]
         cols = {
@@ -107,6 +129,8 @@ class ExtractStage:
             "error": pa.array(out["error"], type=pa.string()),
             "n_pages": pa.array(out["n_pages"], type=pa.int32()),
             "n_chars": pa.array(out["n_chars"], type=pa.int64()),
+            "n_failed_pages": pa.array(out["n_failed_pages"], type=pa.int32()),
+            "ocr_confidence": pa.array(out["ocr_confidence"], type=pa.float64()),
         }
         return pa.table(cols, schema=EXTRACTED_SCHEMA)
 

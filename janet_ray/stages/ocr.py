@@ -21,11 +21,22 @@ from __future__ import annotations
 from janet_ray.formats import jpdf
 
 
+class OcrStrictError(Exception):
+    """A2 — strict gate: any failed page fails the document
+    (apps/ocr/src/controllers/ocr-controller.ts:120-131)."""
+
+
 class OcrEngine:
     """Interface: decode one raster page → text."""
 
     def decode_page(self, packed: bytes, width: int, height: int) -> str:
         raise NotImplementedError
+
+    def decode_page_stats(self, packed: bytes, width: int, height: int) -> tuple[str, float]:
+        """(text, confidence ∈ [0, 1]) — A5 per-page OCR confidence
+        (apps/legacy/src/services/ocr.ts:58). Engines without native
+        confidence report 1.0."""
+        return self.decode_page(packed, width, height), 1.0
 
 
 class GlyphGridEngine(OcrEngine):
@@ -39,6 +50,11 @@ class GlyphGridEngine(OcrEngine):
 
     def decode_page(self, packed: bytes, width: int, height: int) -> str:
         return jpdf.decode_bitmap(packed, width, height)
+
+    def decode_page_stats(self, packed: bytes, width: int, height: int) -> tuple[str, float]:
+        text, n_glyphs, n_unknown = jpdf.decode_bitmap_stats(packed, width, height)
+        conf = 1.0 if n_glyphs == 0 else (n_glyphs - n_unknown) / n_glyphs
+        return text, conf
 
 
 class TesseractEngine(OcrEngine):  # pragma: no cover - production stub
@@ -137,18 +153,52 @@ class SearchableArtifactStage:
 
 
 def ocr_document(pages: list[dict], engine: OcrEngine) -> tuple[str, list[dict], int]:
-    """Decode all scan pages of a parsed jpdf container.
+    """Decode all scan pages of a parsed jpdf container (stats discarded —
+    see ocr_document_stats for the A2/A5 variant).
 
     Returns (text, spans, n_pages): per-page spans into the final text; pages joined
     with "\\n\\n"; text-layer pages inside a scanned doc contribute their native text
     (mixed docs keep page order)."""
+    text, spans, n_pages, _, _ = ocr_document_stats(pages, engine)
+    return text, spans, n_pages
+
+
+def ocr_document_stats(
+    pages: list[dict], engine: OcrEngine, *, strict: bool = False,
+) -> tuple[str, list[dict], int, int, float | None]:
+    """A2/A5 — ocr_document plus per-page failure accounting and confidence.
+
+    Returns (text, spans, n_pages, n_failed_pages, confidence): a scan page
+    whose decode raises contributes an empty page (order preserved) and counts
+    as failed — the reference's ``pageCount - pageData.length``
+    (ocr-controller.ts:120-124); ``confidence`` is the mean over successfully
+    decoded scan pages (None when the doc has no scan pages). With
+    ``strict=True`` any failed page raises OcrStrictError — the controller's
+    throw at ocr-controller.ts:126-131."""
     page_texts: list[str] = []
+    n_failed = 0
+    confs: list[float] = []
     for page in pages:
         if page["kind"] == "scan":
-            page_texts.append(engine.decode_page(page["packed"], page["width"], page["height"]))
+            try:
+                text, conf = engine.decode_page_stats(
+                    page["packed"], page["width"], page["height"])
+                page_texts.append(text)
+                confs.append(conf)
+            except Exception as e:
+                # A row-level deadline is not a page failure — it must abort
+                # the whole row (the stage converts it to an error row).
+                from janet_ray.functions.deadline import RowDeadlineExceeded
+
+                if isinstance(e, RowDeadlineExceeded):
+                    raise
+                n_failed += 1
+                page_texts.append("")
         else:
             items = sorted(page["items"], key=lambda it: (it[1], it[0]))
             page_texts.append(" ".join(it[2] for it in items))
+    if strict and n_failed:
+        raise OcrStrictError(f"{n_failed} of {len(pages)} pages failed OCR")
     doc = "\n\n".join(page_texts)
     lead = len(doc) - len(doc.lstrip())
     doc = doc.strip()
@@ -162,4 +212,5 @@ def ocr_document(pages: list[dict], engine: OcrEngine) -> tuple[str, list[dict],
         if end > start:
             spans.append({"page": i, "start": start, "end": end, "kind": "ocr"})
         pos += len(t)
-    return doc, spans, len(pages)
+    confidence = (sum(confs) / len(confs)) if confs else None
+    return doc, spans, len(pages), n_failed, confidence

@@ -1,0 +1,149 @@
+"""SURVEY §4 timeouts + A2/A5 — per-row deadline, strict failed-page gate,
+OCR confidence (reference: pdf.ts:61-70 / ocr-utils.ts:115-117 timeouts,
+ocr-controller.ts:120-131 strict gate, ocr.ts:58 confidence)."""
+
+import time
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from janet_ray.formats import jpdf
+from janet_ray.functions.deadline import RowDeadlineExceeded, row_deadline
+from janet_ray.stages import ocr as ocr_mod
+from janet_ray.stages.extract import ExtractStage
+from janet_ray.stages.router import sniff_routes
+
+
+def _pages_batch(payloads, texts=None):
+    n = len(payloads)
+    t = pa.table({
+        "url": pa.array([f"https://x.example/{i}" for i in range(n)], pa.string()),
+        "warc_ts": pa.array([0] * n, pa.timestamp("us")),
+        "html": pa.array(payloads, pa.binary()),
+        "text": pa.array(texts or [None] * n, pa.string()),
+        "lang": pa.array(["en"] * n, pa.string()),
+    })
+    return sniff_routes(t)
+
+
+# ------------------------------------------------------------------ deadline
+
+def test_row_deadline_interrupts_pure_python_loop():
+    t0 = time.monotonic()
+    with pytest.raises(RowDeadlineExceeded):
+        with row_deadline(0.2):
+            while True:  # pathological row: unbounded pure-Python loop
+                pass
+    assert time.monotonic() - t0 < 5.0
+
+
+def test_row_deadline_disarmed_none_and_zero():
+    with row_deadline(None):
+        assert True
+    with row_deadline(0):
+        assert True
+
+
+def test_row_deadline_no_residual_timer():
+    with pytest.raises(RowDeadlineExceeded):
+        with row_deadline(0.1):
+            time.sleep(5)
+    time.sleep(0.25)  # an expired timer would fire here and kill the test
+
+
+class HangingEngine(ocr_mod.OcrEngine):
+    """Wedges forever on decode — the synthetic pathological document."""
+
+    def decode_page(self, packed, width, height):
+        while True:
+            pass
+
+
+def test_extract_stage_converts_hung_row_to_error_row():
+    scan = jpdf.encode([{"scan": "will hang"}])
+    ok_html = (b"<!DOCTYPE html><html><body><article><h1>t</h1><p>"
+               + b"fine content word " * 30 + b"</p></article></body></html>")
+    stage = ExtractStage(engine_factory=HangingEngine, deadline_s=0.3)
+    t0 = time.monotonic()
+    out = stage(_pages_batch([scan, ok_html])).to_pandas()
+    assert time.monotonic() - t0 < 10.0
+    hung = out.iloc[0]
+    assert hung["route"] == "error" and not hung["success"]
+    assert "deadline" in hung["error"]
+    assert out.iloc[1]["success"]  # the batch survived the poison row
+
+
+# ---------------------------------------------------------------- strict gate
+
+class FlakyEngine(ocr_mod.OcrEngine):
+    """Fails decode on every second page."""
+
+    def __init__(self):
+        self.calls = 0
+
+    def decode_page_stats(self, packed, width, height):
+        self.calls += 1
+        if self.calls % 2 == 0:
+            raise RuntimeError("synthetic page failure")
+        return jpdf.decode_bitmap(packed, width, height), 0.9
+
+
+def test_ocr_document_stats_counts_failed_pages():
+    pages = jpdf.parse(jpdf.encode([{"scan": "page one"}, {"scan": "page two"},
+                                    {"scan": "page three"}]))
+    text, spans, n, n_failed, conf = ocr_mod.ocr_document_stats(pages, FlakyEngine())
+    assert n == 3 and n_failed == 1
+    assert "page one" in text and "page three" in text and "page two" not in text
+    assert conf == pytest.approx(0.9)
+    # the failed page contributes an empty slot but order is preserved
+    assert [s["page"] for s in spans] == [0, 2]
+
+
+def test_strict_gate_raises_and_stage_emits_error_row():
+    pages = jpdf.parse(jpdf.encode([{"scan": "a"}, {"scan": "b"}]))
+    with pytest.raises(ocr_mod.OcrStrictError):
+        ocr_mod.ocr_document_stats(pages, FlakyEngine(), strict=True)
+
+    scan = jpdf.encode([{"scan": "one"}, {"scan": "two"}])
+    stage = ExtractStage(engine_factory=FlakyEngine, strict_ocr=True)
+    out = stage(_pages_batch([scan])).to_pandas().iloc[0]
+    assert out["route"] == "error" and "strict gate" in out["error"]
+
+    lax = ExtractStage(engine_factory=FlakyEngine, strict_ocr=False)
+    row = lax(_pages_batch([scan])).to_pandas().iloc[0]
+    assert row["success"] and row["n_failed_pages"] == 1
+    assert row["ocr_confidence"] == pytest.approx(0.9)
+
+
+# ---------------------------------------------------------------- confidence
+
+def test_glyph_engine_confidence_degrades_on_corruption():
+    packed, w, h = jpdf.raster_page("hello world")
+    text, conf = ocr_mod.GlyphGridEngine().decode_page_stats(packed, w, h)
+    assert conf == 1.0 and text == "hello world"
+
+    # corrupt one glyph cell: flip bits in the first cell's rows
+    bits = np.unpackbits(np.frombuffer(packed, dtype=np.uint8)
+                         .reshape(h, (w + 7) // 8), axis=1)[:, :w].astype(bool)
+    bits[0:jpdf.GLYPH_H, 0:jpdf.GLYPH_W] = ~bits[0:jpdf.GLYPH_H, 0:jpdf.GLYPH_W]
+    corrupted = np.packbits(bits, axis=1).tobytes()
+    text2, conf2 = ocr_mod.GlyphGridEngine().decode_page_stats(corrupted, w, h)
+    assert text2.startswith("?")
+    assert 0.0 < conf2 < 1.0
+    n_glyphs = sum(1 for c in "hello world" if c != " ")
+    assert conf2 == pytest.approx((n_glyphs - 1) / n_glyphs)
+
+
+def test_extract_stage_default_confidence_columns():
+    """Clean OCR docs report confidence 1.0 and zero failed pages; html rows
+    carry nulls (confidence is an OCR-route concept)."""
+    scan = jpdf.encode([{"scan": "clean scan text"}])
+    html = (b"<!DOCTYPE html><html><body><article><h1>t</h1><p>"
+            + b"real content word " * 30 + b"</p></article></body></html>")
+    out = ExtractStage()(_pages_batch([scan, html])).to_pandas()
+    ocr_row = out[out["route"] == "ocr"].iloc[0]
+    assert ocr_row["ocr_confidence"] == 1.0 and ocr_row["n_failed_pages"] == 0
+    html_row = out[out["route"] == "html"].iloc[0]
+    assert html_row["n_failed_pages"] == 0
+    assert html_row["ocr_confidence"] is None or np.isnan(html_row["ocr_confidence"])
