@@ -203,10 +203,16 @@ def run_partitioned(
 
 def read_output(out_dir: str, *, global_dedupe: bool = True) -> "ray.data.Dataset":
     """Read all committed partitions back as one Dataset (optionally applying the
-    cross-partition last-wins dedupe + global sort for the stable final view)."""
+    cross-partition last-wins dedupe + global sort for the stable final view).
+
+    The dedupe needs the standard extraction columns (url/warc_ts/route); a
+    run_partitioned(pipeline=custom) output with a different schema is returned
+    as-is rather than crashing on the missing keys."""
     part_dirs = sorted(glob.glob(os.path.join(out_dir, "part-*")))
     files = [f for d in part_dirs for f in sorted(glob.glob(os.path.join(d, "*.parquet")))]
     ds = ray.data.read_parquet(files)
     if global_dedupe:
-        ds = dedupe_last_wins(ds).sort("url")
+        cols = set(ds.schema().names)
+        if {"url", "warc_ts", "route"} <= cols:
+            ds = dedupe_last_wins(ds).sort("url")
     return ds

@@ -1069,6 +1069,51 @@ FROM assigned GROUP BY 1, 2
 """
 
 
+# ------------------------------------------------------------- visibility
+
+def q_visibility_filter(sf_dir: str):
+    """P19 — ownership/visibility predicate (internal-stream/[token]/route.ts:71-94):
+    ``is_public OR owner OR org-match`` as ONE vectorized Arrow filter (never a
+    per-row lambda). The testdata carries no ownership columns, so they are
+    derived deterministically from doc_id — same arithmetic in the oracle."""
+    viewer_user, viewer_org = 3, 2
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        is_public = did % 4 == 0
+        user_id = did % 7
+        has_org = did % 3 != 0
+        org_id = did % 5
+        keep = is_public | (user_id == viewer_user) | (has_org & (org_id == viewer_org))
+        t = pa.table({
+            "doc_id": pa.array(did, pa.int64()),
+            "is_public": pa.array(is_public),
+            "user_id": pa.array(user_id, pa.int64()),
+            # org-less docs carry a null organization_id (mask-built, no loop)
+            "organization_id": pa.Array.from_pandas(
+                np.where(has_org, org_id, 0), mask=~has_org, type=pa.int64()),
+        })
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_VISIBILITY_SQL = """
+WITH owned AS (
+  SELECT doc_id,
+         (doc_id % 4 = 0) AS is_public,
+         CAST(doc_id % 7 AS BIGINT) AS user_id,
+         CASE WHEN doc_id % 3 = 0 THEN NULL
+              ELSE CAST(doc_id % 5 AS BIGINT) END AS organization_id
+  FROM documents
+)
+SELECT * FROM owned
+WHERE is_public OR user_id = 3
+   OR (organization_id IS NOT NULL AND organization_id = 2)
+"""
+
+
 # ------------------------------------------------------------- highlights
 
 _HL_KEYWORD = "scan join"
@@ -1134,6 +1179,7 @@ def build_queries() -> dict:
         "events_sliding": q_events_sliding,
         "search_highlights": q_search_highlights,
         "searchable_artifact": q_searchable_artifact,
+        "visibility_filter": q_visibility_filter,
     }
 
 
@@ -1178,4 +1224,5 @@ def build_oracles() -> dict[str, str]:
         "events_sessions": _SESSIONS_SQL,
         "events_sliding": _SLIDING_SQL,
         "search_highlights": _search_highlights_sql(),
+        "visibility_filter": _VISIBILITY_SQL,
     }

@@ -37,6 +37,13 @@ def test_run_partitioned_custom_pipeline(ray_session, small_corpus, tmp_path):
     schema = pq.ParquetFile(files[0]).schema_arrow
     assert "n_tokens" in schema.names
 
+    # read_output's default global_dedupe must degrade gracefully on a custom
+    # schema that lacks the url/warc_ts/route dedupe keys (ADVICE r01)
+    from janet_ray.pipelines.checkpoint import read_output
+
+    back = read_output(out)  # would previously crash in dedupe_last_wins
+    assert back.count() == summary["n_rows"]
+
 
 def test_skew_split_mode_same_results(ray_session, small_corpus):
     """skew_split=True (materialize-once + two-branch batch budgets) must be
