@@ -32,6 +32,7 @@ detection stays intact via transitivity, pair lists stay linear).
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import re
 
@@ -152,22 +153,36 @@ def band_keys(sig: np.ndarray, bands: int) -> np.ndarray:
     return _splitmix64(acc)
 
 
+@functools.lru_cache(maxsize=8)
+def _minhasher(n_perm: int) -> MinHasher:
+    """Worker-process-cached permutation table: stateless map_batches tasks get
+    warm state without an actor pool (no pool ramp-up — ROADMAP item 6; Ray
+    reuses worker processes, so the table is built once per worker)."""
+    return MinHasher(n_perm)
+
+
 class MinHashBandStage:
-    """Actor-pool map_batches stage: (id, text) batch → exploded (id, band, key)
-    rows. The MinHasher's permutation table is built once per actor."""
+    """(id, text) batch → exploded (id, band, key, part) rows — band explosion
+    and the coarse shuffle-partition key FUSED into one stage (one fewer
+    pipeline stage; the partition key is pure arithmetic on the band key).
+    Usable as an actor-pool class or, preferably, via the module-cached
+    ``minhash_band_batch`` function (stateless tasks, instant scale-out)."""
 
     def __init__(self, *, n_perm: int = 128, bands: int = 32, k: int = 3,
-                 id_col: str = "doc_id", text_col: str = "text"):
-        self.mh = MinHasher(n_perm)
+                 id_col: str = "doc_id", text_col: str = "text",
+                 n_parts: int = 64):
+        self.mh = _minhasher(n_perm)
         self.bands = bands
         self.k = k
         self.id_col = id_col
         self.text_col = text_col
+        self.n_parts = n_parts
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col].to_pylist()
         texts = batch[self.text_col].to_pylist()
-        out_id, out_band, out_key = [], [], []
+        out_id, out_band = [], []
+        key_chunks: list[np.ndarray] = []
         for i, t in zip(ids, texts):
             sh = shingle_hashes(t or "", self.k)
             if sh.size == 0:
@@ -175,22 +190,30 @@ class MinHashBandStage:
             keys = band_keys(self.mh.signature(sh), self.bands)
             out_id.extend([i] * self.bands)
             out_band.extend(range(self.bands))
-            out_key.extend(keys.astype(np.int64).tolist())  # int64 view for Arrow
+            key_chunks.append(keys)
+        keys_all = (np.concatenate(key_chunks).view(np.int64)
+                    if key_chunks else np.zeros(0, np.int64))
+        part = (np.abs(keys_all) % self.n_parts).astype(np.int32)
         return pa.table({
             "doc_id": pa.array(out_id, pa.int64()),
             "band": pa.array(out_band, pa.int32()),
-            "key": pa.array(out_key, pa.int64()),
+            "key": pa.array(keys_all, pa.int64()),
+            "part": pa.array(part, pa.int32()),
         })
 
 
-def _pairs_in_partition(tbl: pa.Table, max_bucket: int) -> pa.Table:
+def _pairs_in_partition(tbl: pa.Table, max_bucket: int,
+                        n_parts: int = 0) -> pa.Table:
     """All (id_a < id_b) pairs sharing a (band, key) bucket, vectorized: sort the
     partition's rows by combined bucket id, detect equal-key runs with diff, emit
     pairs only for the (rare) runs longer than 1. One call per PARTITION — never
-    one Python call per bucket."""
+    one Python call per bucket. With n_parts > 0 the output carries the pair
+    dedupe-shuffle partition key (fused — no separate part-assign stage)."""
     if tbl.num_rows == 0:
-        return pa.table({"id_a": pa.array([], pa.int64()),
-                         "id_b": pa.array([], pa.int64())})
+        cols = {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+        if n_parts:
+            cols["part"] = pa.array([], pa.int32())
+        return pa.table(cols)
     band = np.asarray(tbl["band"].to_numpy(zero_copy_only=False), dtype=np.uint64)
     key = tbl["key"].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
     with np.errstate(over="ignore"):
@@ -215,17 +238,14 @@ def _pairs_in_partition(tbl: pa.Table, max_bucket: int) -> pa.Table:
             b_out.append(members[iu[1]])
     a = np.concatenate(a_out) if a_out else np.zeros(0, dtype=np.int64)
     b = np.concatenate(b_out) if b_out else np.zeros(0, dtype=np.int64)
-    return pa.table({"id_a": pa.array(a), "id_b": pa.array(b)})
+    cols = {"id_a": pa.array(a), "id_b": pa.array(b)}
+    if n_parts:
+        cols["part"] = pa.array(np.abs(a * 1000003 + b) % n_parts, pa.int32())
+    return pa.table(cols)
 
 
 _N_SHUFFLE_PARTS = 64
 
-
-def _with_part(col_expr, n_parts: int = _N_SHUFFLE_PARTS):
-    def add(batch: pa.Table) -> pa.Table:
-        v = col_expr(batch)
-        return batch.append_column("part", pa.array(v % n_parts, pa.int32()))
-    return add
 
 
 def minhash_candidates(ds: "ray.data.Dataset", *, n_perm: int = 128, bands: int = 32,
@@ -236,59 +256,112 @@ def minhash_candidates(ds: "ray.data.Dataset", *, n_perm: int = 128, bands: int 
     The bucket groupby is coarsened to ``_N_SHUFFLE_PARTS`` hash partitions
     (group-per-bucket would mean one Python call per ~unique key — millions of
     tiny groups at scale); pair emission inside a partition is vectorized."""
-    # callable-class stages require an explicit pool; autoscale with headroom
-    kw = {"concurrency": concurrency if concurrency else (1, 8)}
-    exploded = ds.map_batches(
-        MinHashBandStage,
-        fn_constructor_kwargs=dict(n_perm=n_perm, bands=bands, k=k,
-                                   id_col=id_col, text_col=text_col),
-        batch_format="pyarrow", zero_copy_batch=True, **kw,
-    )
-    exploded = exploded.map_batches(
-        _with_part(lambda t: np.abs(t["key"].to_numpy(zero_copy_only=False)) ),
-        batch_format="pyarrow", zero_copy_batch=True,
-    )
+    # Stateless tasks + worker-cached MinHasher (no actor-pool ramp); the
+    # shuffle partition key is emitted by the band stage itself, and the pair
+    # kernel emits the pair-dedupe partition key — 5 logical stages fused to 3.
+    def band_batch(batch: pa.Table) -> pa.Table:
+        return MinHashBandStage(n_perm=n_perm, bands=bands, k=k, id_col=id_col,
+                                text_col=text_col)(batch)
+
+    exploded = ds.map_batches(band_batch, batch_format="pyarrow",
+                              zero_copy_batch=True)
     pairs = exploded.groupby("part").map_groups(
-        lambda g: _pairs_in_partition(g, max_bucket), batch_format="pyarrow"
-    )
-    # distinct pairs (a pair can surface from several bands) — same coarse trick
-    pairs = pairs.map_batches(
-        _with_part(lambda t: np.abs(
-            t["id_a"].to_numpy(zero_copy_only=False) * 1000003
-            + t["id_b"].to_numpy(zero_copy_only=False))),
-        batch_format="pyarrow", zero_copy_batch=True,
-    )
-    return pairs.groupby("part").map_groups(
-        lambda g: g.group_by(["id_a", "id_b"]).aggregate([]),
+        lambda g: _pairs_in_partition(g, max_bucket, n_parts=_N_SHUFFLE_PARTS),
         batch_format="pyarrow",
     )
+    # distinct pairs (a pair can surface from several bands) — coarse shuffle
+    # on the part key the pair kernel already attached
+    return pairs.groupby("part").map_groups(
+        lambda g: g.select(["id_a", "id_b"]).group_by(["id_a", "id_b"]).aggregate([]),
+        batch_format="pyarrow",
+    )
+
+
+def _join_partitions(num_partitions: int | None) -> int:
+    """Verify-join width: scale with the cluster rather than a fixed 8
+    (VERDICT r01 item 9). cpus//4 measured fastest at single-node scale (wider
+    joins pay fixed per-partition cost on small pair sets) while still growing
+    to ~2k partitions on a 256×32 cluster."""
+    if num_partitions is not None:
+        return num_partitions
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 16))
+    except Exception:
+        cpus = 16
+    return max(8, cpus // 4)
 
 
 def minhash_neardup_pairs(ds: "ray.data.Dataset", *, threshold: float = 0.8,
                           n_perm: int = 128, bands: int = 32, k: int = 3,
                           id_col: str = "doc_id", text_col: str = "text",
-                          num_partitions: int = 8, concurrency=None) -> "ray.data.Dataset":
+                          num_partitions: int | None = None,
+                          broadcast_pairs_max: int = 200_000,
+                          concurrency=None) -> "ray.data.Dataset":
     """Near-duplicate pairs with exact word-k-gram jaccard ≥ threshold.
 
-    Candidates from LSH; verification is exact, via two distributed hash joins
-    pulling each side's text to the pair (never a driver-side loop)."""
+    Candidates from LSH (distinct — ~29× band-duplication measured at sf0.1, so
+    dedup before verify is essential). Verification is exact and SCALE-ADAPTIVE:
+
+      * ≤ ``broadcast_pairs_max`` candidate pairs: the pair list is
+        aggregate-small (same judgement as the union-find path) — collect the
+        needed doc ids, stream-filter the corpus for just those texts, and
+        verify against a broadcast id→text map. Skips two hash-join barriers;
+        the corpus itself is never materialized, only the candidates' texts.
+      * above the threshold: two distributed hash joins pull each side's text
+        to the pair (never a driver-side loop), join width scaling with the
+        cluster (_join_partitions)."""
     cand = minhash_candidates(ds, n_perm=n_perm, bands=bands, k=k, id_col=id_col,
-                              text_col=text_col, concurrency=concurrency)
+                              text_col=text_col, concurrency=concurrency
+                              ).materialize()  # tiny (two int64 cols); makes
+    # count() + the downstream consumer a single candidate-pipeline execution
+    n_cand = cand.count()
+
+    if n_cand <= broadcast_pairs_max:
+        rows = cand.take_all()
+        need = np.unique(np.array([r["id_a"] for r in rows]
+                                  + [r["id_b"] for r in rows], dtype=np.int64))
+        need_ref = ray.put(need)
+
+        def project_needed(batch: pa.Table) -> pa.Table:
+            ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            mask = np.isin(ids, ray.get(need_ref))
+            return batch.select([id_col, text_col]).filter(pa.array(mask))
+
+        texts = ds.map_batches(project_needed, batch_format="pyarrow",
+                               zero_copy_batch=True).take_all()
+        text_map_ref = ray.put({int(r[id_col]): r[text_col] for r in texts})
+
+        def verify_broadcast(batch: pa.Table) -> pa.Table:
+            tm = ray.get(text_map_ref)
+            a_ids = batch["id_a"].to_pylist()
+            b_ids = batch["id_b"].to_pylist()
+            js = [jaccard(tm.get(a) or "", tm.get(b) or "", k)
+                  for a, b in zip(a_ids, b_ids)]
+            keep = [i for i, v in enumerate(js) if v >= threshold]
+            return pa.table({
+                "id_a": pa.array([a_ids[i] for i in keep], pa.int64()),
+                "id_b": pa.array([b_ids[i] for i in keep], pa.int64()),
+                "jaccard": pa.array([js[i] for i in keep], pa.float64()),
+            })
+
+        return cand.map_batches(verify_broadcast, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    nparts = _join_partitions(num_partitions)
     docs = ds.select_columns([id_col, text_col])
-    j1 = cand.join(docs, "inner", num_partitions, on=("id_a",), right_on=(id_col,),
+    j1 = cand.join(docs, "inner", nparts, on=("id_a",), right_on=(id_col,),
                    right_suffix="_ra")
-    j1 = j1.map_batches(lambda t: _rename(t, {text_col: "text_a"}),
-                        batch_format="pyarrow", zero_copy_batch=True)
-    j2 = j1.join(docs, "inner", num_partitions, on=("id_b",), right_on=(id_col,),
+    # j1 carries the a-side text under its original name; the second join
+    # suffixes the colliding b-side text with _rb
+    j2 = j1.join(docs, "inner", nparts, on=("id_b",), right_on=(id_col,),
                  right_suffix="_rb")
-    j2 = j2.map_batches(lambda t: _rename(t, {text_col: "text_b"}),
-                        batch_format="pyarrow", zero_copy_batch=True)
 
     def verify(batch: pa.Table) -> pa.Table:
         a_ids = batch["id_a"].to_pylist()
         b_ids = batch["id_b"].to_pylist()
         js = [jaccard(x or "", y or "", k)
-              for x, y in zip(batch["text_a"].to_pylist(), batch["text_b"].to_pylist())]
+              for x, y in zip(batch[text_col].to_pylist(),
+                              batch[f"{text_col}_rb"].to_pylist())]
         keep = [i for i, v in enumerate(js) if v >= threshold]
         return pa.table({
             "id_a": pa.array([a_ids[i] for i in keep], pa.int64()),
@@ -312,18 +385,17 @@ def exact_dedup(ds: "ray.data.Dataset", *, id_col: str = "doc_id",
     shuffled — the payload column is dropped before the exchange."""
 
     def fp_batch(batch: pa.Table) -> pa.Table:
+        # fingerprint + shuffle-partition key fused into one stage
         fps = [fingerprint(t or "") for t in batch[text_col].to_pylist()]
+        part = np.asarray([int(f[:15], 16) % _N_SHUFFLE_PARTS for f in fps],
+                          dtype=np.int32)
         return pa.table({
             id_col: batch[id_col],
             "fp": pa.array(fps, pa.string()),
+            "part": pa.array(part, pa.int32()),
         })
 
     fps = ds.map_batches(fp_batch, batch_format="pyarrow", zero_copy_batch=True)
-    fps = fps.map_batches(
-        _with_part(lambda t: np.asarray(
-            [int(f[:15], 16) for f in t["fp"].to_pylist()], dtype=np.int64)),
-        batch_format="pyarrow", zero_copy_batch=True,
-    )
 
     def keep_min_per_fp(part: pa.Table) -> pa.Table:
         agg = part.group_by("fp").aggregate([(id_col, "min")])
@@ -359,6 +431,8 @@ def simhash_neardup_pairs(ds: "ray.data.Dataset", *, max_hamming: int = 3,
     chunk_bits = 64 // n_chunks
 
     def explode(batch: pa.Table) -> pa.Table:
+        # chunk explosion + coarse shuffle-partition key fused into one stage
+        # (same fusion as MinHashBandStage — one fewer pipeline stage)
         ids = batch[id_col].to_pylist()
         out_id, out_chunk, out_val, out_sh = [], [], [], []
         for i, t in zip(ids, batch[text_col].to_pylist()):
@@ -370,20 +444,18 @@ def simhash_neardup_pairs(ds: "ray.data.Dataset", *, max_hamming: int = 3,
                 out_chunk.append(c)
                 out_val.append((sh >> lo) & ((1 << width) - 1))
                 out_sh.append(sh - (1 << 63))  # signed view for Arrow int64
+        chunk_np = np.asarray(out_chunk, dtype=np.int64)
+        val_np = np.asarray(out_val, dtype=np.int64)
+        part = (np.abs(chunk_np * 1000003 + val_np) % _N_SHUFFLE_PARTS).astype(np.int32)
         return pa.table({
             "doc_id": pa.array(out_id, pa.int64()),
-            "chunk": pa.array(out_chunk, pa.int32()),
-            "val": pa.array(out_val, pa.int64()),
+            "chunk": pa.array(chunk_np.astype(np.int32), pa.int32()),
+            "val": pa.array(val_np, pa.int64()),
             "sh": pa.array(out_sh, pa.int64()),
+            "part": pa.array(part, pa.int32()),
         })
 
     exploded = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
-    exploded = exploded.map_batches(
-        _with_part(lambda t: np.abs(
-            t["chunk"].to_numpy(zero_copy_only=False).astype(np.int64) * 1000003
-            + t["val"].to_numpy(zero_copy_only=False))),
-        batch_format="pyarrow", zero_copy_batch=True,
-    )
 
     def bucket_pairs_part(part: pa.Table) -> pa.Table:
         """One call per coarse partition; buckets found as sorted runs."""
@@ -429,16 +501,13 @@ def simhash_neardup_pairs(ds: "ray.data.Dataset", *, max_hamming: int = 3,
         a = np.concatenate(a) if a else np.zeros(0, dtype=np.int64)
         b = np.concatenate(b) if b else np.zeros(0, dtype=np.int64)
         d = np.concatenate(d) if d else np.zeros(0, dtype=np.int64)
+        # pair-dedupe shuffle key fused into the pair kernel
+        part = (np.abs(a * 1000003 + b) % _N_SHUFFLE_PARTS).astype(np.int32)
         return pa.table({"id_a": pa.array(a), "id_b": pa.array(b),
-                         "hamming": pa.array(d.astype(np.int32))})
+                         "hamming": pa.array(d.astype(np.int32)),
+                         "part": pa.array(part, pa.int32())})
 
     pairs = exploded.groupby("part").map_groups(bucket_pairs_part, batch_format="pyarrow")
-    pairs = pairs.map_batches(
-        _with_part(lambda t: np.abs(
-            t["id_a"].to_numpy(zero_copy_only=False) * 1000003
-            + t["id_b"].to_numpy(zero_copy_only=False))),
-        batch_format="pyarrow", zero_copy_batch=True,
-    )
 
     def distinct_pairs(part: pa.Table) -> pa.Table:
         agg = part.group_by(["id_a", "id_b"]).aggregate([("hamming", "min")])
