@@ -64,6 +64,9 @@ def build_extract_pipeline(
     sort: bool = True,
     num_cpus: float | None = None,  # per-actor CPU reservation; >1 for engines
     # that thread internally (real Tesseract), <1 to oversubscribe cheap stages
+    max_task_retries: int = 3,  # SURVEY §4: the reference's 3-retry budget
+    # (ocr-utils.ts:108-110) at the Ray task level — a crashed actor task is
+    # retried; per-ROW transient retries are RetryingEngine's job (stages/ocr.py)
 ) -> "ray.data.Dataset":
     """pages Dataset → extracted Dataset (EXTRACTED_SCHEMA)."""
     routed = ds.map_batches(sniff_routes, batch_format="pyarrow", zero_copy_batch=True)
@@ -81,7 +84,8 @@ def build_extract_pipeline(
         concurrency = (1, max(1, total - 1))
     if isinstance(concurrency, int):
         concurrency = (1, max(1, concurrency))
-    kw = {"concurrency": concurrency}
+    kw = {"concurrency": concurrency, "max_task_retries": max_task_retries,
+          "max_restarts": max_task_retries}
     if num_cpus is not None:
         kw["num_cpus"] = num_cpus
 
@@ -126,32 +130,57 @@ def build_extract_pipeline(
 N_DEDUPE_PARTS = 64
 
 
-def dedupe_last_wins(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+def dedupe_last_wins(ds: "ray.data.Dataset",
+                     salt_parts: int = 0) -> "ray.data.Dataset":
     """A6/J4 — exact per-url dedupe, keep the latest ``warc_ts`` (the keyed
     last-wins upsert of apps/legacy/src/utils/file.ts:40-49).
 
     One hash shuffle on a COARSE partition key (group-per-url would mean one
     Python call per url — 10^12 calls at design scale); inside a partition the
-    per-url argmax is a vectorized sort + run-boundary take."""
-    from janet_ray.functions.partitioning import with_part
+    per-url argmax is a vectorized sort + run-boundary take.
+
+    ``salt_parts > 1`` arms HOT-KEY SALTING (ROADMAP item 7): a url holding a
+    large share of the corpus (a crawl artifact re-fetched millions of times)
+    would otherwise funnel every copy into one partition. The salted pre-pass
+    spreads each url's copies across ``salt_parts`` partition keys
+    (row-position salt), reduces each to its local last-wins survivor, and the
+    ordinary shuffle then merges at most ``salt_parts`` rows per url. The
+    idempotent reducer (max warc_ts) makes the two-stage fold exact."""
+    from janet_ray.functions.partitioning import stable_hash_column, with_part
 
     def add_part(batch: pa.Table) -> pa.Table:
         return with_part(batch, ["url"], n_parts=N_DEDUPE_PARTS)
 
-    def latest_per_url(part: pa.Table) -> pa.Table:
-        if part.num_rows <= 1:
-            return part.drop_columns(["part"])
-        idx = pc.sort_indices(
-            part, sort_keys=[("url", "ascending"), ("warc_ts", "descending"),
-                             ("route", "ascending")]
-        )
-        t = part.take(idx)
-        urls = t["url"].to_numpy(zero_copy_only=False)
-        first_of_run = np.concatenate([[True], urls[1:] != urls[:-1]])
-        return t.filter(pa.array(first_of_run)).drop_columns(["part"])
+    def add_salted_part(batch: pa.Table) -> pa.Table:
+        h = stable_hash_column(batch, ["url"])
+        salt = np.arange(batch.num_rows, dtype=np.int64) % salt_parts
+        part = ((h * np.int64(salt_parts) + salt) % N_DEDUPE_PARTS).astype(np.int32)
+        return batch.append_column("part", pa.array(part))
+
+    if salt_parts > 1:
+        pre = ds.map_batches(add_salted_part, batch_format="pyarrow",
+                             zero_copy_batch=True)
+        ds = pre.groupby("part").map_groups(_latest_per_url_kernel,
+                                            batch_format="pyarrow")
 
     withp = ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
-    return withp.groupby("part").map_groups(latest_per_url, batch_format="pyarrow")
+    return withp.groupby("part").map_groups(_latest_per_url_kernel,
+                                            batch_format="pyarrow")
+
+
+def _latest_per_url_kernel(part: pa.Table) -> pa.Table:
+    """Vectorized within-partition last-wins: sort by (url, warc_ts desc),
+    keep the first row of each url run."""
+    if part.num_rows <= 1:
+        return part.drop_columns(["part"])
+    idx = pc.sort_indices(
+        part, sort_keys=[("url", "ascending"), ("warc_ts", "descending"),
+                         ("route", "ascending")]
+    )
+    t = part.take(idx)
+    urls = t["url"].to_numpy(zero_copy_only=False)
+    first_of_run = np.concatenate([[True], urls[1:] != urls[:-1]])
+    return t.filter(pa.array(first_of_run)).drop_columns(["part"])
 
 
 def run_metrics(extracted: "ray.data.Dataset") -> dict:

@@ -114,6 +114,30 @@ def ocr_word_boxes(pages: list[dict], engine: OcrEngine) -> list[list[dict]]:
     return boxes
 
 
+class RetryingEngine(OcrEngine):
+    """Wrap a flaky engine with the reference's retry policy (3 retries,
+    exp backoff 1s·2^k + ≤1s jitter — ocr-utils.ts:107-151). Meant for
+    production engines with transient failure modes (network OCR, subprocess
+    raster); the deterministic glyph engine does not need it."""
+
+    def __init__(self, inner: OcrEngine, *, retries: int = 3, base_s: float = 1.0,
+                 max_jitter_s: float = 1.0, sleep=None, rng=None):
+        from janet_ray.functions.retry import retry_with_backoff
+        import time as _time
+
+        self._inner = inner
+        self._retry = lambda fn: retry_with_backoff(
+            fn, retries=retries, base_s=base_s, max_jitter_s=max_jitter_s,
+            sleep=sleep or _time.sleep, rng=rng)
+
+    def decode_page(self, packed: bytes, width: int, height: int) -> str:
+        return self._retry(lambda: self._inner.decode_page(packed, width, height))
+
+    def decode_page_stats(self, packed: bytes, width: int, height: int):
+        return self._retry(
+            lambda: self._inner.decode_page_stats(packed, width, height))
+
+
 class SearchableArtifactStage:
     """S11 — the searchable-artifact sink (ocr-utils.ts:279-336) as an actor-pool
     stage: jpdf payload → per-page raster + invisible positioned text layer,

@@ -147,3 +147,53 @@ def test_extract_stage_default_confidence_columns():
     html_row = out[out["route"] == "html"].iloc[0]
     assert html_row["n_failed_pages"] == 0
     assert html_row["ocr_confidence"] is None or np.isnan(html_row["ocr_confidence"])
+
+
+# ------------------------------------------------------------------- retries
+
+def test_retry_with_backoff_schedule():
+    """Delays follow base*2^k + jitter and the call succeeds on the last
+    allowed attempt (3 retries — ocr-utils.ts:108-110)."""
+    import random
+
+    from janet_ray.functions.retry import retry_with_backoff
+
+    calls = {"n": 0}
+    delays = []
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] <= 3:
+            raise ConnectionError("transient")
+        return "ok"
+
+    out = retry_with_backoff(flaky, retries=3, base_s=1.0, max_jitter_s=0.0,
+                             sleep=delays.append, rng=random.Random(0))
+    assert out == "ok" and calls["n"] == 4
+    assert delays == [1.0, 2.0, 4.0]
+
+    calls["n"] = 0
+    with pytest.raises(ConnectionError):
+        retry_with_backoff(flaky, retries=2, base_s=1.0, max_jitter_s=0.0,
+                           sleep=lambda s: None)
+    assert calls["n"] == 3  # initial + 2 retries
+
+
+def test_retrying_engine_recovers_transient_failures():
+    class TransientEngine(ocr_mod.OcrEngine):
+        def __init__(self):
+            self.calls = 0
+
+        def decode_page_stats(self, packed, width, height):
+            self.calls += 1
+            if self.calls % 3 != 0:  # two failures, then success
+                raise ConnectionError("flaky RPC")
+            return jpdf.decode_bitmap(packed, width, height), 0.75
+
+    inner = TransientEngine()
+    eng = ocr_mod.RetryingEngine(inner, retries=3, base_s=0.0, max_jitter_s=0.0,
+                                 sleep=lambda s: None)
+    pages = jpdf.parse(jpdf.encode([{"scan": "retry me"}]))
+    text, spans, n, n_failed, conf = ocr_mod.ocr_document_stats(pages, eng)
+    assert text == "retry me" and n_failed == 0 and conf == 0.75
+    assert inner.calls == 3
