@@ -67,9 +67,14 @@ def build_extract_pipeline(
     max_task_retries: int = 3,  # SURVEY §4: the reference's 3-retry budget
     # (ocr-utils.ts:108-110) at the Ray task level — a crashed actor task is
     # retried; per-ROW transient retries are RetryingEngine's job (stages/ocr.py)
+    custom_sniffers=None,  # §2.10: [(route, predicate)] → router.make_sniffer
+    route_handlers: dict | None = None,  # §2.10: {route: handler} → ExtractStage
 ) -> "ray.data.Dataset":
     """pages Dataset → extracted Dataset (EXTRACTED_SCHEMA)."""
-    routed = ds.map_batches(sniff_routes, batch_format="pyarrow", zero_copy_batch=True)
+    from janet_ray.stages.router import make_sniffer
+
+    sniffer = make_sniffer(custom_sniffers) if custom_sniffers else sniff_routes
+    routed = ds.map_batches(sniffer, batch_format="pyarrow", zero_copy_batch=True)
 
     # An int concurrency becomes an autoscaling (1, c) pool: a fixed-size pool
     # would reserve every CPU up front and starve the read tasks feeding it — a
@@ -86,6 +91,8 @@ def build_extract_pipeline(
         concurrency = (1, max(1, concurrency))
     kw = {"concurrency": concurrency, "max_task_retries": max_task_retries,
           "max_restarts": max_task_retries}
+    if route_handlers:
+        kw["fn_constructor_kwargs"] = {"route_handlers": route_handlers}
     if num_cpus is not None:
         kw["num_cpus"] = num_cpus
 

@@ -35,13 +35,21 @@ class ExtractStage:
     ``deadline_s``: per-row wall-clock budget (SURVEY §4; the reference's 30 s
     pdftoppm kill / 60 s Vision cap) — a row that exceeds it becomes an error
     row, the actor and batch survive. ``strict_ocr``: A2 strict gate — any
-    failed OCR page fails the document (ocr-controller.ts:120-131)."""
+    failed OCR page fails the document (ocr-controller.ts:120-131).
+
+    ``route_handlers``: §2.10 extension surface — ``{route_name: handler}``
+    where ``handler(payload: bytes, hint_text: str | None) -> (text, spans,
+    n_pages)``; consulted BEFORE the built-in routes, paired with a custom
+    sniffer (router.make_sniffer). Handler exceptions become error rows like
+    any other route (error-as-data)."""
 
     def __init__(self, engine_factory=ocr_mod.GlyphGridEngine,
-                 deadline_s: float | None = 30.0, strict_ocr: bool = False):
+                 deadline_s: float | None = 30.0, strict_ocr: bool = False,
+                 route_handlers: dict | None = None):
         self.engine = engine_factory()
         self.deadline_s = deadline_s
         self.strict_ocr = strict_ocr
+        self.route_handlers = route_handlers or {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from janet_ray.functions.deadline import RowDeadlineExceeded, row_deadline
@@ -65,7 +73,12 @@ class ExtractStage:
             final_route = route
             try:
                 with row_deadline(self.deadline_s):
-                    if route == ROUTE_HTML:
+                    if route in self.route_handlers:
+                        text, spans, n_pages = self.route_handlers[route](
+                            payload, hint_text)
+                        if not text:
+                            final_route, err = ROUTE_ERROR, "handler produced no text"
+                    elif route == ROUTE_HTML:
                         text, spans = extract_html(payload)
                         n_pages = 1
                         if not text:

@@ -47,11 +47,18 @@ def _sniff_one(prefix: bytes | None, text_nonempty: bool) -> str:
     return ROUTE_ERROR
 
 
-def sniff_routes(batch: pa.Table) -> pa.Table:
+def sniff_routes(batch: pa.Table, custom_sniffers=None) -> pa.Table:
     """map_batches(batch_format="pyarrow") body: append a ``route`` column.
 
     Only ``binary_slice(html, 0, 16)`` is materialized to Python (16 B/row);
-    the multi-MB payloads are untouched."""
+    the multi-MB payloads are untouched.
+
+    ``custom_sniffers``: ordered ``[(route_name, predicate(prefix) -> bool)]``
+    checked BEFORE the built-ins — the §2.10 router extension point (the
+    analogue of the reference's plugin install hooks,
+    apps/search/src/searchPlugin.tsx:38-48). Pair each custom route with an
+    ExtractStage ``route_handlers`` entry; use ``make_sniffer`` to bind the
+    list for a pipeline."""
     prefixes = pc.binary_slice(batch["html"], 0, _SNIFF_LEN).to_pylist()
     if "text" in batch.column_names:
         nonempty = pc.greater(
@@ -59,5 +66,22 @@ def sniff_routes(batch: pa.Table) -> pa.Table:
         ).to_pylist()
     else:
         nonempty = [False] * batch.num_rows
-    routes = [_sniff_one(p, t) for p, t in zip(prefixes, nonempty)]
+    if custom_sniffers:
+        def route_one(p, t):
+            if p:
+                for name, pred in custom_sniffers:
+                    if pred(p):
+                        return name
+            return _sniff_one(p, t)
+        routes = [route_one(p, t) for p, t in zip(prefixes, nonempty)]
+    else:
+        routes = [_sniff_one(p, t) for p, t in zip(prefixes, nonempty)]
     return batch.append_column("route", pa.array(routes, type=pa.string()))
+
+
+def make_sniffer(custom_sniffers):
+    """Bind custom sniffers into a map_batches-ready function (closure-shipped
+    to workers; predicates must be picklable module-level callables)."""
+    def sniff(batch: pa.Table) -> pa.Table:
+        return sniff_routes(batch, custom_sniffers)
+    return sniff
