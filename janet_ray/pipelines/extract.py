@@ -64,9 +64,12 @@ def build_extract_pipeline(
     sort: bool = True,
     num_cpus: float | None = None,  # per-actor CPU reservation; >1 for engines
     # that thread internally (real Tesseract), <1 to oversubscribe cheap stages
-    max_task_retries: int = 3,  # SURVEY §4: the reference's 3-retry budget
-    # (ocr-utils.ts:108-110) at the Ray task level — a crashed actor task is
-    # retried; per-ROW transient retries are RetryingEngine's job (stages/ocr.py)
+    max_task_retries: int = 0,  # explicit actor-task retry budget. DEFAULT OFF:
+    # Ray Data already re-executes failed tasks via its own lineage, and setting
+    # max_task_retries>0 forces per-task result-lineage tracking that measured
+    # ~60% slower on the sf0.1 headline (8.9s vs 5.5s). Turn on only for
+    # engines with crashy native code; per-ROW transient retries are
+    # RetryingEngine's job (stages/ocr.py, ocr-utils.ts:108-110 semantics)
     custom_sniffers=None,  # §2.10: [(route, predicate)] → router.make_sniffer
     route_handlers: dict | None = None,  # §2.10: {route: handler} → ExtractStage
 ) -> "ray.data.Dataset":
@@ -89,8 +92,10 @@ def build_extract_pipeline(
         concurrency = (1, max(1, total - 1))
     if isinstance(concurrency, int):
         concurrency = (1, max(1, concurrency))
-    kw = {"concurrency": concurrency, "max_task_retries": max_task_retries,
-          "max_restarts": max_task_retries}
+    kw = {"concurrency": concurrency}
+    if max_task_retries:
+        kw["max_task_retries"] = max_task_retries
+        kw["max_restarts"] = max_task_retries
     if route_handlers:
         kw["fn_constructor_kwargs"] = {"route_handlers": route_handlers}
     if num_cpus is not None:
