@@ -1069,6 +1069,109 @@ FROM assigned GROUP BY 1, 2
 """
 
 
+# ------------------------------------------------------- rank / vocab / split
+
+def q_top_orders_per_customer(sf_dir: str):
+    """Per-group top-k (top-3 orders by price per customer) — the distributed
+    'best N rows per key' primitive: one coarse hash shuffle on the group key,
+    vectorized per-partition sort + boundary-rank kernel (stages/rank.py);
+    never a global sort, never a Python call per group."""
+    from janet_ray.stages.rank import group_topk
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    return group_topk(ds, ["o_custkey"], "o_totalprice", 3,
+                      descending=True, tiebreak_cols=["o_orderkey"])
+
+
+_TOP_PER_CUST_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice, rank FROM (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         CAST(row_number() OVER (PARTITION BY o_custkey
+              ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rank
+  FROM orders
+) WHERE rank <= 3
+"""
+
+
+def q_vocab_topk(sf_dir: str):
+    """Corpus-wide term frequency top-k — the vocabulary-building primitive:
+    vectorized Arrow tokenization + per-batch value_counts (partial combine),
+    one small groupby over (word, count) partials, single top-k reduce.
+    The full token stream is never shuffled — only per-batch (word, n) rows."""
+    k = 20
+    ds = _docs(sf_dir)
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.coalesce(batch["text"], pa.scalar("", pa.string()))),
+            pattern="[^a-z0-9]+")
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, pa.scalar("", pa.string())))
+        vc = flat.value_counts()
+        return pa.table({
+            "word": vc.field("values"),
+            "n": pc.cast(vc.field("counts"), pa.int64()),
+        })
+
+    partials = ds.map_batches(partial_counts, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    from ray.data.aggregate import Sum
+
+    totals = partials.groupby("word").aggregate(Sum("n", alias_name="n_total"))
+
+    def topk(batch: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(batch, sort_keys=[("n_total", "descending"),
+                                                ("word", "ascending")])
+        return batch.take(idx[:k])
+
+    return (totals.map_batches(topk, batch_format="pyarrow", zero_copy_batch=True)
+            .repartition(1).map_batches(topk, batch_format="pyarrow"))
+
+
+_VOCAB_TOPK_SQL = """
+SELECT word, CAST(count(*) AS BIGINT) AS n_total FROM (
+  SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS word
+  FROM documents
+) WHERE word != ''
+GROUP BY word ORDER BY n_total DESC, word LIMIT 20
+"""
+
+
+def q_train_test_split(sf_dir: str):
+    """Deterministic content-addressed train/val/test assignment — the split
+    every training pipeline needs: bucket = first-8-hex-digits of md5(doc_id)
+    mod 100 → 95/2.5/2.5. Pure per-row map (no shuffle); identical arithmetic
+    in the oracle, so assignment is reproducible across engines and runs."""
+    import hashlib as _hashlib
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        buckets = [int(_hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
+                   for i in ids]
+        split = ["train" if b < 95 else ("val" if b < 97 else "test")
+                 for b in buckets]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "bucket": pa.array(buckets, pa.int64()),
+            "split": pa.array(split, pa.string()),
+        })
+
+    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_SPLIT_SQL = """
+SELECT doc_id,
+       CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+            % 100 AS BIGINT) AS bucket,
+       CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 < 95 THEN 'train'
+            WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 < 97 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
 # ------------------------------------------------------------- visibility
 
 def q_visibility_filter(sf_dir: str):
@@ -1180,6 +1283,9 @@ def build_queries() -> dict:
         "search_highlights": q_search_highlights,
         "searchable_artifact": q_searchable_artifact,
         "visibility_filter": q_visibility_filter,
+        "top_orders_per_customer": q_top_orders_per_customer,
+        "vocab_topk": q_vocab_topk,
+        "train_test_split": q_train_test_split,
     }
 
 
@@ -1225,4 +1331,7 @@ def build_oracles() -> dict[str, str]:
         "events_sliding": _SLIDING_SQL,
         "search_highlights": _search_highlights_sql(),
         "visibility_filter": _VISIBILITY_SQL,
+        "top_orders_per_customer": _TOP_PER_CUST_SQL,
+        "vocab_topk": _VOCAB_TOPK_SQL,
+        "train_test_split": _SPLIT_SQL,
     }
