@@ -32,6 +32,16 @@ def _docs(sf_dir: str) -> "ray.data.Dataset":
     return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
 
 
+def _pool() -> tuple[int, int]:
+    """Actor-pool width for stateful query stages: scale with the cluster
+    instead of a fixed 4 (leave headroom for the read tasks feeding the pool)."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return (1, max(4, cpus - 2))
+
+
 def _read(sf_dir: str, name: str, columns=None) -> "ray.data.Dataset":
     return ray.data.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
 
@@ -510,7 +520,7 @@ def q_ocr_word_boxes(sf_dir: str):
                 "x1": pa.array(x1s, pa.float64()), "y1": pa.array(y1s, pa.float64()),
             })
 
-    return pages.map_batches(BoxStage, batch_format="pyarrow", concurrency=(1, 4))
+    return pages.map_batches(BoxStage, batch_format="pyarrow", concurrency=_pool())
 
 
 def q_searchable_artifact(sf_dir: str):
@@ -526,7 +536,7 @@ def q_searchable_artifact(sf_dir: str):
     pages = _docs(sf_dir).map_batches(docsrc.scan_pages_batch, batch_format="pyarrow",
                                       zero_copy_batch=True)
     arts = pages.map_batches(SearchableArtifactStage, batch_format="pyarrow",
-                             concurrency=(1, 4))
+                             concurrency=_pool())
 
     def digest(t: pa.Table) -> pa.Table:
         md5 = [None if b is None else _hashlib.md5(b).hexdigest()
@@ -547,7 +557,7 @@ def q_media_probe(sf_dir: str):
     ds = _docs(sf_dir).map_batches(docsrc.media_batch, batch_format="pyarrow",
                                    zero_copy_batch=True)
     probed = ds.map_batches(media.MediaProbeStage, batch_format="pyarrow",
-                            concurrency=(1, 4))
+                            concurrency=_pool())
 
     def flatten(t: pa.Table) -> pa.Table:
         m = t["media_meta"]
@@ -1237,6 +1247,50 @@ def _search_highlights_sql() -> str:
     return hl.highlights_sql(_HL_KEYWORD)
 
 
+def q_ocr_highlights(sf_dir: str):
+    """A4/O4 on the OCR route: decode scanned pages (warm actor engine), find
+    keyword matches in the page text, and emit rects that land EXACTLY on the
+    word-box geometry (highlights.page_match_rects; agreement with
+    ocr.word_boxes_page asserted in tests). Rows-only: positions depend on the
+    raster line-wrap, which SQL can't reproduce."""
+    from janet_ray.formats import jpdf
+    from janet_ray.stages import highlights as hl
+    from janet_ray.stages import ocr as ocr_mod
+    from janet_ray.stages.search import normalize_keyword
+
+    kw = normalize_keyword(_HL_KEYWORD, match_case=True)
+    pages = _docs(sf_dir).map_batches(docsrc.scan_pages_batch, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+
+    class HlStage:
+        def __init__(self):
+            self.engine = ocr_mod.GlyphGridEngine()
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            urls, pgs, rks = [], [], []
+            x0s, y0s, x1s, y1s = [], [], [], []
+            for url, payload in zip(batch["url"].to_pylist(),
+                                    batch["html"].to_pylist()):
+                for pi, page in enumerate(jpdf.parse(payload)):
+                    if page["kind"] != "scan":
+                        continue
+                    text = self.engine.decode_page(
+                        page["packed"], page["width"], page["height"])
+                    for rk, r in enumerate(hl.page_match_rects(text, kw), 1):
+                        urls.append(url); pgs.append(pi); rks.append(rk)
+                        x0s.append(r["x0"]); y0s.append(r["y0"])
+                        x1s.append(r["x1"]); y1s.append(r["y1"])
+            return pa.table({
+                "url": pa.array(urls, pa.string()),
+                "page": pa.array(pgs, pa.int32()),
+                "hl_rank": pa.array(rks, pa.int64()),
+                "x0": pa.array(x0s, pa.int64()), "y0": pa.array(y0s, pa.int64()),
+                "x1": pa.array(x1s, pa.int64()), "y1": pa.array(y1s, pa.int64()),
+            })
+
+    return pages.map_batches(HlStage, batch_format="pyarrow", concurrency=_pool())
+
+
 # --------------------------------------------------------------- registry
 
 def build_queries() -> dict:
@@ -1286,6 +1340,7 @@ def build_queries() -> dict:
         "top_orders_per_customer": q_top_orders_per_customer,
         "vocab_topk": q_vocab_topk,
         "train_test_split": q_train_test_split,
+        "ocr_highlights": q_ocr_highlights,
     }
 
 
