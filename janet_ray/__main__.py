@@ -1,0 +1,5 @@
+"""``python -m janet_ray`` → the CLI (janet_ray/cli.py)."""
+
+from janet_ray.cli import main
+
+raise SystemExit(main())

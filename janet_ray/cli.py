@@ -30,6 +30,12 @@ def main(argv: list[str] | None = None) -> int:
                      help="ray.init num_cpus (default: all)")
     run.add_argument("--concurrent-partitions", type=int, default=1,
                      help="overlap up to N partitions (straggler mitigation)")
+    run.add_argument("--deadline-s", type=float, default=30.0,
+                     help="per-row wall-clock budget; 0 disables (default 30)")
+    run.add_argument("--strict-ocr", action="store_true",
+                     help="any failed OCR page fails the whole document (A2)")
+    run.add_argument("--salt-parts", type=int, default=0,
+                     help="hot-url salting for the dedupe shuffle (0 = off)")
     args = ap.parse_args(argv)
 
     import ray
@@ -50,6 +56,11 @@ def main(argv: list[str] | None = None) -> int:
             num_partitions=args.partitions,
             resume=not args.no_resume,
             max_concurrent_partitions=args.concurrent_partitions,
+            extract_kwargs={
+                "deadline_s": args.deadline_s or None,
+                "strict_ocr": args.strict_ocr,
+                "dedupe_salt_parts": args.salt_parts,
+            },
         )
     except FileNotFoundError as e:
         print(f"error: {e}", file=sys.stderr)

@@ -82,12 +82,16 @@ def run_partitioned(
     concurrency=None,
     pipeline=None,
     max_concurrent_partitions: int = 1,
+    extract_kwargs: dict | None = None,
 ) -> dict:
     """Run a pipeline partition-by-partition with manifests + resume.
 
     ``pipeline``: ``Dataset -> Dataset`` builder; defaults to the flagship
     extraction pipeline. Any analysis pipeline (dedup, textstats, …) gets the
     same checkpoint/resume semantics by passing its builder here.
+    ``extract_kwargs``: extra keyword arguments forwarded to the default
+    ``build_extract_pipeline`` (e.g. route_handlers, max_task_retries) —
+    ignored when ``pipeline`` is given.
 
     ``max_concurrent_partitions > 1`` overlaps partitions from driver threads
     (Ray datasets execute concurrently and share the cluster): stragglers stop
@@ -119,6 +123,7 @@ def run_partitioned(
                     ds, batch_size=batch_size,
                     concurrency=concurrency_override or concurrency,
                     dedupe=True, sort=True,
+                    **(extract_kwargs or {}),
                 )
             tmp_dir = os.path.join(out_dir, f"_tmp-part-{pid:05d}")
             if os.path.isdir(tmp_dir):

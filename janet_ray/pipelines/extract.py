@@ -72,6 +72,9 @@ def build_extract_pipeline(
     # RetryingEngine's job (stages/ocr.py, ocr-utils.ts:108-110 semantics)
     custom_sniffers=None,  # §2.10: [(route, predicate)] → router.make_sniffer
     route_handlers: dict | None = None,  # §2.10: {route: handler} → ExtractStage
+    deadline_s: float | None = 30.0,  # per-row wall-clock budget (SURVEY §4)
+    strict_ocr: bool = False,  # A2 strict gate: any failed page fails the doc
+    dedupe_salt_parts: int = 0,  # hot-key salting for the url dedupe (ROADMAP 7)
 ) -> "ray.data.Dataset":
     """pages Dataset → extracted Dataset (EXTRACTED_SCHEMA)."""
     from janet_ray.stages.router import make_sniffer
@@ -96,8 +99,15 @@ def build_extract_pipeline(
     if max_task_retries:
         kw["max_task_retries"] = max_task_retries
         kw["max_restarts"] = max_task_retries
+    ctor: dict = {}
     if route_handlers:
-        kw["fn_constructor_kwargs"] = {"route_handlers": route_handlers}
+        ctor["route_handlers"] = route_handlers
+    if deadline_s != 30.0:
+        ctor["deadline_s"] = deadline_s
+    if strict_ocr:
+        ctor["strict_ocr"] = strict_ocr
+    if ctor:
+        kw["fn_constructor_kwargs"] = ctor
     if num_cpus is not None:
         kw["num_cpus"] = num_cpus
 
@@ -133,7 +143,7 @@ def build_extract_pipeline(
         out = extracted_n.union(extracted_g)
 
     if dedupe:
-        out = dedupe_last_wins(out)
+        out = dedupe_last_wins(out, salt_parts=dedupe_salt_parts)
     if sort:
         out = out.sort("url")
     return out
