@@ -101,6 +101,36 @@ def q_extract_ocr_text(sf_dir: str):
     return out.select_columns(["url", "text", "route", "success", "n_pages"])
 
 
+def q_extract_ocr_normalized(sf_dir: str):
+    """OCR route with a SQL-checkable projection: the raster wrap only turns
+    spaces into newlines, so decode(raster(text)) with '\\n'→' ' must equal the
+    source words joined by single spaces — an exact oracle proving the full
+    raster→glyph-decode round trip preserves every word byte. Wrap POSITIONS
+    (not SQL-expressible) stay golden-tested in tests/test_pdf_ocr.py and the
+    rows-only extract_ocr_text query."""
+    pages = _docs(sf_dir).map_batches(docsrc.scan_pages_batch, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+    out = build_extract_pipeline(pages, dedupe=False, sort=False)
+
+    def norm(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": t["url"],
+            "text_normalized": pc.replace_substring(t["text"], "\n", " "),
+            "route": t["route"],
+            "success": t["success"],
+        })
+
+    return out.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_OCR_NORMALIZED_SQL = """
+SELECT 'https://docs.example/d-' || lpad(CAST(doc_id AS VARCHAR), 7, '0') AS url,
+       array_to_string(regexp_extract_all(text, '\\S+'), ' ') AS text_normalized,
+       'ocr' AS route, TRUE AS success
+FROM documents
+"""
+
+
 def q_route_counts(sf_dir: str):
     pages = _docs(sf_dir).map_batches(docsrc.mixed_pages_batch, batch_format="pyarrow",
                                       zero_copy_batch=True)
@@ -1341,6 +1371,7 @@ def build_queries() -> dict:
         "vocab_topk": q_vocab_topk,
         "train_test_split": q_train_test_split,
         "ocr_highlights": q_ocr_highlights,
+        "extract_ocr_normalized": q_extract_ocr_normalized,
     }
 
 
@@ -1389,4 +1420,5 @@ def build_oracles() -> dict[str, str]:
         "top_orders_per_customer": _TOP_PER_CUST_SQL,
         "vocab_topk": _VOCAB_TOPK_SQL,
         "train_test_split": _SPLIT_SQL,
+        "extract_ocr_normalized": _OCR_NORMALIZED_SQL,
     }
