@@ -39,32 +39,43 @@ def group_topk(
     (ascending) so the emitted set and ranks match a SQL
     ``row_number() OVER (PARTITION BY g ORDER BY s DESC, t)`` oracle exactly."""
     tiebreak_cols = tiebreak_cols or []
-    order = "descending" if descending else "ascending"
 
     def add_part(batch: pa.Table) -> pa.Table:
         return with_part(batch, group_cols, n_parts=n_parts)
 
     def topk_kernel(part: pa.Table) -> pa.Table:
-        part = part.drop_columns(["part"])
-        if part.num_rows == 0:
-            return part.append_column(rank_col, pa.array([], pa.int64()))
-        keys = ([(c, "ascending") for c in group_cols]
-                + [(sort_col, order)]
-                + [(c, "ascending") for c in tiebreak_cols])
-        t = part.take(pc.sort_indices(part, sort_keys=keys))
-        # vectorized per-group rank: positions since the last group boundary
-        gcols = [t[c].to_numpy(zero_copy_only=False) for c in group_cols]
-        n = t.num_rows
-        boundary = np.zeros(n, dtype=bool)
-        boundary[0] = True
-        for g in gcols:
-            boundary[1:] |= g[1:] != g[:-1]
-        idx = np.arange(n, dtype=np.int64)
-        group_start = np.maximum.accumulate(np.where(boundary, idx, 0))
-        rank = idx - group_start + 1
-        keep = rank <= k
-        return t.filter(pa.array(keep)).append_column(
-            rank_col, pa.array(rank[keep], pa.int64()))
+        return group_topk_kernel(part.drop_columns(["part"]), group_cols,
+                                 sort_col, k, descending=descending,
+                                 tiebreak_cols=tiebreak_cols, rank_col=rank_col)
 
     withp = ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
     return withp.groupby("part").map_groups(topk_kernel, batch_format="pyarrow")
+
+
+def group_topk_kernel(part: pa.Table, group_cols: list[str], sort_col: str,
+                      k: int, *, descending: bool = True,
+                      tiebreak_cols: list[str] | None = None,
+                      rank_col: str = "rank") -> pa.Table:
+    """The within-partition kernel (module-level so tests can drive it
+    directly): sort once, detect group boundaries vectorized, rank = position
+    since the last boundary, keep rank ≤ k."""
+    tiebreak_cols = tiebreak_cols or []
+    order = "descending" if descending else "ascending"
+    if part.num_rows == 0:
+        return part.append_column(rank_col, pa.array([], pa.int64()))
+    keys = ([(c, "ascending") for c in group_cols]
+            + [(sort_col, order)]
+            + [(c, "ascending") for c in tiebreak_cols])
+    t = part.take(pc.sort_indices(part, sort_keys=keys))
+    gcols = [t[c].to_numpy(zero_copy_only=False) for c in group_cols]
+    n = t.num_rows
+    boundary = np.zeros(n, dtype=bool)
+    boundary[0] = True
+    for g in gcols:
+        boundary[1:] |= g[1:] != g[:-1]
+    idx = np.arange(n, dtype=np.int64)
+    group_start = np.maximum.accumulate(np.where(boundary, idx, 0))
+    rank = idx - group_start + 1
+    keep = rank <= k
+    return t.filter(pa.array(keep)).append_column(
+        rank_col, pa.array(rank[keep], pa.int64()))
