@@ -149,18 +149,20 @@ def decode_bitmap_stats(packed: bytes, width: int, height: int) -> tuple[str, in
         .reshape(n_lines, n_cols, GLYPH_H * GLYPH_W)
     )
     keys = np.packbits(cells, axis=2)  # (lines, cols, 5)
+    # n_glyphs vectorized (non-blank = any bit set); only the unknown count
+    # needs the per-cell dict outcome, tracked with a single branch the
+    # original decode loop already paid (FONT_REVERSE.get fallback)
+    n_glyphs = int(keys.any(axis=2).sum())
+    n_unknown = 0
     out_lines = []
-    n_glyphs = n_unknown = 0
     for r in range(n_lines):
         chars = []
         for c in range(n_cols):
-            key = keys[r, c].tobytes()
-            ch = FONT_REVERSE.get(key)
-            if key != _SPACE_KEY:
-                n_glyphs += 1
-                if ch is None:
-                    n_unknown += 1
-            chars.append(ch if ch is not None else "?")
+            ch = FONT_REVERSE.get(keys[r, c].tobytes())
+            if ch is None:
+                n_unknown += 1
+                ch = "?"
+            chars.append(ch)
         out_lines.append("".join(chars).rstrip())
     return "\n".join(out_lines), n_glyphs, n_unknown
 

@@ -54,6 +54,10 @@ class row_deadline:
     def __exit__(self, exc_type, exc, tb):
         if self._armed:
             signal.setitimer(signal.ITIMER_REAL, 0.0)
-            signal.signal(signal.SIGALRM, self._old_handler)
+            # signal.signal() returns None when the prior handler was installed
+            # outside Python (C extension) — restoring None raises TypeError
+            signal.signal(signal.SIGALRM,
+                          self._old_handler if self._old_handler is not None
+                          else signal.SIG_DFL)
             self._armed = False
         return False

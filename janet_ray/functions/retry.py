@@ -43,12 +43,19 @@ def retry_with_backoff(
     and try again, up to ``retries`` extra attempts (ocr-utils.ts:107-151:
     3 retries, exponential base 1 s, ≤1 s jitter). The final failure
     propagates — the caller's error-as-data arm owns the row outcome."""
+    from janet_ray.functions.deadline import RowDeadlineExceeded
+
     rng = rng or random.Random()
     attempt = 0
     while True:
         try:
             return fn()
-        except retry_on:
+        except retry_on as e:
+            # A row-deadline expiry is NOT transient: retrying it would defeat
+            # the per-row wall-clock guard (the one-shot itimer is already
+            # consumed) — always propagate so the stage emits the error row.
+            if isinstance(e, RowDeadlineExceeded):
+                raise
             if attempt >= retries:
                 raise
             sleep(base_s * (2 ** attempt) + rng.random() * max_jitter_s)

@@ -124,9 +124,11 @@ def _host_path(url: str) -> tuple[str, str]:
             if j != -1:
                 rest = rest[:j]
         k = rest.find("/")
-        if k == -1:
-            return rest, ""
-        return rest[:k], rest[k:]
+        host = rest if k == -1 else rest[:k]
+        # bracketed (IPv6) authorities have validation rules urlparse enforces
+        # (may raise ValueError → ("", "")) — don't shortcut those
+        if "[" not in host and "]" not in host:
+            return (rest, "") if k == -1 else (rest[:k], rest[k:])
     try:
         p = urlparse(url)
         return p.netloc or "", p.path

@@ -218,13 +218,15 @@ def run_metrics(extracted: "ray.data.Dataset") -> dict:
         Sum("n_chars", alias_name="chars"),
         Sum("n_failed_pages", alias_name="failed_pages"),
         Sum("ocr_confidence", alias_name="conf_sum"),
+        Count("ocr_confidence", ignore_nulls=True, alias_name="conf_n"),
     ).take_all()
     routes = {r["route"]: int(r["rows"]) for r in per_route}
     processed = sum(routes.values())
     succeeded = sum(int(r["succeeded"] or 0) for r in per_route)
-    # A5: confidence is only non-null on the ocr route → its mean is
-    # conf_sum / rows of that route (Sum ignores nulls)
-    ocr_rows = routes.get("ocr", 0)
+    # A5: mean over rows that actually REPORT a confidence (an ocr row whose
+    # scan pages all failed carries null and must not drag the mean down)
+    ocr_rows = next((int(r["conf_n"] or 0) for r in per_route
+                     if r["route"] == "ocr"), 0)
     ocr_conf = next((r["conf_sum"] for r in per_route if r["route"] == "ocr"), None)
     return {
         "processed": processed,

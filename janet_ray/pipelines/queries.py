@@ -569,9 +569,9 @@ def q_searchable_artifact(sf_dir: str):
                              concurrency=_pool())
 
     def digest(t: pa.Table) -> pa.Table:
-        md5 = [None if b is None else _hashlib.md5(b).hexdigest()
-               for b in t["artifact"].to_pylist()]
-        sizes = [0 if b is None else len(b) for b in t["artifact"].to_pylist()]
+        blobs = t["artifact"].to_pylist()  # one copy of the largest column
+        md5 = [None if b is None else _hashlib.md5(b).hexdigest() for b in blobs]
+        sizes = [0 if b is None else len(b) for b in blobs]
         return pa.table({
             "url": t["url"], "n_pages": t["n_pages"], "n_words": t["n_words"],
             "artifact_bytes": pa.array(sizes, pa.int64()),

@@ -165,8 +165,9 @@ class MinHashBandStage:
     """(id, text) batch → exploded (id, band, key, part) rows — band explosion
     and the coarse shuffle-partition key FUSED into one stage (one fewer
     pipeline stage; the partition key is pure arithmetic on the band key).
-    Usable as an actor-pool class or, preferably, via the module-cached
-    ``minhash_band_batch`` function (stateless tasks, instant scale-out)."""
+    Constructed per call by stateless map_batches tasks — the permutation
+    table comes from the worker-cached ``_minhasher`` (instant scale-out,
+    no actor-pool ramp)."""
 
     def __init__(self, *, n_perm: int = 128, bands: int = 32, k: int = 3,
                  id_col: str = "doc_id", text_col: str = "text",
@@ -250,7 +251,7 @@ _N_SHUFFLE_PARTS = 64
 
 def minhash_candidates(ds: "ray.data.Dataset", *, n_perm: int = 128, bands: int = 32,
                        k: int = 3, id_col: str = "doc_id", text_col: str = "text",
-                       max_bucket: int = 1024, concurrency=None) -> "ray.data.Dataset":
+                       max_bucket: int = 1024) -> "ray.data.Dataset":
     """documents → distinct candidate (id_a < id_b) pairs via LSH banding.
 
     The bucket groupby is coarsened to ``_N_SHUFFLE_PARTS`` hash partitions
@@ -295,8 +296,7 @@ def minhash_neardup_pairs(ds: "ray.data.Dataset", *, threshold: float = 0.8,
                           n_perm: int = 128, bands: int = 32, k: int = 3,
                           id_col: str = "doc_id", text_col: str = "text",
                           num_partitions: int | None = None,
-                          broadcast_pairs_max: int = 200_000,
-                          concurrency=None) -> "ray.data.Dataset":
+                          broadcast_pairs_max: int = 200_000) -> "ray.data.Dataset":
     """Near-duplicate pairs with exact word-k-gram jaccard ≥ threshold.
 
     Candidates from LSH (distinct — ~29× band-duplication measured at sf0.1, so
@@ -311,7 +311,7 @@ def minhash_neardup_pairs(ds: "ray.data.Dataset", *, threshold: float = 0.8,
         to the pair (never a driver-side loop), join width scaling with the
         cluster (_join_partitions)."""
     cand = minhash_candidates(ds, n_perm=n_perm, bands=bands, k=k, id_col=id_col,
-                              text_col=text_col, concurrency=concurrency
+                              text_col=text_col
                               ).materialize()  # tiny (two int64 cols); makes
     # count() + the downstream consumer a single candidate-pipeline execution
     n_cand = cand.count()
@@ -371,9 +371,6 @@ def minhash_neardup_pairs(ds: "ray.data.Dataset", *, threshold: float = 0.8,
 
     return j2.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
 
-
-def _rename(t: pa.Table, mapping: dict[str, str]) -> pa.Table:
-    return t.rename_columns([mapping.get(c, c) for c in t.column_names])
 
 
 # ---------------------------------------------------------------- exact dedup

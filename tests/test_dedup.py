@@ -66,9 +66,11 @@ def test_minhash_neardup_pairs_match_bruteforce(ray_session):
 
     t = docs_table()
     ds = ray.data.from_arrow(t)
+    # broadcast_pairs_max=0 forces the DISTRIBUTED hash-join verify path —
+    # the >200k-pair scale route must stay covered (review r2 finding #5)
     got = {(r["id_a"], r["id_b"]): r["jaccard"]
            for r in dedup.minhash_neardup_pairs(ds, threshold=0.8, num_partitions=2,
-                                                concurrency=2).take_all()}
+                                                broadcast_pairs_max=0).take_all()}
     texts = t["text"].to_pylist()
     want = {}
     for a, b in itertools.combinations(range(len(texts)), 2):
@@ -121,8 +123,7 @@ def test_dup_clusters_transitive(ray_session):
 
     t = docs_table()
     ds = ray.data.from_arrow(t)
-    pairs = dedup.minhash_neardup_pairs(ds, threshold=0.8, num_partitions=2,
-                                        concurrency=2)
+    pairs = dedup.minhash_neardup_pairs(ds, threshold=0.8, num_partitions=2)
     got = {r["doc_id"]: r["cluster_rep"]
            for r in dedup.dup_clusters(ds, pairs).take_all()}
     # docs 0,1,3 form one component (0-1 near, 0-3 exact) -> rep 0

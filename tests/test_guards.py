@@ -197,3 +197,63 @@ def test_retrying_engine_recovers_transient_failures():
     text, spans, n, n_failed, conf = ocr_mod.ocr_document_stats(pages, eng)
     assert text == "retry me" and n_failed == 0 and conf == 0.75
     assert inner.calls == 3
+
+
+def test_retrying_engine_does_not_swallow_deadline():
+    """RowDeadlineExceeded must pass through retry_with_backoff — retrying a
+    deadline expiry would defeat the per-row guard (review r2 finding #1)."""
+    from janet_ray.functions.deadline import RowDeadlineExceeded
+    from janet_ray.functions.retry import retry_with_backoff
+
+    calls = {"n": 0}
+
+    def hung():
+        calls["n"] += 1
+        raise RowDeadlineExceeded("row exceeded 30s deadline")
+
+    with pytest.raises(RowDeadlineExceeded):
+        retry_with_backoff(hung, retries=3, sleep=lambda s: None)
+    assert calls["n"] == 1  # no retry attempts
+
+    # and end-to-end: a RetryingEngine-wrapped hanging engine still deadlines
+    inner = HangingEngine()
+    eng_factory = lambda: ocr_mod.RetryingEngine(HangingEngine(), retries=3,
+                                                 base_s=0.0, sleep=lambda s: None)
+    scan = jpdf.encode([{"scan": "will hang"}])
+    stage = ExtractStage(engine_factory=eng_factory, deadline_s=0.3)
+    t0 = time.monotonic()
+    row = stage(_pages_batch([scan])).to_pandas().iloc[0]
+    assert time.monotonic() - t0 < 10.0
+    assert row["route"] == "error" and "deadline" in row["error"]
+
+
+def test_confidence_mean_ignores_null_confidence_rows(ray_session):
+    """run_metrics divides by rows that REPORT a confidence, not all ocr rows
+    (review r2 finding #2). The glyph stage can't emit a null-confidence ocr
+    row itself, but custom engines / future routes can — drive run_metrics
+    directly with a schema-shaped table."""
+    import ray
+
+    from janet_ray.pipelines.extract import run_metrics
+    from janet_ray.schemas import EXTRACTED_SCHEMA, SPAN_TYPE
+
+    n = 3
+    t = pa.table({
+        "url": pa.array([f"u{i}" for i in range(n)], pa.string()),
+        "host": pa.array(["h"] * n, pa.string()),
+        "warc_ts": pa.array([0] * n, pa.timestamp("us")),
+        "lang": pa.array(["en"] * n, pa.string()),
+        "filename": pa.array(["f"] * n, pa.string()),
+        "text": pa.array(["x"] * n, pa.string()),
+        "spans": pa.array([[]] * n, pa.list_(SPAN_TYPE)),
+        "route": pa.array(["ocr", "ocr", "html"], pa.string()),
+        "success": pa.array([True] * n, pa.bool_()),
+        "error": pa.array([""] * n, pa.string()),
+        "n_pages": pa.array([1] * n, pa.int32()),
+        "n_chars": pa.array([1] * n, pa.int64()),
+        "n_failed_pages": pa.array([0, 1, 0], pa.int32()),
+        "ocr_confidence": pa.array([1.0, None, None], pa.float64()),
+    }, schema=EXTRACTED_SCHEMA)
+    m = run_metrics(ray.data.from_arrow(t))
+    assert m["ocr_confidence_mean"] == 1.0  # not 0.5 (null row excluded)
+    assert m["failed_pages"] == 1
