@@ -36,6 +36,13 @@ def main(argv: list[str] | None = None) -> int:
                      help="any failed OCR page fails the whole document (A2)")
     run.add_argument("--salt-parts", type=int, default=0,
                      help="hot-url salting for the dedupe shuffle (0 = off)")
+    ing = sub.add_parser("ingest", help="append-only incremental ingest: rerun "
+                         "after new shards land; only new groups are processed")
+    ing.add_argument("--input", required=True)
+    ing.add_argument("--out", required=True)
+    ing.add_argument("--files-per-group", type=int, default=8)
+    ing.add_argument("--num-cpus", type=int, default=None)
+    ing.add_argument("--concurrent-partitions", type=int, default=1)
     args = ap.parse_args(argv)
 
     import ray
@@ -48,20 +55,27 @@ def main(argv: list[str] | None = None) -> int:
 
     DataContext.get_current().enable_progress_bars = False
 
-    from janet_ray.pipelines.checkpoint import run_partitioned
+    from janet_ray.pipelines.checkpoint import run_incremental, run_partitioned
 
     try:
-        summary = run_partitioned(
-            args.input, args.out,
-            num_partitions=args.partitions,
-            resume=not args.no_resume,
-            max_concurrent_partitions=args.concurrent_partitions,
-            extract_kwargs={
-                "deadline_s": args.deadline_s or None,
-                "strict_ocr": args.strict_ocr,
-                "dedupe_salt_parts": args.salt_parts,
-            },
-        )
+        if args.cmd == "ingest":
+            summary = run_incremental(
+                args.input, args.out,
+                files_per_group=args.files_per_group,
+                max_concurrent_partitions=args.concurrent_partitions,
+            )
+        else:
+            summary = run_partitioned(
+                args.input, args.out,
+                num_partitions=args.partitions,
+                resume=not args.no_resume,
+                max_concurrent_partitions=args.concurrent_partitions,
+                extract_kwargs={
+                    "deadline_s": args.deadline_s or None,
+                    "strict_ocr": args.strict_ocr,
+                    "dedupe_salt_parts": args.salt_parts,
+                },
+            )
     except FileNotFoundError as e:
         print(f"error: {e}", file=sys.stderr)
         return 2

@@ -83,6 +83,7 @@ def run_partitioned(
     pipeline=None,
     max_concurrent_partitions: int = 1,
     extract_kwargs: dict | None = None,
+    _preplanned_parts: list[list[str]] | None = None,
 ) -> dict:
     """Run a pipeline partition-by-partition with manifests + resume.
 
@@ -104,7 +105,8 @@ def run_partitioned(
     files = sorted(glob.glob(os.path.join(input_dir, "*.parquet")))
     if not files:
         raise FileNotFoundError(f"no parquet files under {input_dir}")
-    parts = mf.plan_partitions(files, num_partitions)
+    parts = (_preplanned_parts if _preplanned_parts is not None
+             else mf.plan_partitions(files, num_partitions))
     os.makedirs(out_dir, exist_ok=True)
 
     def run_one(pid: int, part_files: list[str],
@@ -204,6 +206,45 @@ def run_partitioned(
                 f.result()  # re-raise the first failure
 
     return mf.summarize(out_dir, len(parts))
+
+
+def run_incremental(
+    input_dir: str,
+    out_dir: str,
+    *,
+    files_per_group: int = 8,
+    batch_size: int | None = None,
+    concurrency=None,
+    pipeline=None,
+    max_concurrent_partitions: int = 1,
+    extract_kwargs: dict | None = None,
+) -> dict:
+    """Append-only incremental ingest: rerun the SAME call whenever new crawl
+    shards land and only the new shards are processed.
+
+    Unlike ``run_partitioned`` (whose contiguous split over the sorted file
+    list reshapes every partition when files are added — by design a
+    plan-change error on resume), this maintains a persisted append-only group
+    plan (``_manifest/groups.json``): each input file is assigned to a group
+    ONCE, new files extend the plan with new groups of ``files_per_group``,
+    and completed groups are never recomputed. At 100 TB this is the daily
+    operating mode — a crawl drop appends shards, the run cost is proportional
+    to the NEW data only, and ``read_output`` still serves the whole corpus.
+    Deleting planned input files raises (crawl archives are append-only)."""
+    files = sorted(glob.glob(os.path.join(input_dir, "*.parquet")))
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {input_dir}")
+    os.makedirs(out_dir, exist_ok=True)
+    plan = mf.extend_group_plan(out_dir, [os.path.basename(f) for f in files],
+                                files_per_group)
+    parts = [[os.path.join(input_dir, b) for b in group] for group in plan]
+    return run_partitioned(
+        input_dir, out_dir,
+        num_partitions=len(parts),  # informational; plan is preplanned
+        batch_size=batch_size, concurrency=concurrency, pipeline=pipeline,
+        max_concurrent_partitions=max_concurrent_partitions,
+        extract_kwargs=extract_kwargs, _preplanned_parts=parts,
+    )
 
 
 def read_output(out_dir: str, *, global_dedupe: bool = True) -> "ray.data.Dataset":

@@ -66,6 +66,50 @@ def plan_partitions(input_files: list[str], num_partitions: int) -> list[list[st
     return [files[bounds[i] : bounds[i + 1]] for i in range(num_partitions)]
 
 
+def group_plan_path(out_dir: str) -> str:
+    return os.path.join(manifest_dir(out_dir), "groups.json")
+
+
+def load_group_plan(out_dir: str) -> list[list[str]]:
+    """The persisted APPEND-ONLY group plan (incremental ingest): group i =
+    list of input file basenames. Returns [] for a fresh out_dir."""
+    path = group_plan_path(out_dir)
+    if not os.path.exists(path):
+        return []
+    with open(path) as f:
+        return json.load(f)
+
+
+def extend_group_plan(out_dir: str, basenames: list[str],
+                      files_per_group: int) -> list[list[str]]:
+    """Assign input files not yet in the plan to NEW groups (sorted, chunked
+    by ``files_per_group``) and persist atomically BEFORE any processing —
+    restart-safe: a crash between plan write and processing just resumes.
+
+    Append-only contract: files already assigned keep their group forever
+    (their manifests stay valid no matter what arrives later); a planned file
+    missing from the input is an error (deletion is not supported — crawl
+    archives are append-only)."""
+    plan = load_group_plan(out_dir)
+    assigned = {f for g in plan for f in g}
+    have = set(basenames)
+    missing = assigned - have
+    if missing:
+        raise FileNotFoundError(
+            f"{len(missing)} file(s) in the persisted group plan are absent "
+            f"from the input (e.g. {sorted(missing)[:3]}); incremental ingest "
+            "is append-only — restore the files or use a fresh out_dir.")
+    new = sorted(have - assigned)
+    for i in range(0, len(new), files_per_group):
+        plan.append(new[i:i + files_per_group])
+    os.makedirs(manifest_dir(out_dir), exist_ok=True)
+    tmp = group_plan_path(out_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(plan, f, indent=1)
+    os.replace(tmp, group_plan_path(out_dir))
+    return plan
+
+
 def load_manifest(out_dir: str, pid: int) -> PartitionManifest | None:
     path = manifest_path(out_dir, pid)
     if not os.path.exists(path):
