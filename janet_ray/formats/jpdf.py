@@ -80,6 +80,21 @@ FONT, FONT_REVERSE = _build_font()
 _SPACE_KEY = np.packbits(np.zeros(GLYPH_H * GLYPH_W, dtype=bool)).tobytes()
 
 
+def _build_lookup() -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized reverse-font lookup tables: 5-byte glyph keys packed into
+    sorted uint64s + parallel char codes (decode = one searchsorted per page
+    instead of one dict get per cell)."""
+    items = sorted(
+        (int.from_bytes(k, "big"), ord(ch)) for k, ch in FONT_REVERSE.items()
+    )
+    keys = np.array([k for k, _ in items], dtype=np.uint64)
+    codes = np.array([c for _, c in items], dtype=np.uint32)
+    return keys, codes
+
+
+_LOOKUP_KEYS, _LOOKUP_CODES = _build_lookup()
+
+
 def wrap_text(text: str, width: int = LINE_WIDTH) -> list[str]:
     """Greedy word-wrap used by the raster layout (and therefore by the OCR golden:
     the decoded text of a scanned page is exactly '\\n'.join(wrap_text(page_text)))."""
@@ -148,22 +163,24 @@ def decode_bitmap_stats(packed: bytes, width: int, height: int) -> tuple[str, in
         .transpose(0, 2, 1, 3)
         .reshape(n_lines, n_cols, GLYPH_H * GLYPH_W)
     )
-    keys = np.packbits(cells, axis=2)  # (lines, cols, 5)
-    # n_glyphs vectorized (non-blank = any bit set); only the unknown count
-    # needs the per-cell dict outcome, tracked with a single branch the
-    # original decode loop already paid (FONT_REVERSE.get fallback)
-    n_glyphs = int(keys.any(axis=2).sum())
-    n_unknown = 0
-    out_lines = []
-    for r in range(n_lines):
-        chars = []
-        for c in range(n_cols):
-            ch = FONT_REVERSE.get(keys[r, c].tobytes())
-            if ch is None:
-                n_unknown += 1
-                ch = "?"
-            chars.append(ch)
-        out_lines.append("".join(chars).rstrip())
+    keys = np.packbits(cells, axis=2).reshape(-1, 5)  # (lines*cols, 5)
+    # fully vectorized reverse-font lookup: pack each 5-byte key into a
+    # uint64, binary-search the sorted table, decode misses as '?'
+    k64 = (
+        (keys[:, 0].astype(np.uint64) << np.uint64(32))
+        | (keys[:, 1].astype(np.uint64) << np.uint64(24))
+        | (keys[:, 2].astype(np.uint64) << np.uint64(16))
+        | (keys[:, 3].astype(np.uint64) << np.uint64(8))
+        | keys[:, 4].astype(np.uint64)
+    )
+    idx = np.searchsorted(_LOOKUP_KEYS, k64).clip(0, len(_LOOKUP_KEYS) - 1)
+    found = _LOOKUP_KEYS[idx] == k64
+    codes = np.where(found, _LOOKUP_CODES[idx], np.uint32(ord("?")))
+    n_glyphs = int((k64 != 0).sum())  # blank (space) cell key is all-zero
+    n_unknown = int((~found).sum())  # space IS in the table → never unknown
+    text = codes.astype("<u4").tobytes().decode("utf-32-le")
+    out_lines = [text[r * n_cols:(r + 1) * n_cols].rstrip()
+                 for r in range(n_lines)]
     return "\n".join(out_lines), n_glyphs, n_unknown
 
 

@@ -182,3 +182,28 @@ def test_embedding_neardup_ivf_recall(ray_session):
     assert want <= exact
     recall = len(ivf & exact) / len(exact)
     assert recall == 1.0, (recall, exact - ivf)
+
+
+def test_embedding_neardup_auto_dispatches_to_ivf(ray_session):
+    """Above broadcast_max_rows the broadcast variant hands off to the IVF
+    scale path (VERDICT r01 #6) — same pair semantics, approximate recall."""
+    import ray.data
+
+    rng = np.random.RandomState(5)
+    base = rng.randn(12, 16)
+    vecs = np.concatenate([base, base + rng.randn(12, 16) * 0.01])  # 12 near-dup pairs
+    t = pa.table({
+        "vec_id": pa.array(range(24), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float64())),
+    })
+    ds = ray.data.from_arrow(t)
+    exact = {(r["id_a"], r["id_b"])
+             for r in dedup.embedding_neardup_pairs(ds, threshold=0.99).take_all()}
+    # force the dispatch: corpus "too big" to broadcast
+    approx = {(r["id_a"], r["id_b"])
+              for r in dedup.embedding_neardup_pairs(
+                  ds, threshold=0.99, broadcast_max_rows=4).take_all()}
+    assert exact  # the construction produced pairs
+    assert approx <= exact           # IVF never invents pairs
+    assert len(approx) >= len(exact) * 0.5  # and recalls most of them
