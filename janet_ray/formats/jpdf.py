@@ -95,6 +95,19 @@ def _build_lookup() -> tuple[np.ndarray, np.ndarray]:
 _LOOKUP_KEYS, _LOOKUP_CODES = _build_lookup()
 
 
+def _build_raster_lookup() -> tuple[np.ndarray, np.ndarray, int]:
+    """Vectorized forward-font tables: sorted char codes, stacked glyph
+    patterns (N, GLYPH_H, GLYPH_W), and the index of the '?' fallback."""
+    items = sorted((ord(ch), pat) for ch, pat in FONT.items())
+    codes = np.array([c for c, _ in items], dtype=np.uint32)
+    glyphs = np.stack([p for _, p in items])
+    qm = int(np.searchsorted(codes, ord("?")))
+    return codes, glyphs, qm
+
+
+_RASTER_CODES, _RASTER_GLYPHS, _RASTER_QM = _build_raster_lookup()
+
+
 def wrap_text(text: str, width: int = LINE_WIDTH) -> list[str]:
     """Greedy word-wrap used by the raster layout (and therefore by the OCR golden:
     the decoded text of a scanned page is exactly '\\n'.join(wrap_text(page_text)))."""
@@ -121,18 +134,26 @@ def wrap_text(text: str, width: int = LINE_WIDTH) -> list[str]:
 
 
 def raster_page(text: str) -> tuple[bytes, int, int]:
-    """Render page text to a packed 1-bit bitmap. Returns (packed_bytes, width, height)."""
+    """Render page text to a packed 1-bit bitmap. Returns (packed_bytes, width,
+    height). Vectorized per line: char codes → glyph indices (one searchsorted)
+    → stacked gather → one contiguous block write."""
     lines = wrap_text(text)
     width = LINE_WIDTH * CELL_W
     height = len(lines) * CELL_H
     bitmap = np.zeros((height, width), dtype=bool)
     for r, line in enumerate(lines):
-        for c, ch in enumerate(line[:LINE_WIDTH]):
-            pat = FONT.get(ch)
-            if pat is None:
-                pat = FONT["?"]
-            y, x = r * CELL_H, c * CELL_W
-            bitmap[y : y + GLYPH_H, x : x + GLYPH_W] = pat
+        line = line[:LINE_WIDTH]
+        if not line:
+            continue
+        codes = np.frombuffer(line.encode("utf-32-le"), dtype="<u4")
+        idx = np.searchsorted(_RASTER_CODES, codes).clip(0, len(_RASTER_CODES) - 1)
+        idx = np.where(_RASTER_CODES[idx] == codes, idx, _RASTER_QM)
+        glyphs = _RASTER_GLYPHS[idx]  # (L, GLYPH_H, GLYPH_W)
+        n = len(codes)
+        tile = np.zeros((GLYPH_H, n, CELL_W), dtype=bool)
+        tile[:, :, :GLYPH_W] = glyphs.transpose(1, 0, 2)
+        bitmap[r * CELL_H:r * CELL_H + GLYPH_H, :n * CELL_W] = (
+            tile.reshape(GLYPH_H, n * CELL_W))
     packed = np.packbits(bitmap, axis=1).tobytes()
     return packed, width, height
 
