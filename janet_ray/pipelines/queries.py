@@ -1212,6 +1212,43 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------- statistics
+
+_QUANTILES = [0.25, 0.5, 0.75, 0.95, 0.99]
+
+
+def q_quantity_quantiles(sf_dir: str):
+    """Exact distributed discrete quantiles of l_quantity — value-counts
+    partials, one small groupby; shuffle volume bounded by distinct values
+    (50), never the 10^12 row count (stages/stats.py)."""
+    from janet_ray.stages.stats import distributed_quantiles
+
+    ds = _read(sf_dir, "lineitem", columns=["l_quantity"])
+    df = distributed_quantiles(ds, "l_quantity", _QUANTILES)
+    df["value"] = df["value"].astype("int64")
+    return df
+
+
+_QUANTILES_SQL = " UNION ALL ".join(
+    f"SELECT {q} AS q, CAST(quantile_disc(CAST(l_quantity AS BIGINT), {q}) AS BIGINT)"
+    f" AS value FROM lineitem"
+    for q in _QUANTILES
+)
+
+
+def q_events_distinct_users(sf_dir: str):
+    """Exact COUNT(DISTINCT): per-batch local unique (combiner) → one hash
+    shuffle of distinct values only → group count."""
+    from janet_ray.stages.stats import distinct_count
+
+    return distinct_count(_read(sf_dir, "events", columns=["user_id"]), "user_id")
+
+
+_DISTINCT_USERS_SQL = """
+SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct FROM events
+"""
+
+
 # ------------------------------------------------------------- visibility
 
 def q_visibility_filter(sf_dir: str):
@@ -1372,6 +1409,8 @@ def build_queries() -> dict:
         "train_test_split": q_train_test_split,
         "ocr_highlights": q_ocr_highlights,
         "extract_ocr_normalized": q_extract_ocr_normalized,
+        "quantity_quantiles": q_quantity_quantiles,
+        "events_distinct_users": q_events_distinct_users,
     }
 
 
@@ -1421,4 +1460,6 @@ def build_oracles() -> dict[str, str]:
         "vocab_topk": _VOCAB_TOPK_SQL,
         "train_test_split": _SPLIT_SQL,
         "extract_ocr_normalized": _OCR_NORMALIZED_SQL,
+        "quantity_quantiles": _QUANTILES_SQL,
+        "events_distinct_users": _DISTINCT_USERS_SQL,
     }
