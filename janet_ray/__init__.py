@@ -17,7 +17,14 @@ _EXPORTS = {
     "dedupe_last_wins": ("janet_ray.pipelines.extract", "dedupe_last_wins"),
     "run_metrics": ("janet_ray.pipelines.extract", "run_metrics"),
     "run_partitioned": ("janet_ray.pipelines.checkpoint", "run_partitioned"),
+    "run_incremental": ("janet_ray.pipelines.checkpoint", "run_incremental"),
     "read_output": ("janet_ray.pipelines.checkpoint", "read_output"),
+    "group_topk": ("janet_ray.stages.rank", "group_topk"),
+    "distributed_quantiles": ("janet_ray.stages.stats", "distributed_quantiles"),
+    "distinct_count": ("janet_ray.stages.stats", "distinct_count"),
+    "search_highlights": ("janet_ray.stages.highlights", "search_highlights"),
+    "row_deadline": ("janet_ray.functions.deadline", "row_deadline"),
+    "retry_with_backoff": ("janet_ray.functions.retry", "retry_with_backoff"),
     "PAGES_SCHEMA": ("janet_ray.schemas", "PAGES_SCHEMA"),
     "EXTRACTED_SCHEMA": ("janet_ray.schemas", "EXTRACTED_SCHEMA"),
     "SPAN_TYPE": ("janet_ray.schemas", "SPAN_TYPE"),
