@@ -88,3 +88,20 @@ def test_group_plan_persisted_before_processing(tmp_path):
     p2 = mf.extend_group_plan(out, ["a.parquet", "b.parquet", "c.parquet",
                                     "d.parquet"], 2)
     assert p2 == p1 + [["d.parquet"]]
+
+
+def test_read_output_tolerates_schema_evolution(ray_session, small_corpus, tmp_path):
+    """Partitions written by an older engine (missing later-added columns, e.g.
+    round 1's output without n_failed_pages/ocr_confidence) read back with
+    nulls — resuming an output dir across engine upgrades keeps working."""
+    out = str(tmp_path / "out")
+    run_partitioned(os.path.join(small_corpus, "pages"), out, num_partitions=4)
+    stripped = glob.glob(os.path.join(out, "part-00000", "*.parquet"))
+    assert stripped
+    for f in stripped:
+        t = pq.read_table(f)
+        pq.write_table(t.drop_columns(["n_failed_pages", "ocr_confidence"]), f)
+    df = read_output(out).to_pandas()
+    assert "n_failed_pages" in df.columns and "ocr_confidence" in df.columns
+    assert df["n_failed_pages"].isna().sum() > 0  # old rows surfaced as null
+    assert len(df) == len(df["url"].unique())     # dedupe still ran
