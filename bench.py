@@ -154,15 +154,18 @@ def run_suite(sf_dir: str) -> dict[str, float]:
         "top_orders_per_customer": Q.q_top_orders_per_customer,
         "vocab_topk": Q.q_vocab_topk,
         "train_test_split": Q.q_train_test_split,
+        "quantity_quantiles": Q.q_quantity_quantiles,
+        "events_distinct_users": Q.q_events_distinct_users,
     }
     out = {}
     for name, fn in suite.items():
         t0 = time.time()
-        ds = fn(sf_dir)
-        # consume fully without driver materialization of wide columns
-        n = 0
-        for b in ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
-            n += b.num_rows
+        res = fn(sf_dir)
+        if hasattr(res, "iter_batches"):
+            # consume fully without driver materialization of wide columns
+            for _ in res.iter_batches(batch_size=4096, batch_format="pyarrow"):
+                pass
+        # else: already a (small) materialized DataFrame — the query executed
         out[name] = round(time.time() - t0, 3)
     return out
 
