@@ -1212,6 +1212,34 @@ FROM documents
 """
 
 
+# ------------------------------------------------------------- interval join
+
+def q_events_burst_count(sf_dir: str):
+    """J7 interval/range join (count form): per event, how many events by the
+    SAME user fell in the preceding 30 minutes (right-open window — a row
+    never counts itself or simultaneous rows). Cogroup-via-union + one coarse
+    hash shuffle + per-partition searchsorted (stages/joins.py)."""
+    from janet_ray.stages.joins import interval_join_count
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    out = interval_join_count(
+        ev, ev, left_key="user_id", right_key="user_id",
+        left_ts="ts", right_ts="ts",
+        before_us=30 * 60 * 1_000_000, after_us=0, out_col="n_prev_30m")
+    return out.select_columns(["event_id", "n_prev_30m"])
+
+
+_BURST_SQL = """
+SELECT e1.event_id,
+       CAST(count(e2.event_id) AS BIGINT) AS n_prev_30m
+FROM events e1 LEFT JOIN events e2
+  ON e2.user_id = e1.user_id
+ AND e2.ts >= e1.ts - INTERVAL 30 MINUTE
+ AND e2.ts < e1.ts
+GROUP BY e1.event_id
+"""
+
+
 # ---------------------------------------------------------------- statistics
 
 _QUANTILES = [0.25, 0.5, 0.75, 0.95, 0.99]
@@ -1411,6 +1439,7 @@ def build_queries() -> dict:
         "extract_ocr_normalized": q_extract_ocr_normalized,
         "quantity_quantiles": q_quantity_quantiles,
         "events_distinct_users": q_events_distinct_users,
+        "events_burst_count": q_events_burst_count,
     }
 
 
@@ -1462,4 +1491,5 @@ def build_oracles() -> dict[str, str]:
         "extract_ocr_normalized": _OCR_NORMALIZED_SQL,
         "quantity_quantiles": _QUANTILES_SQL,
         "events_distinct_users": _DISTINCT_USERS_SQL,
+        "events_burst_count": _BURST_SQL,
     }

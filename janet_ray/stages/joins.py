@@ -6,6 +6,13 @@ broadcast_semi_join   J3 semi-join: the small key side goes to the object store
                       all (the pattern the reference's client-side search
                       semi-join, apps/web/lib/store.ts:201-205, becomes at scale).
 
+interval_join_count   J7 interval/range join, count form: for each left row
+                      (key, ts), the number of right rows with the same key and
+                      right_ts ∈ [ts − before, ts + after). The count form is
+                      the scale-sane default (pair emission explodes on dense
+                      windows); same cogroup-via-union + per-partition
+                      searchsorted machinery as the as-of join.
+
 asof_join_latest      As-of join (Ray Data has no native one): for each left row
                       (key, ts) attach the latest right row with the same key and
                       right_ts <= ts. Implemented as the cogroup-via-union
@@ -59,6 +66,75 @@ def broadcast_semi_join(ds: "ray.data.Dataset", key_col: str,
         return batch.filter(pa.array(mask))
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def interval_join_count(left: "ray.data.Dataset", right: "ray.data.Dataset", *,
+                        left_key: str, right_key: str, left_ts: str,
+                        right_ts: str, before_us: int, after_us: int,
+                        out_col: str = "n_in_window",
+                        n_parts: int = 64) -> "ray.data.Dataset":
+    """left + count of right rows with the same key and
+    right_ts ∈ [left_ts − before_us, left_ts + after_us)  (right-open: with
+    after_us=0 a row never counts itself or simultaneous rows).
+
+    Partitioning assumption (as asof_join_latest): all rows of one key share a
+    coarse partition via the common ``key % n_parts`` hash of both sides."""
+    for reserved in ("part", "_side"):
+        if reserved in left.schema().names:
+            raise ValueError(f"interval_join_count: left column {reserved!r} "
+                             "collides with an internal tag column — rename it")
+
+    left_schema = left.schema()
+    left_schema_names = left_schema.names
+    left_schema_types = left_schema.types
+    left_ts_type = left_schema_types[left_schema_names.index(left_ts)]
+
+    def tag_left_full(batch: pa.Table) -> pa.Table:
+        keys = batch[left_key].to_numpy(zero_copy_only=False).astype(np.int64)
+        out = batch.append_column("part", pa.array((keys % n_parts).astype(np.int32)))
+        return out.append_column("_side", pa.array(np.zeros(len(keys), dtype=np.int8)))
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        keys = batch[right_key].to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = {name: pa.nulls(len(keys), typ)
+                for name, typ in zip(left_schema_names, left_schema_types)}
+        t = pa.table(cols)
+        t = t.set_column(t.column_names.index(left_key),
+                         left_key, pa.array(keys, pa.int64()))
+        t = t.set_column(t.column_names.index(left_ts), left_ts,
+                         batch[right_ts].cast(left_ts_type))
+        t = t.append_column("part", pa.array((keys % n_parts).astype(np.int32)))
+        return t.append_column("_side", pa.array(np.ones(len(keys), dtype=np.int8)))
+
+    lt = left.map_batches(tag_left_full, batch_format="pyarrow", zero_copy_batch=True)
+    rt = right.map_batches(tag_right, batch_format="pyarrow", zero_copy_batch=True)
+    both = lt.union(rt)
+
+    def merge(part: pa.Table) -> pa.Table:
+        side = part["_side"].to_numpy(zero_copy_only=False)
+        keys = part[left_key].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = part[left_ts].cast(pa.timestamp("us")).to_numpy(
+            zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        l_idx = np.nonzero(side == 0)[0]
+        r_idx = np.nonzero(side == 1)[0]
+        l_tbl = part.take(l_idx).drop_columns(["part", "_side"])
+        counts = np.zeros(len(l_idx), dtype=np.int64)
+        if len(r_idx):
+            rk, rt_ = keys[r_idx], ts[r_idx]
+            order = np.lexsort((rt_, rk))
+            rk, rt_ = rk[order], rt_[order]
+            lk, lt_ = keys[l_idx], ts[l_idx]
+            for k in np.unique(lk):
+                s, e = np.searchsorted(rk, k, "left"), np.searchsorted(rk, k, "right")
+                if s == e:
+                    continue
+                sel = np.nonzero(lk == k)[0]
+                lo = np.searchsorted(rt_[s:e], lt_[sel] - before_us, "left")
+                hi = np.searchsorted(rt_[s:e], lt_[sel] + after_us, "left")
+                counts[sel] = hi - lo
+        return l_tbl.append_column(out_col, pa.array(counts, pa.int64()))
+
+    return both.groupby("part").map_groups(merge, batch_format="pyarrow")
 
 
 def asof_join_latest(left: "ray.data.Dataset", right: "ray.data.Dataset", *,

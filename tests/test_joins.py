@@ -95,3 +95,44 @@ def test_asof_join_rejects_reserved_columns(ray_session):
         joins.asof_join_latest(ray.data.from_arrow(t), ray.data.from_arrow(t),
                                left_key="key", right_key="key",
                                left_ts="ts", right_ts="ts")
+
+
+def test_interval_join_count_window_semantics(ray_session):
+    """[ts-before, ts+after) per key: self excluded at after=0; cross-key
+    never counted; hand-computed fixture."""
+    import ray.data
+
+    from janet_ray.stages.joins import interval_join_count
+
+    def evs(rows):
+        return ray.data.from_arrow(pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        }))
+
+    MIN = 60_000_000
+    rows = [
+        (0, 1, 0),            # nothing before
+        (1, 1, 10 * MIN),     # sees event 0 (within 30m)
+        (2, 1, 35 * MIN),     # sees event 1 only (event 0 is 35m back)
+        (3, 2, 35 * MIN),     # other user: sees nothing
+        (4, 1, 35 * MIN),     # simultaneous with 2, same user: excluded both ways
+    ]
+    out = interval_join_count(
+        evs(rows), evs(rows), left_key="user_id", right_key="user_id",
+        left_ts="ts", right_ts="ts",
+        before_us=30 * MIN, after_us=0, out_col="n").to_pandas() \
+        .set_index("event_id")["n"]
+    assert out.to_dict() == {0: 0, 1: 1, 2: 1, 3: 0, 4: 1}
+
+    # symmetric window (after > 0) counts both directions but never self/simultaneous? 
+    # with after>0 the right-open bound still excludes nothing at equal ts+after edge;
+    # equal-ts rows ARE in [ts-b, ts+a) when a>0 — verify that too
+    out2 = interval_join_count(
+        evs(rows), evs(rows), left_key="user_id", right_key="user_id",
+        left_ts="ts", right_ts="ts",
+        before_us=30 * MIN, after_us=1, out_col="n").to_pandas() \
+        .set_index("event_id")["n"]
+    # each row now also counts itself (its own ts is inside the window)
+    assert out2.to_dict() == {0: 1, 1: 2, 2: 3, 3: 1, 4: 3}  # 2,4: self+evt1+each other
