@@ -156,6 +156,7 @@ def run_suite(sf_dir: str) -> dict[str, float]:
         "train_test_split": Q.q_train_test_split,
         "quantity_quantiles": Q.q_quantity_quantiles,
         "events_distinct_users": Q.q_events_distinct_users,
+        "events_burst_count": Q.q_events_burst_count,
     }
     out = {}
     for name, fn in suite.items():
