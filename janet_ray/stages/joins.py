@@ -119,16 +119,24 @@ def interval_join_count(left: "ray.data.Dataset", right: "ray.data.Dataset", *,
         r_idx = np.nonzero(side == 1)[0]
         l_tbl = part.take(l_idx).drop_columns(["part", "_side"])
         counts = np.zeros(len(l_idx), dtype=np.int64)
-        if len(r_idx):
+        if len(r_idx) and len(l_idx):
             rk, rt_ = keys[r_idx], ts[r_idx]
             order = np.lexsort((rt_, rk))
             rk, rt_ = rk[order], rt_[order]
             lk, lt_ = keys[l_idx], ts[l_idx]
-            for k in np.unique(lk):
+            # sort left by key once and walk key RUNS — a per-key `lk == k`
+            # boolean scan would be O(keys · rows) per partition, quadratic
+            # when partitions hold many keys at scale
+            lorder = np.argsort(lk, kind="stable")
+            lk_s = lk[lorder]
+            runs = np.concatenate([[0], np.nonzero(np.diff(lk_s))[0] + 1,
+                                   [len(lk_s)]])
+            for a, b in zip(runs[:-1], runs[1:]):
+                k = lk_s[a]
                 s, e = np.searchsorted(rk, k, "left"), np.searchsorted(rk, k, "right")
                 if s == e:
                     continue
-                sel = np.nonzero(lk == k)[0]
+                sel = lorder[a:b]
                 lo = np.searchsorted(rt_[s:e], lt_[sel] - before_us, "left")
                 hi = np.searchsorted(rt_[s:e], lt_[sel] + after_us, "left")
                 counts[sel] = hi - lo
@@ -186,17 +194,23 @@ def asof_join_latest(left: "ray.data.Dataset", right: "ray.data.Dataset", *,
         r_idx = np.nonzero(side == 1)[0]
         l_tbl = part.take(l_idx).drop_columns(["part", "_side"])
         matched = np.full(len(l_idx), np.iinfo(np.int64).min, dtype=np.int64)
-        if len(r_idx):
+        if len(r_idx) and len(l_idx):
             rk, rt_ = keys[r_idx], ts[r_idx]
             order = np.lexsort((rt_, rk))
             rk, rt_ = rk[order], rt_[order]
             lk, lt_ = keys[l_idx], ts[l_idx]
-            # per key present in this partition: vectorized searchsorted
-            for k in np.unique(lk):
+            # per key-RUN (left sorted once): a per-key `lk == k` scan would be
+            # O(keys · rows) per partition — quadratic at scale
+            lorder = np.argsort(lk, kind="stable")
+            lk_s = lk[lorder]
+            runs = np.concatenate([[0], np.nonzero(np.diff(lk_s))[0] + 1,
+                                   [len(lk_s)]])
+            for a, b in zip(runs[:-1], runs[1:]):
+                k = lk_s[a]
                 s, e = np.searchsorted(rk, k, "left"), np.searchsorted(rk, k, "right")
                 if s == e:
                     continue
-                sel = np.nonzero(lk == k)[0]
+                sel = lorder[a:b]
                 pos = np.searchsorted(rt_[s:e], lt_[sel], "right") - 1
                 ok = pos >= 0
                 matched[sel[ok]] = rt_[s:e][pos[ok]]
