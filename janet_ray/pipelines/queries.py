@@ -1212,6 +1212,21 @@ FROM documents
 """
 
 
+# ------------------------------------------------------------- LM quality
+
+def q_lm_surprise(sf_dir: str):
+    """CCNet-style LM-surprise quality score: bigram model fit on the corpus
+    in one distributed counting pass, broadcast once, scored per doc (no
+    shuffle in the scoring pass). Rows-only: log2 floats are not
+    SQL-hash-reproducible; pinned against a single-process reference
+    implementation in tests/test_lm_quality.py."""
+    from janet_ray.stages import lm_quality as lm
+
+    docs = _docs(sf_dir)
+    model = lm.build_bigram_model(docs, max_vocab=50_000)
+    return lm.score_surprise(docs, model)
+
+
 # ------------------------------------------------------------- interval join
 
 def q_events_burst_count(sf_dir: str):
@@ -1440,6 +1455,7 @@ def build_queries() -> dict:
         "quantity_quantiles": q_quantity_quantiles,
         "events_distinct_users": q_events_distinct_users,
         "events_burst_count": q_events_burst_count,
+        "lm_surprise": q_lm_surprise,
     }
 
 
