@@ -157,6 +157,7 @@ def run_suite(sf_dir: str) -> dict[str, float]:
         "quantity_quantiles": Q.q_quantity_quantiles,
         "events_distinct_users": Q.q_events_distinct_users,
         "events_burst_count": Q.q_events_burst_count,
+        "lm_surprise": Q.q_lm_surprise,
     }
     out = {}
     for name, fn in suite.items():

@@ -1212,6 +1212,41 @@ FROM documents
 """
 
 
+# ------------------------------------------------------------- group sample
+
+def q_orders_group_sample(sf_dir: str):
+    """Deterministic uniform per-group sampling (eval-set construction): rank
+    rows within each customer by a content-addressed pseudo-random key
+    (md5 of the order key) and keep the first 2 — group_topk reused with the
+    hash as the sort column, reproducible across engines and runs."""
+    import hashlib as _hashlib
+
+    from janet_ray.stages.rank import group_topk
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        hs = [int(_hashlib.md5(str(k).encode()).hexdigest()[:8], 16)
+              for k in batch["o_orderkey"].to_pylist()]
+        return batch.append_column("h", pa.array(hs, pa.int64()))
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
+    out = group_topk(hashed, ["o_custkey"], "h", 2, descending=False,
+                     tiebreak_cols=["o_orderkey"])
+    return out.select_columns(["o_custkey", "o_orderkey", "rank"])
+
+
+_GROUP_SAMPLE_SQL = """
+SELECT o_custkey, o_orderkey, rank FROM (
+  SELECT o_custkey, o_orderkey,
+         CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY
+              CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS UBIGINT),
+              o_orderkey) AS BIGINT) AS rank
+  FROM orders
+) WHERE rank <= 2
+"""
+
+
 # ------------------------------------------------------------- LM quality
 
 def q_lm_surprise(sf_dir: str):
@@ -1456,6 +1491,7 @@ def build_queries() -> dict:
         "events_distinct_users": q_events_distinct_users,
         "events_burst_count": q_events_burst_count,
         "lm_surprise": q_lm_surprise,
+        "orders_group_sample": q_orders_group_sample,
     }
 
 
@@ -1508,4 +1544,5 @@ def build_oracles() -> dict[str, str]:
         "quantity_quantiles": _QUANTILES_SQL,
         "events_distinct_users": _DISTINCT_USERS_SQL,
         "events_burst_count": _BURST_SQL,
+        "orders_group_sample": _GROUP_SAMPLE_SQL,
     }
