@@ -1212,6 +1212,73 @@ FROM documents
 """
 
 
+# ----------------------------------------------------- composed training flow
+
+def q_training_manifest(sf_dir: str):
+    """THE product flow, end-to-end in one lazy chain: near-dup clustering →
+    keep one representative per cluster (distributed hash join, no broadcast
+    of the corpus) → quality gate → fingerprint + deterministic split
+    assignment. Output is the training-manifest view a 100 TB run materializes;
+    every piece reuses an already-oracle-checked operator, and the composition
+    itself is oracle-checked here."""
+    import hashlib as _hashlib
+
+    docs = _docs(sf_dir)
+    pairs = dedup.minhash_neardup_pairs(docs, threshold=0.8)
+    clusters = dedup.dup_clusters(docs, pairs)
+
+    def reps_only(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch["doc_id"], batch["cluster_rep"])
+        return batch.filter(keep).select(["doc_id"])
+
+    reps = clusters.map_batches(reps_only, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    survivors = reps.join(docs, "inner", 8, on=("doc_id",), right_on=("doc_id",))
+
+    def manifest(batch: pa.Table) -> pa.Table:
+        t = ts.add_textstats(batch)
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(t["n_tokens"], 10),
+                    pc.greater_equal(t["alpha_ratio"], 0.5)),
+            pc.less_equal(t["mean_token_len"], 12.0),
+        )
+        t = t.filter(keep)
+        ids = t["doc_id"].to_pylist()
+        fps = [ts.fingerprint(x or "") for x in t["text"].to_pylist()]
+        buckets = [int(_hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
+                   for i in ids]
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_tokens": t["n_tokens"],
+            "fp": pa.array(fps, pa.string()),
+            "split": pa.array(["train" if b < 95 else ("val" if b < 97 else "test")
+                               for b in buckets], pa.string()),
+        })
+
+    return survivors.map_batches(manifest, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+
+
+def _training_manifest_sql() -> str:
+    stats = ts.textstats_sql()
+    head = _DUP_CLUSTERS_SQL.rsplit("SELECT id AS doc_id", 1)[0].rstrip()
+    assert head.endswith(")")
+    bucket = ("CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) "
+              "AS UBIGINT) % 100")
+    return f"""{head}, reps AS (
+  SELECT id, min(reach) AS rep FROM r GROUP BY id
+)
+SELECT d.doc_id,
+       {stats['n_tokens']} AS n_tokens,
+       {ts.fingerprint_sql()} AS fp,
+       CASE WHEN {bucket} < 95 THEN 'train'
+            WHEN {bucket} < 97 THEN 'val' ELSE 'test' END AS split
+FROM documents d JOIN reps ON reps.id = d.doc_id AND reps.rep = d.doc_id
+WHERE ({stats['n_tokens']}) >= 10 AND ({stats['alpha_ratio']}) >= 0.5
+  AND ({stats['mean_token_len']}) <= 12.0
+"""
+
+
 # ------------------------------------------------------------- group sample
 
 def q_orders_group_sample(sf_dir: str):
@@ -1492,6 +1559,7 @@ def build_queries() -> dict:
         "events_burst_count": q_events_burst_count,
         "lm_surprise": q_lm_surprise,
         "orders_group_sample": q_orders_group_sample,
+        "training_manifest": q_training_manifest,
     }
 
 
@@ -1545,4 +1613,5 @@ def build_oracles() -> dict[str, str]:
         "events_distinct_users": _DISTINCT_USERS_SQL,
         "events_burst_count": _BURST_SQL,
         "orders_group_sample": _GROUP_SAMPLE_SQL,
+        "training_manifest": _training_manifest_sql(),
     }
