@@ -41,8 +41,8 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB oracles (generated from the same constants as the Ray operators
     where possible — see janet_ray/stages/textstats.py). Keys absent here
     (extract_ocr_text, simhash_neardup, ivf_topk, ocr_word_boxes,
-    embedding_neardup_ivf, searchable_artifact, ocr_highlights) are
-    non-SQL-expressible and take the driver's rows-only check."""
+    embedding_neardup_ivf, searchable_artifact, ocr_highlights, lm_surprise)
+    are non-SQL-expressible and take the driver's rows-only check."""
     from janet_ray.pipelines.queries import build_oracles
 
     return build_oracles()

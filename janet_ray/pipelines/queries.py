@@ -55,6 +55,36 @@ def _cents(arr: pa.ChunkedArray | pa.Array, scale: int = 100) -> pa.Array:
 
 _CENTS_SQL = "CAST(floor({expr} * {scale} + 0.5) AS BIGINT)"
 
+# ---- content-addressed hashing shared by split / sampling / manifest -------
+# ONE definition on each side (Python + SQL template): first 8 hex digits of
+# md5(str(v)) as an unsigned int; split buckets = that value mod 100 with the
+# 95/2.5/2.5 cut. Every query reuses these — the thresholds and the hash can
+# never drift apart between the standalone split query and the composed
+# manifest.
+
+_SPLIT_TRAIN_PCT, _SPLIT_VAL_PCT = 95, 97
+
+
+def _md5_u32(vals) -> list[int]:
+    import hashlib as _hashlib
+
+    return [int(_hashlib.md5(str(v).encode()).hexdigest()[:8], 16) for v in vals]
+
+
+def _split_label(bucket: int) -> str:
+    return ("train" if bucket < _SPLIT_TRAIN_PCT
+            else ("val" if bucket < _SPLIT_VAL_PCT else "test"))
+
+
+def _md5_u32_sql(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 8)) AS UBIGINT)"
+
+
+def _split_case_sql(expr: str) -> str:
+    b = f"{_md5_u32_sql(expr)} % 100"
+    return (f"CASE WHEN {b} < {_SPLIT_TRAIN_PCT} THEN 'train' "
+            f"WHEN {b} < {_SPLIT_VAL_PCT} THEN 'val' ELSE 'test' END")
+
 
 # --------------------------------------------------------------- extraction
 
@@ -1181,33 +1211,25 @@ def q_train_test_split(sf_dir: str):
     """Deterministic content-addressed train/val/test assignment — the split
     every training pipeline needs: bucket = first-8-hex-digits of md5(doc_id)
     mod 100 → 95/2.5/2.5. Pure per-row map (no shuffle); identical arithmetic
-    in the oracle, so assignment is reproducible across engines and runs."""
-    import hashlib as _hashlib
-
+    in the oracle (shared _md5_u32/_split_label definitions), so assignment is
+    reproducible across engines and runs."""
     ds = _read(sf_dir, "documents", columns=["doc_id"])
 
     def assign(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
-        buckets = [int(_hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
-                   for i in ids]
-        split = ["train" if b < 95 else ("val" if b < 97 else "test")
-                 for b in buckets]
+        buckets = [h % 100 for h in _md5_u32(batch["doc_id"].to_pylist())]
         return pa.table({
             "doc_id": batch["doc_id"],
             "bucket": pa.array(buckets, pa.int64()),
-            "split": pa.array(split, pa.string()),
+            "split": pa.array([_split_label(b) for b in buckets], pa.string()),
         })
 
     return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
 
 
-_SPLIT_SQL = """
+_SPLIT_SQL = f"""
 SELECT doc_id,
-       CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
-            % 100 AS BIGINT) AS bucket,
-       CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 < 95 THEN 'train'
-            WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 < 97 THEN 'val'
-            ELSE 'test' END AS split
+       CAST({_md5_u32_sql('doc_id')} % 100 AS BIGINT) AS bucket,
+       {_split_case_sql('doc_id')} AS split
 FROM documents
 """
 
@@ -1221,8 +1243,6 @@ def q_training_manifest(sf_dir: str):
     assignment. Output is the training-manifest view a 100 TB run materializes;
     every piece reuses an already-oracle-checked operator, and the composition
     itself is oracle-checked here."""
-    import hashlib as _hashlib
-
     docs = _docs(sf_dir)
     pairs = dedup.minhash_neardup_pairs(docs, threshold=0.8)
     clusters = dedup.dup_clusters(docs, pairs)
@@ -1245,14 +1265,12 @@ def q_training_manifest(sf_dir: str):
         t = t.filter(keep)
         ids = t["doc_id"].to_pylist()
         fps = [ts.fingerprint(x or "") for x in t["text"].to_pylist()]
-        buckets = [int(_hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
-                   for i in ids]
+        buckets = [h % 100 for h in _md5_u32(ids)]
         return pa.table({
             "doc_id": pa.array(ids, pa.int64()),
             "n_tokens": t["n_tokens"],
             "fp": pa.array(fps, pa.string()),
-            "split": pa.array(["train" if b < 95 else ("val" if b < 97 else "test")
-                               for b in buckets], pa.string()),
+            "split": pa.array([_split_label(b) for b in buckets], pa.string()),
         })
 
     return survivors.map_batches(manifest, batch_format="pyarrow",
@@ -1263,16 +1281,13 @@ def _training_manifest_sql() -> str:
     stats = ts.textstats_sql()
     head = _DUP_CLUSTERS_SQL.rsplit("SELECT id AS doc_id", 1)[0].rstrip()
     assert head.endswith(")")
-    bucket = ("CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) "
-              "AS UBIGINT) % 100")
     return f"""{head}, reps AS (
   SELECT id, min(reach) AS rep FROM r GROUP BY id
 )
 SELECT d.doc_id,
        {stats['n_tokens']} AS n_tokens,
        {ts.fingerprint_sql()} AS fp,
-       CASE WHEN {bucket} < 95 THEN 'train'
-            WHEN {bucket} < 97 THEN 'val' ELSE 'test' END AS split
+       {_split_case_sql('d.doc_id')} AS split
 FROM documents d JOIN reps ON reps.id = d.doc_id AND reps.rep = d.doc_id
 WHERE ({stats['n_tokens']}) >= 10 AND ({stats['alpha_ratio']}) >= 0.5
   AND ({stats['mean_token_len']}) <= 12.0
@@ -1286,15 +1301,12 @@ def q_orders_group_sample(sf_dir: str):
     rows within each customer by a content-addressed pseudo-random key
     (md5 of the order key) and keep the first 2 — group_topk reused with the
     hash as the sort column, reproducible across engines and runs."""
-    import hashlib as _hashlib
-
     from janet_ray.stages.rank import group_topk
 
     ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
 
     def add_hash(batch: pa.Table) -> pa.Table:
-        hs = [int(_hashlib.md5(str(k).encode()).hexdigest()[:8], 16)
-              for k in batch["o_orderkey"].to_pylist()]
+        hs = _md5_u32(batch["o_orderkey"].to_pylist())
         return batch.append_column("h", pa.array(hs, pa.int64()))
 
     hashed = ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
@@ -1303,11 +1315,11 @@ def q_orders_group_sample(sf_dir: str):
     return out.select_columns(["o_custkey", "o_orderkey", "rank"])
 
 
-_GROUP_SAMPLE_SQL = """
+_GROUP_SAMPLE_SQL = f"""
 SELECT o_custkey, o_orderkey, rank FROM (
   SELECT o_custkey, o_orderkey,
          CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY
-              CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS UBIGINT),
+              {_md5_u32_sql('o_orderkey')},
               o_orderkey) AS BIGINT) AS rank
   FROM orders
 ) WHERE rank <= 2

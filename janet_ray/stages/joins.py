@@ -79,15 +79,16 @@ def interval_join_count(left: "ray.data.Dataset", right: "ray.data.Dataset", *,
 
     Partitioning assumption (as asof_join_latest): all rows of one key share a
     coarse partition via the common ``key % n_parts`` hash of both sides."""
-    for reserved in ("part", "_side"):
+    for reserved in ("part", "_side", out_col):
         if reserved in left.schema().names:
             raise ValueError(f"interval_join_count: left column {reserved!r} "
-                             "collides with an internal tag column — rename it")
+                             "collides with an internal/output column — rename it")
 
     left_schema = left.schema()
     left_schema_names = left_schema.names
     left_schema_types = left_schema.types
     left_ts_type = left_schema_types[left_schema_names.index(left_ts)]
+    left_key_type = left_schema_types[left_schema_names.index(left_key)]
 
     def tag_left_full(batch: pa.Table) -> pa.Table:
         keys = batch[left_key].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -99,8 +100,10 @@ def interval_join_count(left: "ray.data.Dataset", right: "ray.data.Dataset", *,
         cols = {name: pa.nulls(len(keys), typ)
                 for name, typ in zip(left_schema_names, left_schema_types)}
         t = pa.table(cols)
+        # cast to the LEFT key dtype so union() sees one block schema (a
+        # mixed int32/int64 key column trips Ray's schema check)
         t = t.set_column(t.column_names.index(left_key),
-                         left_key, pa.array(keys, pa.int64()))
+                         left_key, pa.array(keys, pa.int64()).cast(left_key_type))
         t = t.set_column(t.column_names.index(left_ts), left_ts,
                          batch[right_ts].cast(left_ts_type))
         t = t.append_column("part", pa.array((keys % n_parts).astype(np.int32)))
@@ -152,10 +155,10 @@ def asof_join_latest(left: "ray.data.Dataset", right: "ray.data.Dataset", *,
     """left + (latest right_ts <= left_ts per key) → left columns + ``out_ts``
     (null when no right row qualifies)."""
 
-    for reserved in ("part", "_side"):
+    for reserved in ("part", "_side", out_ts):
         if reserved in left.schema().names:
             raise ValueError(f"asof_join_latest: left column {reserved!r} collides "
-                             "with an internal tag column — rename it first")
+                             "with an internal/output column — rename it first")
 
     # carry the full left row through the shuffle; right contributes only (k, t)
     def tag_left_full(batch: pa.Table) -> pa.Table:
@@ -169,8 +172,9 @@ def asof_join_latest(left: "ray.data.Dataset", right: "ray.data.Dataset", *,
         cols = {name: pa.nulls(len(keys), typ)
                 for name, typ in zip(left_schema_names, left_schema_types)}
         t = pa.table(cols)
+        # cast to the LEFT key dtype so union() sees one block schema
         t = t.set_column(t.column_names.index(left_key),
-                         left_key, pa.array(keys, pa.int64()))
+                         left_key, pa.array(keys, pa.int64()).cast(left_key_type))
         t = t.set_column(t.column_names.index(left_ts), left_ts,
                          batch[right_ts].cast(left_ts_type))
         t = t.append_column("part", pa.array((keys % n_parts).astype(np.int32)))
@@ -181,6 +185,7 @@ def asof_join_latest(left: "ray.data.Dataset", right: "ray.data.Dataset", *,
     left_schema_names = left_schema.names
     left_schema_types = left_schema.types
     left_ts_type = left_schema_types[left_schema_names.index(left_ts)]
+    left_key_type = left_schema_types[left_schema_names.index(left_key)]
 
     lt = left.map_batches(tag_left_full, batch_format="pyarrow", zero_copy_batch=True)
     rt = right.map_batches(tag_right, batch_format="pyarrow", zero_copy_batch=True)

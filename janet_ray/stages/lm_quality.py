@@ -66,7 +66,7 @@ def build_bigram_model(ds, *, text_col: str = "text",
     def partial(batch: pa.Table) -> pa.Table:
         from collections import Counter
 
-        c: "Counter[str]" = __import__("collections").Counter()
+        c: "Counter[str]" = Counter()
         for t in batch[text_col].to_pylist():
             for prev, w in doc_bigrams(t or ""):
                 c[prev + "\x00" + w] += 1
@@ -78,8 +78,13 @@ def build_bigram_model(ds, *, text_col: str = "text",
 
     from ray.data.aggregate import Sum
 
+    # materialize: BOTH consumers below (the prev-totals fold and the top-k
+    # cut) read `totals`; without this the corpus scan + count shuffle — the
+    # dominant pass — executes twice (lazy lineage re-runs per consumer).
+    # Size is bounded by distinct bigrams, the operator's scale contract.
     totals = (ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-              .groupby("bigram").aggregate(Sum("n", alias_name="n_total")))
+              .groupby("bigram").aggregate(Sum("n", alias_name="n_total"))
+              .materialize())
 
     def local_topk(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

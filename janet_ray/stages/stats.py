@@ -27,7 +27,7 @@ def distributed_quantiles(ds, col: str, qs: list[float]) -> "object":
     """pandas DataFrame (q, value) of exact discrete quantiles of ds[col]."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        vc = pc.value_counts(batch[col])
+        vc = pc.value_counts(pc.drop_null(batch[col]))  # SQL: nulls ignored
         return pa.table({
             "value": vc.field("values"),
             "n": pc.cast(vc.field("counts"), pa.int64()),
@@ -56,7 +56,8 @@ def distinct_count(ds, col: str) -> "object":
     """pandas DataFrame with the exact distinct count of ds[col]."""
 
     def local_unique(batch: pa.Table) -> pa.Table:
-        return pa.table({col: pc.unique(batch[col])})
+        # drop nulls: COUNT(DISTINCT col) in SQL never counts the null group
+        return pa.table({col: pc.unique(pc.drop_null(batch[col]))})
 
     from ray.data.aggregate import Count
 

@@ -2,6 +2,7 @@
 from datetime import datetime
 
 import pyarrow as pa
+import pytest
 
 from janet_ray.stages import joins
 
@@ -136,3 +137,25 @@ def test_interval_join_count_window_semantics(ray_session):
         .set_index("event_id")["n"]
     # each row now also counts itself (its own ts is inside the window)
     assert out2.to_dict() == {0: 1, 1: 2, 2: 3, 3: 1, 4: 3}  # 2,4: self+evt1+each other
+
+
+def test_interval_join_int32_key_and_out_col_guard(ray_session):
+    """Non-int64 keys keep one block schema through the union (right side cast
+    to the left key dtype) and an out_col colliding with a left column raises
+    (review r2b findings 4,6)."""
+    import ray.data
+
+    from janet_ray.stages.joins import interval_join_count
+
+    t = pa.table({"k": pa.array([1, 1, 2], pa.int32()),
+                  "ts": pa.array([0, 50, 60], pa.timestamp("us"))})
+    ds = ray.data.from_arrow(t)
+    out = interval_join_count(ds, ds, left_key="k", right_key="k",
+                              left_ts="ts", right_ts="ts",
+                              before_us=100, after_us=0).to_pandas()
+    assert sorted(out["n_in_window"]) == [0, 0, 1]
+    assert str(out.dtypes["k"]) == "int32"  # left dtype preserved
+    with pytest.raises(ValueError, match="collides"):
+        interval_join_count(ds, ds, left_key="k", right_key="k",
+                            left_ts="ts", right_ts="ts",
+                            before_us=1, after_us=0, out_col="ts")

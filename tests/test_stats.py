@@ -55,3 +55,16 @@ def test_distinct_count_strings(ray_session):
     t = pa.table({"s": pa.array(["a", "b", "a", "c", "b"], pa.string())})
     got = distinct_count(ray.data.from_arrow(t), "s")
     assert got["n_distinct"].tolist() == [3]
+
+
+def test_nulls_follow_sql_semantics(ray_session):
+    """COUNT(DISTINCT) never counts the null group; quantiles ignore nulls
+    (review r2b findings 1-2)."""
+    import ray
+
+    from janet_ray.stages.stats import distinct_count, distributed_quantiles
+
+    ds = ray.data.from_arrow(pa.table({"x": pa.array([1, 2, None, 2], pa.int64())}))
+    assert distinct_count(ds, "x")["n_distinct"].tolist() == [2]
+    got = distributed_quantiles(ds, "x", [0.5])
+    assert got["value"].tolist() == [2]  # nulls dropped before ranking
