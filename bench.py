@@ -160,6 +160,8 @@ def run_suite(sf_dir: str) -> dict[str, float]:
         "lm_surprise": Q.q_lm_surprise,
         "orders_group_sample": Q.q_orders_group_sample,
         "training_manifest": Q.q_training_manifest,
+        # round-3 operators
+        "search_index_lookup": Q.q_search_index_lookup,
     }
     out = {}
     for name, fn in suite.items():

@@ -5,59 +5,160 @@ pathological document (catastrophic-backtracking markup, a degenerate layout)
 can wedge an actor forever. The reference bounds this with process/RPC
 timeouts — the 30 s pdftoppm kill (apps/legacy/src/services/pdf.ts:61-70) and
 the 60 s Vision cap (apps/ocr/src/lib/ocr-utils.ts:115-117). Inside a Ray
-actor the equivalent is a SIGALRM deadline around each row: the handler
-raises, the except-arm converts the row into an ``error`` row (error-as-data,
-never a task failure), and the batch moves on.
+worker the equivalent is a per-row deadline: on expiry ``RowDeadlineExceeded``
+is raised in the row's thread, the except-arm converts the row into an
+``error`` row (error-as-data, never a task failure), and the batch moves on.
+
+Two delivery mechanisms, chosen by thread:
+
+* **main thread** — SIGALRM ``setitimer``. Also interrupts blocking syscalls
+  (``sleep``, socket reads) via EINTR, the strongest guarantee available.
+* **any other thread** — Ray 2.49 executes actor-pool ``map_batches`` UDFs on
+  a non-main worker thread, where signals never fire. A per-process daemon
+  watchdog thread tracks armed deadlines and, on expiry, delivers
+  ``RowDeadlineExceeded`` to the armed thread via
+  ``PyThreadState_SetAsyncExc`` — the exception is raised at that thread's
+  next bytecode boundary, the same granularity SIGALRM has inside the eval
+  loop.
 
 Scope/limits (documented, deliberate):
-  * signals only fire on the process MAIN thread — exactly where Ray executes
-    (non-async) actor and task UDFs. Armed elsewhere, the guard degrades to a
-    no-op rather than raising.
   * pure-Python loops are interrupted at the next bytecode; a single long
-    C-level call (giant numpy op) is only interrupted on return. Our
-    extraction hot paths are tokenizer/regex Python loops, which interrupt
-    fine.
+    C-level call (giant numpy op, catastrophic ``re`` match) is only
+    interrupted on return — true for BOTH mechanisms (CPython runs signal
+    handlers at bytecode boundaries too). Our extraction hot paths are
+    tokenizer loops in Python, which interrupt fine.
+  * the watchdog path cancels a fired-but-undelivered exception on ``__exit__``
+    (the row finished right at the wire), so no exception leaks into later
+    rows; if delivery already happened inside ``__exit__`` the row is reported
+    as deadline-exceeded, which at that point it was.
+  * re-entrant use is not supported (one deadline per thread) — arm once per
+    row at the outermost stage loop.
 """
 
 from __future__ import annotations
 
+import ctypes
+import itertools
 import signal
 import threading
+import time
 
 
 class RowDeadlineExceeded(Exception):
-    """A row exceeded its wall-clock budget."""
+    """A row exceeded its wall-clock budget.
+
+    Raised asynchronously (no-arg instantiation) by the watchdog path, so the
+    default message must be self-describing — ExtractStage records ``str(e)``
+    as the row's error column."""
+
+    def __init__(self, msg: str = "row exceeded wall-clock deadline"):
+        super().__init__(msg)
+
+
+# --------------------------------------------------------------- watchdog core
+# One daemon thread per process; state guarded by _wd_cond's lock. The armed
+# map is tiny (≤ #UDF threads), so the O(n) scan per wakeup is free.
+
+_wd_cond = threading.Condition()
+_wd_armed: dict[int, tuple[float, int]] = {}  # thread ident -> (deadline, gen)
+_wd_fired: set[int] = set()  # generations the watchdog has fired
+_wd_gen = itertools.count(1)
+_wd_thread: threading.Thread | None = None
+
+
+def _async_raise(ident: int) -> None:
+    """Deliver RowDeadlineExceeded to the thread with the given ident."""
+    n = ctypes.pythonapi.PyThreadState_SetAsyncExc(
+        ctypes.c_ulong(ident), ctypes.py_object(RowDeadlineExceeded))
+    if n > 1:  # over-matched (per CPython docs): undo to avoid collateral
+        ctypes.pythonapi.PyThreadState_SetAsyncExc(
+            ctypes.c_ulong(ident), ctypes.c_void_p(0))
+
+
+def _async_cancel(ident: int) -> None:
+    """Clear a pending (not yet delivered) async exception on the thread."""
+    ctypes.pythonapi.PyThreadState_SetAsyncExc(
+        ctypes.c_ulong(ident), ctypes.c_void_p(0))
+
+
+def _watchdog_loop() -> None:
+    with _wd_cond:
+        while True:
+            now = time.monotonic()
+            next_dl: float | None = None
+            for ident, (dl, gen) in list(_wd_armed.items()):
+                if dl <= now:
+                    del _wd_armed[ident]
+                    _wd_fired.add(gen)
+                    _async_raise(ident)
+                elif next_dl is None or dl < next_dl:
+                    next_dl = dl
+            _wd_cond.wait(
+                None if next_dl is None else max(0.0, next_dl - time.monotonic()))
+
+
+def _ensure_watchdog() -> None:
+    global _wd_thread
+    if _wd_thread is None or not _wd_thread.is_alive():
+        _wd_thread = threading.Thread(
+            target=_watchdog_loop, name="janet-row-deadline-watchdog", daemon=True)
+        _wd_thread.start()
 
 
 class row_deadline:
     """Context manager: ``with row_deadline(5.0): process(row)``.
 
-    seconds=None or <=0 disarms. Re-entrant use is not supported (one timer per
-    process) — arm it once per row at the outermost stage loop."""
+    seconds=None or <=0 disarms. ``armed`` reports whether a live mechanism is
+    guarding the body (always True when seconds>0 on CPython)."""
 
     def __init__(self, seconds: float | None):
         self.seconds = seconds
-        self._armed = False
+        self.armed = False
+        self._mech: str | None = None
         self._old_handler = None
+        self._ident: int | None = None
+        self._gen: int | None = None
 
     def _fire(self, signum, frame):
         raise RowDeadlineExceeded(f"row exceeded {self.seconds:g}s deadline")
 
     def __enter__(self):
-        if (self.seconds and self.seconds > 0
-                and threading.current_thread() is threading.main_thread()):
+        if not (self.seconds and self.seconds > 0):
+            return self
+        if threading.current_thread() is threading.main_thread():
             self._old_handler = signal.signal(signal.SIGALRM, self._fire)
             signal.setitimer(signal.ITIMER_REAL, self.seconds)
-            self._armed = True
+            self._mech = "sigalrm"
+        else:
+            self._ident = threading.get_ident()
+            self._gen = next(_wd_gen)
+            with _wd_cond:
+                _ensure_watchdog()
+                _wd_armed[self._ident] = (
+                    time.monotonic() + self.seconds, self._gen)
+                _wd_cond.notify()
+            self._mech = "watchdog"
+        self.armed = True
         return self
 
     def __exit__(self, exc_type, exc, tb):
-        if self._armed:
+        if not self.armed:
+            return False
+        if self._mech == "sigalrm":
             signal.setitimer(signal.ITIMER_REAL, 0.0)
             # signal.signal() returns None when the prior handler was installed
             # outside Python (C extension) — restoring None raises TypeError
             signal.signal(signal.SIGALRM,
                           self._old_handler if self._old_handler is not None
                           else signal.SIG_DFL)
-            self._armed = False
+        else:
+            with _wd_cond:
+                entry = _wd_armed.pop(self._ident, None)
+                if entry is None and self._gen in _wd_fired:
+                    _wd_fired.discard(self._gen)
+                    if exc_type is None:
+                        # fired but not yet delivered — the row finished at the
+                        # wire; cancel so the exception can't hit a later row
+                        _async_cancel(self._ident)
+        self.armed = False
         return False

@@ -116,7 +116,12 @@ def _host_path(url: str) -> tuple[str, str]:
     urlparse measured ~13% of ExtractStage wall (two calls per row); this is
     byte-equivalent to urlparse for http(s) urls (netloc = chars after '//' up
     to the first '/', '?' or '#'; path excludes query/fragment) and delegates
-    everything else to urlparse."""
+    everything else to urlparse. Since bpo-43882 urlsplit strips \\t\\r\\n
+    anywhere in the URL before parsing; mirror that here (cheap containment
+    check, only pays on malformed crawl urls) so the A6 dedupe/partition key
+    is identical whichever path runs."""
+    if "\t" in url or "\r" in url or "\n" in url:
+        url = url.replace("\t", "").replace("\r", "").replace("\n", "")
     if url.startswith(("https://", "http://")):
         rest = url[8:] if url[4] == "s" else url[7:]
         for sep in ("#", "?"):

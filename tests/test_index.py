@@ -1,0 +1,130 @@
+"""Distributed inverted index (stages/index.py) — build/lookup correctness,
+bucket pruning, atomic commit, and parity with a scan-based token-tf top-k."""
+
+import os
+import zlib
+from collections import Counter
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from janet_ray.stages import index as inv
+
+TEXTS = [
+    "the data pipeline processes data rows",          # data×2
+    "database systems store data",                    # data×1 (database ≠ data)
+    "no relevant tokens here at all",                 # data×0
+    "data Data DATA punctuation,data!",               # data×4 (case + punct splits)
+    "",                                               # empty doc
+    "metadata is not data but meta-data is two tokens data",  # meta,data,...: data×3
+]
+
+
+def _ref_postings(texts):
+    """Single-process ground truth: per-(term, doc) token counts under the
+    [a-z0-9]+ lowercase tokenizer."""
+    import re
+
+    tok = re.compile(r"[a-z0-9]+")
+    out = Counter()
+    for i, t in enumerate(texts):
+        for w in tok.findall(t.lower()):
+            out[(w, i)] += 1
+    return out
+
+
+def _docs_ds(texts):
+    import ray
+
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+
+
+def test_build_and_lookup_exact(ray_session, tmp_path):
+    d = str(tmp_path / "idx")
+    stats = inv.build_inverted_index(_docs_ds(TEXTS), d, num_buckets=4)
+    want = _ref_postings(TEXTS)
+    assert stats["n_postings"] == len(want)
+    assert stats["n_terms"] == len({t for t, _ in want})
+
+    # every posting lands in its term's bucket with the exact tf
+    got = {}
+    for f in inv.scan_index_files(d):
+        t = pq.read_table(f)
+        b = int(os.path.basename(f)[len("bucket-"):-len(".parquet")])
+        for term, doc, tf in zip(t["term"].to_pylist(), t["doc_id"].to_pylist(),
+                                 t["tf"].to_pylist()):
+            assert inv.term_bucket(term, 4) == b
+            got[(term, doc)] = tf
+        # sorted by (term, doc_id) within the file
+        assert t.to_pylist() == sorted(
+            t.to_pylist(), key=lambda r: (r["term"], r["doc_id"]))
+    assert got == dict(want)
+
+    # the reference's top-10 query shape, from one bucket file
+    top = inv.index_lookup(d, "data", k=10).to_pylist()
+    assert [(r["doc_id"], r["tf"]) for r in top] == [(3, 4), (5, 3), (0, 2), (1, 1)]
+    # tokenizer contract: query term is lowercased
+    assert inv.index_lookup(d, "DATA", k=10).to_pylist() == top
+    # absent term → empty, not an error
+    assert inv.index_lookup(d, "zzzmissing", k=10).num_rows == 0
+
+
+def test_lookup_reads_only_one_bucket(ray_session, tmp_path):
+    """The scale property: a lookup must touch exactly the term's bucket file —
+    delete every other bucket and the lookup still answers."""
+    d = str(tmp_path / "idx")
+    inv.build_inverted_index(_docs_ds(TEXTS), d, num_buckets=8)
+    keep = inv.bucket_path(d, inv.term_bucket("data", 8))
+    for f in inv.scan_index_files(d):
+        if f != keep:
+            os.remove(f)
+    top = inv.index_lookup(d, "data", k=10).to_pylist()
+    assert [(r["doc_id"], r["tf"]) for r in top] == [(3, 4), (5, 3), (0, 2), (1, 1)]
+
+
+def test_multi_term_or_scoring(ray_session, tmp_path):
+    d = str(tmp_path / "idx")
+    inv.build_inverted_index(_docs_ds(TEXTS), d, num_buckets=4)
+    want = _ref_postings(TEXTS)
+    scores = Counter()
+    for (term, doc), tf in want.items():
+        if term in ("data", "database"):
+            scores[doc] += tf
+    got = inv.index_lookup_multi(d, ["data", "database", "data"], k=10).to_pylist()
+    assert {r["doc_id"]: r["score"] for r in got} == dict(scores)
+    # ranked by (score desc, doc_id asc)
+    pairs = [(r["score"], -r["doc_id"]) for r in got]
+    assert pairs == sorted(pairs, reverse=True)
+
+
+def test_parity_with_scan_based_topk(ray_session, tmp_path):
+    """VERDICT r02 #3 done-criterion: index lookup == scan-based token-tf
+    top-k on the same corpus (deterministic tiebreak by doc_id)."""
+    rng_texts = [f"doc {i} " + "data " * (i % 5) + "filler words here"
+                 for i in range(200)]
+    d = str(tmp_path / "idx")
+    inv.build_inverted_index(_docs_ds(rng_texts), d, num_buckets=16)
+    want = _ref_postings(rng_texts)
+    scan_top = sorted(
+        ((doc, tf) for (term, doc), tf in want.items() if term == "data"),
+        key=lambda r: (-r[1], r[0]))[:10]
+    got = inv.index_lookup(d, "data", k=10).to_pylist()
+    assert [(r["doc_id"], r["tf"]) for r in got] == scan_top
+
+
+def test_bucket_function_is_with_part_arithmetic():
+    """term_bucket must equal the build-side with_part hash for a single
+    string column, or lookups read the wrong file."""
+    for term in ["data", "a", "zz9", "longertoken123"]:
+        assert inv.term_bucket(term, 32) == abs(zlib.crc32(term.encode())) % 32
+
+
+def test_empty_corpus(ray_session, tmp_path):
+    d = str(tmp_path / "idx")
+    stats = inv.build_inverted_index(_docs_ds(["", "   "]), d, num_buckets=4)
+    assert stats["n_postings"] == 0
+    assert inv.index_lookup(d, "data", k=10).num_rows == 0

@@ -68,6 +68,52 @@ def test_max_vocab_truncates_numerators_only():
     assert cut["vocab_size"] == model_full["vocab_size"]
 
 
+def _reference_model_with_cut(texts, vocab_top):
+    """Single-process ground truth for the vocab-frequency-cut path: top-k
+    tokens by (count desc, token asc), everything else → <unk> before
+    counting."""
+    tok_counts = Counter()
+    for t in texts:
+        tok_counts.update(lm._tokens(t))
+    top = sorted(tok_counts.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_top]
+    vocab = {w for w, _ in top}
+    bigrams = Counter()
+    prev_totals = Counter()
+    wset = set()
+    for t in texts:
+        for prev, w in lm.doc_bigrams(t, vocab=vocab):
+            bigrams[(prev, w)] += 1
+            prev_totals[prev] += 1
+            wset.add(w)
+    return {"bigrams": dict(bigrams), "prev_totals": dict(prev_totals),
+            "vocab_size": len(wset), "unk_vocab": vocab}
+
+
+def test_vocab_cut_model_equals_reference(ray_session):
+    """VERDICT r02 #2: the de-drivered build with the upstream token-frequency
+    cut armed must equal the single-process reference — bounded distinct
+    bigrams, identical scores."""
+    import ray
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(TEXTS)), pa.int64()),
+        "text": pa.array(TEXTS, pa.string()),
+    }))
+    got = lm.build_bigram_model(ds, max_vocab=10_000, vocab_top=5)
+    want = _reference_model_with_cut(TEXTS, 5)
+    assert got["unk_vocab"] == want["unk_vocab"]
+    assert got["vocab_size"] == want["vocab_size"]
+    assert got["prev_totals"] == want["prev_totals"]
+    assert got["bigrams"] == want["bigrams"]
+    # distinct-bigram bound: every kept token is in vocab ∪ {UNK, BOS}
+    allowed = want["unk_vocab"] | {lm.UNK, lm.BOS}
+    assert all(p in allowed and w in allowed for p, w in got["bigrams"])
+    # scoring applies the same UNK mapping at fit and score time
+    for t in TEXTS[:4]:
+        assert lm.surprise_of(t, got) == pytest.approx(
+            lm.surprise_of(t, want), rel=1e-12)
+
+
 def test_natural_text_scores_below_gibberish(ray_session):
     import ray
 

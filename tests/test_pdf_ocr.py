@@ -70,6 +70,29 @@ def test_travelers_golden_substrings():
     assert n == 2
 
 
+def test_ocr_oracle_fixture_assumptions():
+    """The extract_ocr_normalized SQL oracle (queries.py) is exact ONLY under
+    two corpus properties (ADVICE r2): every whitespace-delimited token fits in
+    one raster line (wrap_text hard-splits overlong tokens, inserting a
+    mid-word break the SQL can't reproduce) and every non-whitespace char has a
+    FONT glyph (the raster substitutes '?'). Assert both against the LIVE
+    driver corpus so a fixture change breaks loudly here, not as a silent
+    oracle mismatch."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    if not os.path.exists(path):
+        pytest.skip("driver testdata not present")
+    col = pq.read_table(path, columns=["text"])["text"]
+    for t in col.to_pylist():
+        for tok in (t or "").split():
+            assert len(tok) <= jpdf.LINE_WIDTH, f"overlong token {tok!r}"
+            for ch in tok:
+                assert ch in jpdf.FONT, f"char {ch!r} missing from FONT"
+
+
 def test_tesseract_engine_is_a_documented_stub():
     with pytest.raises(NotImplementedError):
         ocr_mod.TesseractEngine()

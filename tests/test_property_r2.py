@@ -59,7 +59,7 @@ def test_char_span_indexes_monotone_dense(text, wrap_cols):
 
 
 @settings(max_examples=300, deadline=None)
-@given(st.text(alphabet=st.sampled_from("abc:/?#.%20 &=_-"), max_size=40)
+@given(st.text(alphabet=st.sampled_from("abc:/?#.%20 &=_-\t\r\n"), max_size=40)
        .map(lambda s: "https://" + s))
 def test_fast_url_split_matches_urlparse(url):
     from urllib.parse import urlparse
@@ -72,6 +72,17 @@ def test_fast_url_split_matches_urlparse(url):
     except ValueError:
         want = ("", "")
     assert _host_path(url) == want
+
+
+def test_fast_url_split_strips_control_chars():
+    """bpo-43882: urlsplit removes \\t\\r\\n anywhere in the URL — the fast
+    path must agree or malformed crawl urls change the A6 dedupe key
+    (ADVICE r2)."""
+    from janet_ray.functions.text import _host_path, url_host
+
+    assert _host_path("https://exa\tmple.com/x") == ("example.com", "/x")
+    assert _host_path("https://example.com/a\nb?q#f") == ("example.com", "/ab")
+    assert url_host("http\n://example.com/x") == "example.com"
 
 
 @settings(max_examples=100, deadline=None)
