@@ -36,6 +36,48 @@ class InjectedFailure(RuntimeError):
     """Raised by run_partitioned(fail_after_partitions=k) — the kill-resume test hook."""
 
 
+def stage_dir(out_dir: str, pid: int) -> str:
+    return os.path.join(out_dir, "_stage", f"part-{pid:05d}")
+
+
+def _routed_for_partition(part_files: list[str], out_dir: str, pid: int,
+                          extract_kwargs: dict) -> "ray.data.Dataset":
+    """Intra-partition stage checkpoint (the reference's Inngest ``step.run``
+    memoization, apps/web/lib/inngest/functions.ts:26-40, at partition grain):
+    persist the ROUTED intermediate (sniffed pages) under ``_stage/`` with an
+    atomic dir rename, so a failure in the expensive extraction stage resumes
+    from the routed bytes instead of re-reading + re-sniffing the raw input.
+
+    Recovery-unit tradeoff (VERDICT r02 item 5): the default recovery unit is
+    the PARTITION — a late-stage failure recomputes the whole partition, and
+    partitions are sized so that's acceptable. Arming ``stage_checkpoint``
+    halves the recompute for OCR-heavy partitions at the cost of writing the
+    payload bytes a second time (the routed table still carries ``html``); at
+    100 TB that doubles intermediate storage, so arm it only where the extract
+    stage dominates wall time (warm-engine OCR, giant-PDF buckets) and
+    recompute cost exceeds storage cost. Completed partitions delete their
+    stage dir at manifest commit, so steady-state overhead is bounded by the
+    partitions in flight."""
+    from janet_ray.stages.router import make_sniffer, sniff_routes
+
+    sdir = stage_dir(out_dir, pid)
+    if not os.path.isdir(sdir):
+        custom = (extract_kwargs or {}).get("custom_sniffers")
+        sniffer = make_sniffer(custom) if custom else sniff_routes
+        routed = ray.data.read_parquet(part_files).map_batches(
+            sniffer, batch_format="pyarrow", zero_copy_batch=True)
+        tmp = os.path.join(out_dir, "_stage", f"_tmp-part-{pid:05d}")
+        if os.path.isdir(tmp):
+            import shutil
+
+            shutil.rmtree(tmp)
+        routed.write_parquet(tmp)
+        os.makedirs(os.path.dirname(sdir), exist_ok=True)
+        os.replace(tmp, sdir)  # atomic: stage output is absent or complete
+    files = sorted(glob.glob(os.path.join(sdir, "*.parquet")))
+    return ray.data.read_parquet(files)
+
+
 def _prewarm_fsspec_http() -> None:
     """Make Ray's lazy ``fsspec.implementations.http`` import deterministic
     before spawning partition threads.
@@ -83,9 +125,15 @@ def run_partitioned(
     pipeline=None,
     max_concurrent_partitions: int = 1,
     extract_kwargs: dict | None = None,
+    stage_checkpoint: bool = False,
     _preplanned_parts: list[list[str]] | None = None,
 ) -> dict:
     """Run a pipeline partition-by-partition with manifests + resume.
+
+    ``stage_checkpoint``: persist the routed intermediate per partition
+    (``_routed_for_partition``) so an extract-stage failure resumes
+    mid-partition without re-reading/re-sniffing input. Default pipeline only
+    (a custom ``pipeline`` owns its own stages).
 
     ``pipeline``: ``Dataset -> Dataset`` builder; defaults to the flagship
     extraction pipeline. Any analysis pipeline (dedup, textstats, …) gets the
@@ -117,12 +165,21 @@ def run_partitioned(
             input_files=[os.path.basename(f) for f in part_files],
             started_at=started)
         try:
-            ds = ray.data.read_parquet(part_files)
             if pipeline is not None:
-                out = pipeline(ds)
+                out = pipeline(ray.data.read_parquet(part_files))
+            elif stage_checkpoint:
+                routed = _routed_for_partition(part_files, out_dir, pid,
+                                               extract_kwargs or {})
+                ek = {k: v for k, v in (extract_kwargs or {}).items()
+                      if k != "custom_sniffers"}  # applied at the stage write
+                out = build_extract_pipeline(
+                    routed, batch_size=batch_size,
+                    concurrency=concurrency_override or concurrency,
+                    dedupe=True, sort=True, pre_routed=True, **ek,
+                )
             else:
                 out = build_extract_pipeline(
-                    ds, batch_size=batch_size,
+                    ray.data.read_parquet(part_files), batch_size=batch_size,
                     concurrency=concurrency_override or concurrency,
                     dedupe=True, sort=True,
                     **(extract_kwargs or {}),
@@ -171,6 +228,10 @@ def run_partitioned(
         m.finished_at = time.time()
         m.wall_s = m.finished_at - started
         mf.write_manifest(out_dir, m)
+        if stage_checkpoint:  # partition committed — reclaim the intermediate
+            import shutil
+
+            shutil.rmtree(stage_dir(out_dir, pid), ignore_errors=True)
 
     todo: list[tuple[int, list[str]]] = []
     for pid, part_files in enumerate(parts):

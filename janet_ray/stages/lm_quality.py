@@ -55,6 +55,21 @@ def _tokens(text: str) -> list[str]:
     return _TOKEN_RE.findall(text.lower())
 
 
+# Per-worker-process deserialization cache for broadcast objects: ``ray.get``
+# on a plasma ObjectRef re-deserializes Python dicts/sets on EVERY call, so a
+# per-batch get would pay O(model size) per batch. One-entry cache (a stage
+# broadcasts exactly one object; a new ref evicts the old).
+_BCAST_CACHE: dict = {}
+
+
+def _get_broadcast(ref):
+    key = ref.hex()
+    if key not in _BCAST_CACHE:
+        _BCAST_CACHE.clear()
+        _BCAST_CACHE[key] = ray.get(ref)
+    return _BCAST_CACHE[key]
+
+
 def doc_bigrams(text: str, vocab: set | None = None) -> list[tuple[str, str]]:
     """Bigrams of a document; with ``vocab`` set, OOV tokens map to UNK —
     the SAME mapping must be used at fit and score time (shared here)."""
@@ -141,7 +156,7 @@ def build_bigram_model(ds, *, text_col: str = "text",
     def partial(batch: pa.Table) -> pa.Table:
         from collections import Counter
 
-        kv = ray.get(vocab_ref) if vocab_ref is not None else None
+        kv = _get_broadcast(vocab_ref) if vocab_ref is not None else None
         c: "Counter[str]" = Counter()
         for t in batch[text_col].to_pylist():
             for prev, w in doc_bigrams(t or "", vocab=kv):
@@ -226,7 +241,7 @@ def score_surprise(ds, model: dict, *, text_col: str = "text",
     ref = ray.put(model)
 
     def f(batch: pa.Table) -> pa.Table:
-        m = ray.get(ref)
+        m = _get_broadcast(ref)
         scores = [surprise_of(t or "", m) for t in batch[text_col].to_pylist()]
         return pa.table({
             id_col: batch[id_col],

@@ -74,6 +74,65 @@ def test_manifest_lineage_and_counters(ray_session, corpus_pages, tmp_path):
     assert not glob.glob(os.path.join(out, "_tmp-part-*"))
 
 
+def test_stage_checkpoint_resumes_without_rereading_input(
+        ray_session, corpus_pages, tmp_path):
+    """VERDICT r02 item 5 (Inngest step.run analogue): with stage_checkpoint
+    armed, a partition whose ROUTED intermediate is committed resumes the
+    extract stage from that intermediate — proven by poisoning the raw input
+    after the stage commit: the run can only succeed if it never re-reads or
+    re-sniffs the input."""
+    import pyarrow.parquet as pq
+
+    from janet_ray.pipelines import checkpoint as cp
+
+    inp = str(tmp_path / "pages")
+    shutil.copytree(corpus_pages, inp)
+    out = str(tmp_path / "out")
+    out_ref = str(tmp_path / "ref")
+
+    files = sorted(glob.glob(os.path.join(inp, "*.parquet")))
+    parts = mf.plan_partitions(files, 4)
+    os.makedirs(out, exist_ok=True)
+    # the crash state: every partition's stage intermediate committed, no
+    # partition output yet (extract stage died)
+    for pid, pf in enumerate(parts):
+        cp._routed_for_partition(pf, out, pid, {})
+        sd = cp.stage_dir(out, pid)
+        assert os.path.isdir(sd)
+        # the intermediate carries the router's route column
+        f0 = sorted(glob.glob(os.path.join(sd, "*.parquet")))[0]
+        assert "route" in pq.ParquetFile(f0).schema_arrow.names
+
+    for f in files:  # poison: any attempt to re-read input now crashes
+        with open(f, "wb") as fh:
+            fh.write(b"not parquet")
+
+    summary = run_partitioned(inp, out, num_partitions=4, batch_size=32,
+                              stage_checkpoint=True)
+    assert summary["complete"] == 4
+    # committed partitions reclaim their stage intermediates
+    assert not glob.glob(os.path.join(out, "_stage", "part-*"))
+
+    run_partitioned(corpus_pages, out_ref, num_partitions=4, batch_size=32)
+    ta, tb = _final_table(out_ref), _final_table(out)
+    assert ta.drop(columns=["spans"]).equals(tb.drop(columns=["spans"]))
+    assert list(map(list, ta["spans"])) == list(map(list, tb["spans"]))
+
+
+def test_stage_checkpoint_fresh_run_matches_plain(ray_session, corpus_pages,
+                                                  tmp_path):
+    """stage_checkpoint=True on a clean run produces byte-identical output to
+    the plain path (the stage write/read round trip preserves every row)."""
+    out_a = str(tmp_path / "plain")
+    out_b = str(tmp_path / "staged")
+    run_partitioned(corpus_pages, out_a, num_partitions=2, batch_size=32)
+    run_partitioned(corpus_pages, out_b, num_partitions=2, batch_size=32,
+                    stage_checkpoint=True)
+    ta, tb = _final_table(out_a), _final_table(out_b)
+    assert ta.drop(columns=["spans"]).equals(tb.drop(columns=["spans"]))
+    assert list(map(list, ta["spans"])) == list(map(list, tb["spans"]))
+
+
 def test_torn_manifest_triggers_recompute(ray_session, corpus_pages, tmp_path):
     out = str(tmp_path / "run")
     run_partitioned(corpus_pages, out, num_partitions=2, batch_size=32)
