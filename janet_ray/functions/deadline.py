@@ -64,6 +64,12 @@ _wd_armed: dict[int, tuple[float, int]] = {}  # thread ident -> (deadline, gen)
 _wd_fired: set[int] = set()  # generations the watchdog has fired
 _wd_gen = itertools.count(1)
 _wd_thread: threading.Thread | None = None
+# the deadline the watchdog is currently sleeping toward (None = indefinitely).
+# Arming only notifies when the new deadline is EARLIER — otherwise the
+# watchdog's own timeout covers it, so the per-row cost is a lock + dict store
+# with no cross-thread wakeup (measured: the unconditional notify woke the
+# watchdog once per row).
+_wd_next_wake: float | None = None
 
 
 def _async_raise(ident: int) -> None:
@@ -82,6 +88,7 @@ def _async_cancel(ident: int) -> None:
 
 
 def _watchdog_loop() -> None:
+    global _wd_next_wake
     with _wd_cond:
         while True:
             now = time.monotonic()
@@ -93,6 +100,7 @@ def _watchdog_loop() -> None:
                     _async_raise(ident)
                 elif next_dl is None or dl < next_dl:
                     next_dl = dl
+            _wd_next_wake = next_dl
             _wd_cond.wait(
                 None if next_dl is None else max(0.0, next_dl - time.monotonic()))
 
@@ -105,6 +113,23 @@ def _ensure_watchdog() -> None:
         _wd_thread.start()
 
 
+# SIGALRM fast-arm state: ``signal.signal`` (handler install) costs ~8% of
+# single-thread ExtractStage wall when paid per row (profiled: enum conversion
+# + handler bookkeeping per call), while ``setitimer`` is a cheap syscall. So
+# the handler installs ONCE per process and stays installed; per-row arming is
+# just the setitimer pair. Single-owner contract: the engine's worker/driver
+# processes own SIGALRM while extraction runs (nothing else in this engine
+# uses it); the message for the shared handler lives in a module global —
+# safe because signals only ever deliver on the main thread, which also does
+# the arming on this path.
+_sigalrm_installed = False
+_sigalrm_msg = "row exceeded wall-clock deadline"
+
+
+def _sigalrm_fire(signum, frame):
+    raise RowDeadlineExceeded(_sigalrm_msg)
+
+
 class row_deadline:
     """Context manager: ``with row_deadline(5.0): process(row)``.
 
@@ -115,28 +140,29 @@ class row_deadline:
         self.seconds = seconds
         self.armed = False
         self._mech: str | None = None
-        self._old_handler = None
         self._ident: int | None = None
         self._gen: int | None = None
-
-    def _fire(self, signum, frame):
-        raise RowDeadlineExceeded(f"row exceeded {self.seconds:g}s deadline")
 
     def __enter__(self):
         if not (self.seconds and self.seconds > 0):
             return self
         if threading.current_thread() is threading.main_thread():
-            self._old_handler = signal.signal(signal.SIGALRM, self._fire)
+            global _sigalrm_installed, _sigalrm_msg
+            _sigalrm_msg = f"row exceeded {self.seconds:g}s deadline"
+            if not _sigalrm_installed:
+                signal.signal(signal.SIGALRM, _sigalrm_fire)
+                _sigalrm_installed = True
             signal.setitimer(signal.ITIMER_REAL, self.seconds)
             self._mech = "sigalrm"
         else:
             self._ident = threading.get_ident()
             self._gen = next(_wd_gen)
+            dl = time.monotonic() + self.seconds
             with _wd_cond:
                 _ensure_watchdog()
-                _wd_armed[self._ident] = (
-                    time.monotonic() + self.seconds, self._gen)
-                _wd_cond.notify()
+                _wd_armed[self._ident] = (dl, self._gen)
+                if _wd_next_wake is None or dl < _wd_next_wake:
+                    _wd_cond.notify()
             self._mech = "watchdog"
         self.armed = True
         return self
@@ -146,11 +172,7 @@ class row_deadline:
             return False
         if self._mech == "sigalrm":
             signal.setitimer(signal.ITIMER_REAL, 0.0)
-            # signal.signal() returns None when the prior handler was installed
-            # outside Python (C extension) — restoring None raises TypeError
-            signal.signal(signal.SIGALRM,
-                          self._old_handler if self._old_handler is not None
-                          else signal.SIG_DFL)
+            # handler intentionally stays installed (fast-arm contract above)
         else:
             with _wd_cond:
                 entry = _wd_armed.pop(self._ident, None)
