@@ -162,6 +162,8 @@ def run_suite(sf_dir: str) -> dict[str, float]:
         "training_manifest": Q.q_training_manifest,
         # round-3 operators
         "search_index_lookup": Q.q_search_index_lookup,
+        "search_index_bm25": Q.q_search_index_bm25,
+        "pack_sequences": Q.q_pack_sequences,
     }
     out = {}
     for name, fn in suite.items():

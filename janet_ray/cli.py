@@ -36,6 +36,10 @@ def main(argv: list[str] | None = None) -> int:
                      help="any failed OCR page fails the whole document (A2)")
     run.add_argument("--salt-parts", type=int, default=0,
                      help="hot-url salting for the dedupe shuffle (0 = off)")
+    run.add_argument("--stage-checkpoint", action="store_true",
+                     help="persist the routed intermediate per partition so an "
+                     "extract-stage failure resumes mid-partition (costs a "
+                     "second write of the payload bytes)")
     ing = sub.add_parser("ingest", help="append-only incremental ingest: rerun "
                          "after new shards land; only new groups are processed")
     ing.add_argument("--input", required=True)
@@ -70,6 +74,7 @@ def main(argv: list[str] | None = None) -> int:
                 num_partitions=args.partitions,
                 resume=not args.no_resume,
                 max_concurrent_partitions=args.concurrent_partitions,
+                stage_checkpoint=args.stage_checkpoint,
                 extract_kwargs={
                     "deadline_s": args.deadline_s or None,
                     "strict_ocr": args.strict_ocr,

@@ -413,6 +413,27 @@ LIMIT 10
 """
 
 
+def q_search_index_bm25(sf_dir: str):
+    """BM25 ranked retrieval served entirely from the inverted index (Lucene
+    idf + saturated-tf/length normalization over the denormalized dl column).
+    Rows-only: BM25 scores are float ln()/division chains, not
+    SQL-hash-reproducible; pinned against a single-process reference in
+    tests/test_index.py."""
+    import shutil
+    import tempfile
+
+    from janet_ray.stages import index as inv
+
+    index_dir = tempfile.mkdtemp(prefix="janet-inv-bm25-")
+    try:
+        inv.build_inverted_index(
+            _read(sf_dir, "documents", columns=["doc_id", "text"]),
+            index_dir, num_buckets=32)
+        return inv.index_lookup_bm25(index_dir, ["data", "document"], k=10)
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
+
+
 def q_token_count(sf_dir: str):
     return (
         _docs(sf_dir)
@@ -428,6 +449,31 @@ def q_lang_id(sf_dir: str):
         .map_batches(ts.add_lang_id, batch_format="pyarrow", zero_copy_batch=True)
         .select_columns(["doc_id", "lang_pred"])
     )
+
+
+_PACK_BUDGET, _PACK_PART_RANGE = 512, 1000
+
+
+def q_pack_sequences(sf_dir: str):
+    """Sequence packing (stages/pack.py): greedy next-fit token-budget bin
+    packing in doc_id order — deterministic (part, bin) ids from one coarse
+    shuffle + a searchsorted kernel; the recursive-CTE oracle replays the
+    identical semantics from the same constants."""
+    from janet_ray.stages.pack import pack_sequences
+
+    withn = (_docs(sf_dir)
+             .map_batches(lambda t: ts.add_token_count(t), batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .select_columns(["doc_id", "n_tokens"]))
+    return pack_sequences(withn, budget=_PACK_BUDGET,
+                          part_range=_PACK_PART_RANGE)
+
+
+def _pack_sql() -> str:
+    from janet_ray.stages.pack import pack_sql
+
+    return pack_sql(budget=_PACK_BUDGET, part_range=_PACK_PART_RANGE,
+                    count_expr=ts.token_count_sql())
 
 
 def q_textstats(sf_dir: str):
@@ -1625,6 +1671,8 @@ def build_queries() -> dict:
         "orders_group_sample": q_orders_group_sample,
         "training_manifest": q_training_manifest,
         "search_index_lookup": q_search_index_lookup,
+        "search_index_bm25": q_search_index_bm25,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -1680,4 +1728,5 @@ def build_oracles() -> dict[str, str]:
         "orders_group_sample": _GROUP_SAMPLE_SQL,
         "training_manifest": _training_manifest_sql(),
         "search_index_lookup": _INDEX_LOOKUP_SQL,
+        "pack_sequences": _pack_sql(),
     }

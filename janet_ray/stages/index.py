@@ -55,22 +55,29 @@ META_FILE = "_index_meta.json"
 
 
 def _postings_partials(batch: pa.Table, *, text_col: str, id_col: str) -> pa.Table:
-    """(term, doc_id, tf) rows for one batch of documents — fully vectorized:
-    flatten tokens with their parent row indices, then one Arrow group_by."""
+    """(term, doc_id, tf, dl) rows for one batch of documents — fully
+    vectorized: flatten tokens with their parent row indices, one Arrow
+    group_by for tf, a second for the doc length, joined back. ``dl`` (total
+    tokens of the doc) is DENORMALIZED onto every posting — the impact-index
+    layout — so a BM25 lookup needs nothing beyond the term's postings."""
     toks = pc.split_pattern_regex(
         pc.utf8_lower(pc.coalesce(batch[text_col], pa.scalar("", pa.string()))),
         pattern=TOKEN_SPLIT_PATTERN)
     flat = pc.list_flatten(toks)
     parents = pc.list_parent_indices(toks)
     doc_ids = batch[id_col].take(parents)
-    t = pa.table({"term": flat, "doc_id": doc_ids})
+    t = pa.table({"term": flat, "doc_id": pc.cast(doc_ids, pa.int64())})
     t = t.filter(pc.not_equal(t["term"], pa.scalar("", pa.string())))
     g = t.group_by(["term", "doc_id"]).aggregate([([], "count_all")])
-    return pa.table({
+    dls = t.group_by(["doc_id"]).aggregate([([], "count_all")])
+    dls = pa.table({"doc_id": dls["doc_id"],
+                    "dl": pc.cast(dls["count_all"], pa.int64())})
+    g = pa.table({
         "term": g["term"],
-        "doc_id": pc.cast(g["doc_id"], pa.int64()),
+        "doc_id": g["doc_id"],
         "tf": pc.cast(g["count_all"], pa.int64()),
-    })
+    }).join(dls, keys=["doc_id"], join_type="inner")
+    return g.select(["term", "doc_id", "tf", "dl"])
 
 
 def term_bucket(term: str, num_buckets: int) -> int:
@@ -116,18 +123,28 @@ def build_inverted_index(
             "n_postings": pa.array([t.num_rows], pa.int64()),
             "n_terms": pa.array([pc.count_distinct(t["term"]).as_py()], pa.int64()),
             "bytes": pa.array([os.path.getsize(final)], pa.int64()),
+            "sum_tf": pa.array([pc.sum(t["tf"]).as_py() or 0], pa.int64()),
         })
+
+    # corpus stats for BM25 (N, avgdl): row count via the input's metadata
+    # fast path (parquet count never reads data pages); total tokens folds
+    # from the per-bucket manifest below
+    n_docs = int(ds.count())
 
     manifest = (ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
                 .groupby("part")
                 .map_groups(write_bucket, batch_format="pyarrow")
                 .take_all())  # ≤ num_buckets rows — aggregate-small
+    total_tokens = int(sum(r["sum_tf"] for r in manifest))
     stats = {
         "num_buckets": num_buckets,
         "buckets_written": len(manifest),
         "n_postings": int(sum(r["n_postings"] for r in manifest)),
         "n_terms": int(sum(r["n_terms"] for r in manifest)),
         "bytes": int(sum(r["bytes"] for r in manifest)),
+        "n_docs": n_docs,
+        "total_tokens": total_tokens,
+        "avgdl": (total_tokens / n_docs) if n_docs else 0.0,
     }
     with open(os.path.join(index_dir, META_FILE), "w") as f:
         json.dump(stats, f)
@@ -144,10 +161,11 @@ def _read_term_postings(index_dir: str, term: str, num_buckets: int) -> pa.Table
     row-group statistics (the term column is sorted within the file)."""
     path = bucket_path(index_dir, term_bucket(term, num_buckets))
     empty = pa.table({"doc_id": pa.array([], pa.int64()),
-                      "tf": pa.array([], pa.int64())})
+                      "tf": pa.array([], pa.int64()),
+                      "dl": pa.array([], pa.int64())})
     if not os.path.exists(path):
         return empty
-    t = pq.read_table(path, columns=["term", "doc_id", "tf"],
+    t = pq.read_table(path, columns=["term", "doc_id", "tf", "dl"],
                       filters=[("term", "==", term)])
     return t.drop_columns(["term"]) if t.num_rows else empty
 
@@ -158,6 +176,7 @@ def index_lookup(index_dir: str, term: str, *, k: int = 10) -> pa.Table:
     query term goes through the same tokenizer contract (lowercase)."""
     meta = index_meta(index_dir)
     t = _read_term_postings(index_dir, term.lower(), meta["num_buckets"])
+    t = t.select(["doc_id", "tf"])
     idx = pc.sort_indices(t, sort_keys=[("tf", "descending"),
                                         ("doc_id", "ascending")])
     return t.take(idx[:k])
@@ -169,12 +188,47 @@ def index_lookup_multi(index_dir: str, terms: list[str], *, k: int = 10) -> pa.T
     meta = index_meta(index_dir)
     parts = [_read_term_postings(index_dir, t.lower(), meta["num_buckets"])
              for t in dict.fromkeys(terms)]  # dedupe terms, keep order
-    allp = pa.concat_tables(parts)
+    allp = pa.concat_tables(parts).select(["doc_id", "tf"])
     if allp.num_rows == 0:
         return pa.table({"doc_id": pa.array([], pa.int64()),
                          "score": pa.array([], pa.int64())})
     g = allp.group_by(["doc_id"]).aggregate([("tf", "sum")])
     t = pa.table({"doc_id": g["doc_id"], "score": g["tf_sum"]})
+    idx = pc.sort_indices(t, sort_keys=[("score", "descending"),
+                                        ("doc_id", "ascending")])
+    return t.take(idx[:k])
+
+
+def index_lookup_bm25(index_dir: str, terms: list[str], *, k: int = 10,
+                      k1: float = 1.2, b: float = 0.75) -> pa.Table:
+    """BM25 ranked retrieval from the index alone (no corpus access): Lucene
+    idf ``ln(1 + (N − df + 0.5)/(df + 0.5))`` and the standard saturated-tf ×
+    length-normalized component, using the denormalized ``dl`` on each posting
+    and (N, avgdl) from the build-time meta. Vectorized numpy per term; top-k
+    by (score desc, doc_id asc) is deterministic."""
+    import math
+
+    import numpy as np
+
+    meta = index_meta(index_dir)
+    n, avgdl = meta["n_docs"], meta["avgdl"] or 1.0
+    scores: dict[int, float] = {}
+    for term in dict.fromkeys(terms):
+        t = _read_term_postings(index_dir, term.lower(), meta["num_buckets"])
+        df = t.num_rows
+        if not df:
+            continue
+        idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dl = t["dl"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+        for d, sc in zip(t["doc_id"].to_pylist(), s):
+            scores[d] = scores.get(d, 0.0) + float(sc)
+    if not scores:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64())})
+    t = pa.table({"doc_id": pa.array(list(scores), pa.int64()),
+                  "score": pa.array(list(scores.values()), pa.float64())})
     idx = pc.sort_indices(t, sort_keys=[("score", "descending"),
                                         ("doc_id", "ascending")])
     return t.take(idx[:k])

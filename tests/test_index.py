@@ -49,6 +49,18 @@ def test_build_and_lookup_exact(ray_session, tmp_path):
     want = _ref_postings(TEXTS)
     assert stats["n_postings"] == len(want)
     assert stats["n_terms"] == len({t for t, _ in want})
+    assert stats["n_docs"] == len(TEXTS)
+    assert stats["total_tokens"] == sum(want.values())
+    assert stats["avgdl"] == pytest.approx(sum(want.values()) / len(TEXTS))
+
+    # denormalized dl on every posting == the doc's total token count
+    doc_len = Counter()
+    for (term, doc), tf in want.items():
+        doc_len[doc] += tf
+    for f in inv.scan_index_files(d):
+        t = pq.read_table(f)
+        for doc, dl in zip(t["doc_id"].to_pylist(), t["dl"].to_pylist()):
+            assert dl == doc_len[doc]
 
     # every posting lands in its term's bucket with the exact tf
     got = {}
@@ -99,6 +111,46 @@ def test_multi_term_or_scoring(ray_session, tmp_path):
     # ranked by (score desc, doc_id asc)
     pairs = [(r["score"], -r["doc_id"]) for r in got]
     assert pairs == sorted(pairs, reverse=True)
+
+
+def _bm25_reference(texts, terms, k1=1.2, b=0.75):
+    """Single-process BM25 ground truth from raw texts."""
+    import math
+
+    post = _ref_postings(texts)
+    doc_len = Counter()
+    for (term, doc), tf in post.items():
+        doc_len[doc] += tf
+    n = len(texts)
+    avgdl = (sum(doc_len.values()) / n) if n else 1.0
+    scores = Counter()
+    for term in dict.fromkeys(terms):
+        hits = {doc: tf for (t, doc), tf in post.items() if t == term}
+        df = len(hits)
+        if not df:
+            continue
+        idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        for doc, tf in hits.items():
+            scores[doc] += idf * tf * (k1 + 1.0) / (
+                tf + k1 * (1.0 - b + b * doc_len[doc] / avgdl))
+    return dict(scores)
+
+
+def test_bm25_matches_reference(ray_session, tmp_path):
+    d = str(tmp_path / "idx")
+    inv.build_inverted_index(_docs_ds(TEXTS), d, num_buckets=4)
+    terms = ["data", "database", "tokens"]
+    want = _bm25_reference(TEXTS, terms)
+    got = inv.index_lookup_bm25(d, terms, k=10).to_pylist()
+    assert {r["doc_id"] for r in got} == set(want)
+    for r in got:
+        assert r["score"] == pytest.approx(want[r["doc_id"]], rel=1e-12)
+    # ranked by (score desc, doc_id asc)
+    pairs = [(-r["score"], r["doc_id"]) for r in got]
+    assert pairs == sorted(pairs)
+    # absent-everywhere query → empty float-typed result
+    empty = inv.index_lookup_bm25(d, ["zzznope"], k=10)
+    assert empty.num_rows == 0 and empty["score"].type == "double"
 
 
 def test_parity_with_scan_based_topk(ray_session, tmp_path):
