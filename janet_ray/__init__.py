@@ -23,6 +23,10 @@ _EXPORTS = {
     "distributed_quantiles": ("janet_ray.stages.stats", "distributed_quantiles"),
     "distinct_count": ("janet_ray.stages.stats", "distinct_count"),
     "search_highlights": ("janet_ray.stages.highlights", "search_highlights"),
+    "build_inverted_index": ("janet_ray.stages.index", "build_inverted_index"),
+    "index_lookup": ("janet_ray.stages.index", "index_lookup"),
+    "index_lookup_bm25": ("janet_ray.stages.index", "index_lookup_bm25"),
+    "pack_sequences": ("janet_ray.stages.pack", "pack_sequences"),
     "row_deadline": ("janet_ray.functions.deadline", "row_deadline"),
     "retry_with_backoff": ("janet_ray.functions.retry", "retry_with_backoff"),
     "PAGES_SCHEMA": ("janet_ray.schemas", "PAGES_SCHEMA"),
