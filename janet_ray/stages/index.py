@@ -98,20 +98,54 @@ def build_inverted_index(
     id_col: str = "doc_id",
     num_buckets: int = 32,
     row_group_size: int = 16384,
+    stop_terms: set[str] | None = None,
+    max_df_ratio: float | None = None,
 ) -> dict:
     """Build the index under ``index_dir``; returns a small stats dict (also
     persisted as ``_index_meta.json``). Files are written atomically per
     bucket, so a killed build leaves no committed partial bucket — rerunning
-    overwrites cleanly."""
+    overwrites cleanly.
+
+    Skew: the hot keys of a postings shuffle are stopwords — a term appearing
+    in every document carries O(corpus) postings into one bucket. Two knobs,
+    both classic IR practice:
+
+    * ``stop_terms`` — dropped in the map stage BEFORE the shuffle (the set
+      ships once in the task closure), so hot-term postings never move. Use
+      for known stopword lists; at 100 TB, feed it the head of a
+      ``vocab_topk`` pre-pass.
+    * ``max_df_ratio`` — per-term document-frequency cut applied inside each
+      bucket writer (df > ratio·N drops the term). Bounds the FILE and the
+      lookup cost, not the shuffle — the belt to ``stop_terms``' suspenders.
+
+    A dropped term simply has no postings: lookups return empty for it (the
+    same contract Meilisearch's stopword setting gives the reference's search
+    route). ``n_dropped_terms`` in the stats reports the cut. BM25 length
+    stats under a cut: ``dl`` stays the RAW per-doc token count while
+    ``total_tokens``/``avgdl`` reflect post-cut postings — scoring remains a
+    deterministic, consistent ranking (same constants for every doc); without
+    cuts both are exact and pinned by the reference-parity pytest."""
     os.makedirs(index_dir, exist_ok=True)
 
     def partials(batch: pa.Table) -> pa.Table:
         t = _postings_partials(batch, text_col=text_col, id_col=id_col)
+        if stop_terms:
+            t = t.filter(pc.invert(pc.is_in(
+                t["term"], value_set=pa.array(sorted(stop_terms), pa.string()))))
         return with_part(t, ["term"], n_parts=num_buckets)
 
     def write_bucket(group: pa.Table) -> pa.Table:
         bucket = int(group["part"][0].as_py())
         t = group.drop_columns(["part"])
+        n_dropped = 0
+        if max_df_ratio is not None and n_docs:
+            vc = t["term"].value_counts()
+            hot = vc.filter(pc.greater(
+                vc.field("counts"),
+                pa.scalar(int(max_df_ratio * n_docs), pa.int64()))).field("values")
+            if len(hot):
+                n_dropped = len(hot)
+                t = t.filter(pc.invert(pc.is_in(t["term"], value_set=hot)))
         t = t.take(pc.sort_indices(t, sort_keys=[("term", "ascending"),
                                                  ("doc_id", "ascending")]))
         final = bucket_path(index_dir, bucket)
@@ -124,6 +158,7 @@ def build_inverted_index(
             "n_terms": pa.array([pc.count_distinct(t["term"]).as_py()], pa.int64()),
             "bytes": pa.array([os.path.getsize(final)], pa.int64()),
             "sum_tf": pa.array([pc.sum(t["tf"]).as_py() or 0], pa.int64()),
+            "n_dropped_terms": pa.array([n_dropped], pa.int64()),
         })
 
     # corpus stats for BM25 (N, avgdl): row count via the input's metadata
@@ -145,6 +180,7 @@ def build_inverted_index(
         "n_docs": n_docs,
         "total_tokens": total_tokens,
         "avgdl": (total_tokens / n_docs) if n_docs else 0.0,
+        "n_dropped_terms": int(sum(r["n_dropped_terms"] for r in manifest)),
     }
     with open(os.path.join(index_dir, META_FILE), "w") as f:
         json.dump(stats, f)

@@ -23,7 +23,7 @@ def test_cli_run_and_resume(ray_session, small_corpus, tmp_path):
     invocation that recomputes nothing (all partitions already complete)."""
     out = str(tmp_path / "cli_out")
     s1 = _run_cli("--deadline-s", "15", "--strict-ocr", "--salt-parts", "4",
-                  out_dir=out, corpus=small_corpus)
+                  "--stage-checkpoint", out_dir=out, corpus=small_corpus)
     assert s1["complete"] == s1["partitions"] == 4
     assert s1["n_rows"] > 0 and s1["routes"]
 

@@ -175,6 +175,48 @@ def test_bucket_function_is_with_part_arithmetic():
         assert inv.term_bucket(term, 32) == abs(zlib.crc32(term.encode())) % 32
 
 
+def test_stop_terms_cut_before_shuffle(ray_session, tmp_path):
+    """stop_terms drop in the map stage: no postings for the hot term anywhere
+    in the index, other terms untouched, lookups for the stopword → empty."""
+    d = str(tmp_path / "idx")
+    inv.build_inverted_index(_docs_ds(TEXTS), d, num_buckets=4,
+                             stop_terms={"data", "is"})
+    terms_on_disk = set()
+    for f in inv.scan_index_files(d):
+        terms_on_disk.update(pq.read_table(f, columns=["term"])["term"].to_pylist())
+    assert "data" not in terms_on_disk and "is" not in terms_on_disk
+    assert "database" in terms_on_disk  # only exact terms drop
+    assert inv.index_lookup(d, "data", k=10).num_rows == 0
+    # dl (BM25 length norm) still counts the stopped tokens
+    want = _ref_postings(TEXTS)
+    doc_len = Counter()
+    for (term, doc), tf in want.items():
+        doc_len[doc] += tf
+    for f in inv.scan_index_files(d):
+        t = pq.read_table(f)
+        for doc, dl in zip(t["doc_id"].to_pylist(), t["dl"].to_pylist()):
+            assert dl == doc_len[doc]
+
+
+def test_max_df_ratio_drops_ubiquitous_terms(ray_session, tmp_path):
+    """max_df_ratio: terms in more than ratio*N docs are cut inside the bucket
+    writer; stats report the drop."""
+    texts = [f"common filler word{i % 3} unique{i}" for i in range(20)]
+    d = str(tmp_path / "idx")
+    stats = inv.build_inverted_index(_docs_ds(texts), d, num_buckets=4,
+                                     max_df_ratio=0.5)
+    # 'common' and 'filler' are in all 20 docs (df=20 > 10); word0/1/2 df≈7 stay
+    terms_on_disk = set()
+    for f in inv.scan_index_files(d):
+        terms_on_disk.update(pq.read_table(f, columns=["term"])["term"].to_pylist())
+    assert "common" not in terms_on_disk and "filler" not in terms_on_disk
+    assert {"word0", "word1", "word2"} <= terms_on_disk
+    assert stats["n_dropped_terms"] == 2
+    assert inv.index_lookup(d, "common", k=10).num_rows == 0
+    assert inv.index_lookup(d, "unique7", k=10).to_pylist() == [
+        {"doc_id": 7, "tf": 1}]
+
+
 def test_empty_corpus(ray_session, tmp_path):
     d = str(tmp_path / "idx")
     stats = inv.build_inverted_index(_docs_ds(["", "   "]), d, num_buckets=4)
