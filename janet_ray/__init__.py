@@ -24,6 +24,7 @@ _EXPORTS = {
     "distinct_count": ("janet_ray.stages.stats", "distinct_count"),
     "search_highlights": ("janet_ray.stages.highlights", "search_highlights"),
     "build_inverted_index": ("janet_ray.stages.index", "build_inverted_index"),
+    "build_index_segments": ("janet_ray.stages.index", "build_index_segments"),
     "index_lookup": ("janet_ray.stages.index", "index_lookup"),
     "index_lookup_bm25": ("janet_ray.stages.index", "index_lookup_bm25"),
     "pack_sequences": ("janet_ray.stages.pack", "pack_sequences"),

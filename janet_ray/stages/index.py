@@ -192,18 +192,121 @@ def index_meta(index_dir: str) -> dict:
         return json.load(f)
 
 
+# ------------------------------------------------------------------ segments
+# Resumable index builds for crawl-scale corpora: the Lucene-segments shape.
+# Each SEGMENT is a self-contained index over a deterministic group of input
+# shards (same planning contract as checkpoint.run_partitioned: a pure
+# function of the sorted file list), committed atomically with its own meta; a
+# killed build resumes by skipping committed segments. A document lives in
+# exactly ONE segment, so per-(term, doc) tf needs no cross-segment merge —
+# a lookup concatenates the term's postings from each segment's single bucket
+# file (read cost: #segments small files instead of 1; real systems bound
+# this with background segment merging, which here is just "rebuild the
+# segment group coarser").
+
+def segment_dirs(index_dir: str) -> list[str]:
+    return sorted(d for d in glob.glob(os.path.join(index_dir, "segment-*"))
+                  if os.path.isdir(d))
+
+
+def build_index_segments(
+    input_dir: str,
+    index_dir: str,
+    *,
+    files_per_segment: int = 8,
+    columns: list[str] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 32,
+    **build_kwargs,
+) -> dict:
+    """Build (or RESUME building) a segmented index over a directory of
+    parquet shards. Returns the merged corpus meta (also persisted at the
+    index root). Rerunning after a kill skips committed segments; rerunning
+    after new shards land appends new segments (append-only, like
+    checkpoint.run_incremental)."""
+    import ray.data
+
+    files = sorted(glob.glob(os.path.join(input_dir, "*.parquet")))
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {input_dir}")
+    os.makedirs(index_dir, exist_ok=True)
+    groups = [files[i:i + files_per_segment]
+              for i in range(0, len(files), files_per_segment)]
+    for sid, group in enumerate(groups):
+        basenames = [os.path.basename(f) for f in group]
+        seg = os.path.join(index_dir, f"segment-{sid:05d}")
+        lineage = os.path.join(seg, "_segment_inputs.json")
+        if os.path.exists(os.path.join(seg, META_FILE)):
+            # resume guard (the PartitionPlanChanged analogue): the contiguous
+            # chunking is only append-stable if new shards sort AFTER the old
+            # ones — a file inserted mid-list shifts every group and would
+            # silently mis-cover the corpus. The recorded lineage catches it.
+            if os.path.exists(lineage):
+                with open(lineage) as f:
+                    recorded = json.load(f)
+                if recorded != basenames:
+                    raise RuntimeError(
+                        f"segment {sid} was built over {recorded[:2]}… but the "
+                        f"current shard list assigns {basenames[:2]}…; index "
+                        "segment groups are append-only (new shards must sort "
+                        "after existing ones) — rebuild into a fresh index_dir.")
+            continue  # committed segment — resume skips it
+        tmp = os.path.join(index_dir, f"_tmp-segment-{sid:05d}")
+        if os.path.isdir(tmp):
+            import shutil
+
+            shutil.rmtree(tmp)
+        ds = ray.data.read_parquet(group, columns=columns)
+        build_inverted_index(ds, tmp, text_col=text_col, id_col=id_col,
+                             num_buckets=num_buckets, **build_kwargs)
+        with open(os.path.join(tmp, "_segment_inputs.json"), "w") as f:
+            json.dump(basenames, f)
+        os.replace(tmp, seg)  # atomic: a segment is absent or complete
+
+    # merged corpus meta: docs/tokens/postings sum; all segments share
+    # num_buckets so the lookup's bucket arithmetic is uniform
+    metas = [index_meta(d) for d in segment_dirs(index_dir)]
+    merged = {
+        "num_buckets": num_buckets,
+        "segments": len(metas),
+        "n_postings": sum(m["n_postings"] for m in metas),
+        "n_terms_upper": sum(m["n_terms"] for m in metas),  # distinct per seg
+        "bytes": sum(m["bytes"] for m in metas),
+        "n_docs": sum(m["n_docs"] for m in metas),
+        "total_tokens": sum(m["total_tokens"] for m in metas),
+        "n_dropped_terms": sum(m.get("n_dropped_terms", 0) for m in metas),
+    }
+    merged["avgdl"] = (merged["total_tokens"] / merged["n_docs"]
+                       if merged["n_docs"] else 0.0)
+    tmp_meta = os.path.join(index_dir, META_FILE + ".tmp")
+    with open(tmp_meta, "w") as f:
+        json.dump(merged, f)
+    os.replace(tmp_meta, os.path.join(index_dir, META_FILE))
+    return merged
+
+
 def _read_term_postings(index_dir: str, term: str, num_buckets: int) -> pa.Table:
-    """Postings of one term: one bucket file, term-equality filter pushed to
-    row-group statistics (the term column is sorted within the file)."""
-    path = bucket_path(index_dir, term_bucket(term, num_buckets))
+    """Postings of one term: the term's single bucket file (flat index) or
+    that bucket file in EACH segment (segmented index), term-equality filter
+    pushed to row-group statistics (the term column is sorted per file). A
+    doc lives in exactly one segment, so concatenation needs no merge."""
+    segs = segment_dirs(index_dir)
+    roots = segs if segs else [index_dir]
+    b = term_bucket(term, num_buckets)
     empty = pa.table({"doc_id": pa.array([], pa.int64()),
                       "tf": pa.array([], pa.int64()),
                       "dl": pa.array([], pa.int64())})
-    if not os.path.exists(path):
-        return empty
-    t = pq.read_table(path, columns=["term", "doc_id", "tf", "dl"],
-                      filters=[("term", "==", term)])
-    return t.drop_columns(["term"]) if t.num_rows else empty
+    parts = []
+    for root in roots:
+        path = bucket_path(root, b)
+        if not os.path.exists(path):
+            continue
+        t = pq.read_table(path, columns=["term", "doc_id", "tf", "dl"],
+                          filters=[("term", "==", term)])
+        if t.num_rows:
+            parts.append(t.drop_columns(["term"]))
+    return pa.concat_tables(parts) if parts else empty
 
 
 def index_lookup(index_dir: str, term: str, *, k: int = 10) -> pa.Table:

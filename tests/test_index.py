@@ -217,6 +217,83 @@ def test_max_df_ratio_drops_ubiquitous_terms(ray_session, tmp_path):
         {"doc_id": 7, "tf": 1}]
 
 
+def _write_shards(dirpath, texts, shard_rows):
+    os.makedirs(dirpath)
+    for s, i in enumerate(range(0, len(texts), shard_rows)):
+        chunk = texts[i:i + shard_rows]
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(i, i + len(chunk)), pa.int64()),
+            "text": pa.array(chunk, pa.string()),
+        }), os.path.join(dirpath, f"shard-{s:03d}.parquet"))
+
+
+def test_segmented_build_matches_flat(ray_session, tmp_path):
+    """Lucene-segments shape: segmented build == flat build (same postings,
+    same lookups, same BM25 — global df/N/avgdl from the merged meta)."""
+    texts = [f"doc {i} " + "data " * (i % 4) + "word common text" for i in range(60)]
+    inp = str(tmp_path / "shards")
+    _write_shards(inp, texts, shard_rows=10)
+
+    flat = str(tmp_path / "flat")
+    inv.build_inverted_index(_docs_ds(texts), flat, num_buckets=8)
+    segd = str(tmp_path / "segd")
+    merged = inv.build_index_segments(inp, segd, files_per_segment=2,
+                                      num_buckets=8)
+    assert merged["segments"] == 3 and merged["n_docs"] == 60
+    assert merged["n_postings"] == inv.index_meta(flat)["n_postings"]
+    assert merged["avgdl"] == pytest.approx(inv.index_meta(flat)["avgdl"])
+
+    for term in ("data", "common", "doc", "zzzmissing"):
+        a = inv.index_lookup(flat, term, k=50).to_pylist()
+        b = inv.index_lookup(segd, term, k=50).to_pylist()
+        assert sorted(a, key=lambda r: r["doc_id"]) == sorted(
+            b, key=lambda r: r["doc_id"])
+    ba = inv.index_lookup_bm25(flat, ["data", "common"], k=50).to_pylist()
+    bb = inv.index_lookup_bm25(segd, ["data", "common"], k=50).to_pylist()
+    assert [(r["doc_id"], pytest.approx(r["score"])) for r in ba] == \
+           [(r["doc_id"], r["score"]) for r in bb]
+
+
+def test_segmented_build_resumes_and_appends(ray_session, tmp_path):
+    """A committed segment is never rebuilt (resume), and new shards extend
+    the index with new segments only (append-only ingest)."""
+    texts = [f"alpha beta gamma{i % 5} token{i}" for i in range(40)]
+    inp = str(tmp_path / "shards")
+    _write_shards(inp, texts, shard_rows=10)
+    d = str(tmp_path / "segd")
+    inv.build_index_segments(inp, d, files_per_segment=2, num_buckets=4)
+    seg0_files = sorted(
+        os.path.join(d, "segment-00000", f)
+        for f in os.listdir(os.path.join(d, "segment-00000")))
+    mtimes = {f: os.path.getmtime(f) for f in seg0_files}
+
+    # rerun: nothing recomputed
+    inv.build_index_segments(inp, d, files_per_segment=2, num_buckets=4)
+    assert all(os.path.getmtime(f) == t for f, t in mtimes.items())
+
+    # new shard lands → exactly one new segment, old untouched, lookup sees it
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1000], pa.int64()),
+        "text": pa.array(["alpha fresharrival"], pa.string()),
+    }), os.path.join(inp, "shard-999.parquet"))
+    merged = inv.build_index_segments(inp, d, files_per_segment=2, num_buckets=4)
+    assert merged["segments"] == 3 and merged["n_docs"] == 41
+    assert all(os.path.getmtime(f) == t for f, t in mtimes.items())
+    hit = inv.index_lookup(d, "fresharrival", k=10).to_pylist()
+    assert hit == [{"doc_id": 1000, "tf": 1}]
+    alpha = inv.index_lookup(d, "alpha", k=50)
+    assert alpha.num_rows == 41
+
+    # a shard inserted MID-list shifts every group → loud failure, not silent
+    # mis-coverage (the PartitionPlanChanged analogue)
+    pq.write_table(pa.table({
+        "doc_id": pa.array([2000], pa.int64()),
+        "text": pa.array(["interloper"], pa.string()),
+    }), os.path.join(inp, "shard-0005.parquet"))
+    with pytest.raises(RuntimeError, match="append-only"):
+        inv.build_index_segments(inp, d, files_per_segment=2, num_buckets=4)
+
+
 def test_empty_corpus(ray_session, tmp_path):
     d = str(tmp_path / "idx")
     stats = inv.build_inverted_index(_docs_ds(["", "   "]), d, num_buckets=4)
