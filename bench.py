@@ -164,6 +164,7 @@ def run_suite(sf_dir: str) -> dict[str, float]:
         "search_index_lookup": Q.q_search_index_lookup,
         "search_index_bm25": Q.q_search_index_bm25,
         "pack_sequences": Q.q_pack_sequences,
+        "winnow_fingerprints": Q.q_winnow_fingerprints,
     }
     out = {}
     for name, fn in suite.items():

@@ -485,6 +485,22 @@ def q_textstats(sf_dir: str):
     )
 
 
+def q_winnow_fingerprints(sf_dir: str):
+    """Winnowing rolling-hash fingerprints (stages/winnow.py): k-gram shingle
+    hashes → sliding-window minima → exploded DISTINCT (doc_id, fp) rows; the
+    SQL oracle replays the identical selection from the same constants."""
+    from janet_ray.stages.winnow import winnow_fingerprints
+
+    return winnow_fingerprints(_read(sf_dir, "documents",
+                                     columns=["doc_id", "text"]))
+
+
+def _winnow_sql() -> str:
+    from janet_ray.stages.winnow import winnow_sql
+
+    return winnow_sql()
+
+
 def q_fingerprint(sf_dir: str):
     return (
         _docs(sf_dir)
@@ -1673,6 +1689,7 @@ def build_queries() -> dict:
         "search_index_lookup": q_search_index_lookup,
         "search_index_bm25": q_search_index_bm25,
         "pack_sequences": q_pack_sequences,
+        "winnow_fingerprints": q_winnow_fingerprints,
     }
 
 
@@ -1729,4 +1746,5 @@ def build_oracles() -> dict[str, str]:
         "training_manifest": _training_manifest_sql(),
         "search_index_lookup": _INDEX_LOOKUP_SQL,
         "pack_sequences": _pack_sql(),
+        "winnow_fingerprints": _winnow_sql(),
     }
