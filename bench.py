@@ -158,6 +158,7 @@ def run_suite(sf_dir: str) -> dict[str, float]:
         "events_distinct_users": Q.q_events_distinct_users,
         "events_burst_count": Q.q_events_burst_count,
         "lm_surprise": Q.q_lm_surprise,
+        "lm_surprise_cut": Q.q_lm_surprise_cut,
         "orders_group_sample": Q.q_orders_group_sample,
         "training_manifest": Q.q_training_manifest,
         # round-3 operators

@@ -52,6 +52,7 @@ from janet_ray.functions.partitioning import with_part
 TOKEN_SPLIT_PATTERN = "[^a-z0-9]+"  # must match lm_quality._TOKEN_RE / vocab_topk
 
 META_FILE = "_index_meta.json"
+STATS_SENTINEL = "\x00stats"  # impossible token: tokenizer output is [a-z0-9]+
 
 
 def _postings_partials(batch: pa.Table, *, text_col: str, id_col: str) -> pa.Table:
@@ -77,7 +78,21 @@ def _postings_partials(batch: pa.Table, *, text_col: str, id_col: str) -> pa.Tab
         "doc_id": g["doc_id"],
         "tf": pc.cast(g["count_all"], pa.int64()),
     }).join(dls, keys=["doc_id"], join_type="inner")
-    return g.select(["term", "doc_id", "tf", "dl"])
+    g = g.select(["term", "doc_id", "tf", "dl"])
+    # corpus-stats sentinel, ONE row per batch: rides the existing shuffle so
+    # N/total-tokens need no second pass over the input (a ds.count() would
+    # re-execute any upstream transform chain). The term contains \x00, which
+    # the [a-z0-9]+ tokenizer can never produce; every sentinel hashes to the
+    # same bucket and is stripped (and folded into the manifest) by the
+    # bucket writer. doc count is the BATCH row count (token-less docs count
+    # toward BM25's N); token total is the raw pre-cut sum.
+    sentinel = pa.table({
+        "term": pa.array([STATS_SENTINEL], pa.string()),
+        "doc_id": pa.array([batch.num_rows], pa.int64()),
+        "tf": pa.array([int(pc.sum(dls["dl"]).as_py() or 0)], pa.int64()),
+        "dl": pa.array([0], pa.int64()),
+    })
+    return pa.concat_tables([g, sentinel])
 
 
 def term_bucket(term: str, num_buckets: int) -> int:
@@ -120,11 +135,10 @@ def build_inverted_index(
 
     A dropped term simply has no postings: lookups return empty for it (the
     same contract Meilisearch's stopword setting gives the reference's search
-    route). ``n_dropped_terms`` in the stats reports the cut. BM25 length
-    stats under a cut: ``dl`` stays the RAW per-doc token count while
-    ``total_tokens``/``avgdl`` reflect post-cut postings — scoring remains a
-    deterministic, consistent ranking (same constants for every doc); without
-    cuts both are exact and pinned by the reference-parity pytest."""
+    route). ``n_dropped_terms`` in the stats reports the cut. ``dl`` and
+    ``total_tokens``/``avgdl`` are both RAW (pre-cut) token counts — folded
+    from per-batch sentinel rows riding the postings shuffle, not a second
+    input pass — so BM25 length normalization stays exact under any cut."""
     os.makedirs(index_dir, exist_ok=True)
 
     def partials(batch: pa.Table) -> pa.Table:
@@ -134,15 +148,27 @@ def build_inverted_index(
                 t["term"], value_set=pa.array(sorted(stop_terms), pa.string()))))
         return with_part(t, ["term"], n_parts=num_buckets)
 
+    # N is only needed up-front for the df cut's threshold; the stats fold
+    # itself rides sentinel rows through the shuffle (no extra pass). A
+    # parquet-backed ds makes this count metadata-only; a transform chain
+    # pays one extra execution — the documented cost of arming max_df_ratio.
+    n_docs_for_cut = int(ds.count()) if max_df_ratio is not None else None
+
     def write_bucket(group: pa.Table) -> pa.Table:
         bucket = int(group["part"][0].as_py())
         t = group.drop_columns(["part"])
+        is_sentinel = pc.equal(t["term"], pa.scalar(STATS_SENTINEL, pa.string()))
+        sent = t.filter(is_sentinel)
+        n_docs_partial = int(pc.sum(sent["doc_id"]).as_py() or 0)
+        total_tokens_partial = int(pc.sum(sent["tf"]).as_py() or 0)
+        t = t.filter(pc.invert(is_sentinel))
         n_dropped = 0
-        if max_df_ratio is not None and n_docs:
+        if max_df_ratio is not None and n_docs_for_cut:
             vc = t["term"].value_counts()
             hot = vc.filter(pc.greater(
                 vc.field("counts"),
-                pa.scalar(int(max_df_ratio * n_docs), pa.int64()))).field("values")
+                pa.scalar(int(max_df_ratio * n_docs_for_cut),
+                          pa.int64()))).field("values")
             if len(hot):
                 n_dropped = len(hot)
                 t = t.filter(pc.invert(pc.is_in(t["term"], value_set=hot)))
@@ -157,20 +183,17 @@ def build_inverted_index(
             "n_postings": pa.array([t.num_rows], pa.int64()),
             "n_terms": pa.array([pc.count_distinct(t["term"]).as_py()], pa.int64()),
             "bytes": pa.array([os.path.getsize(final)], pa.int64()),
-            "sum_tf": pa.array([pc.sum(t["tf"]).as_py() or 0], pa.int64()),
+            "n_docs_partial": pa.array([n_docs_partial], pa.int64()),
+            "total_tokens_partial": pa.array([total_tokens_partial], pa.int64()),
             "n_dropped_terms": pa.array([n_dropped], pa.int64()),
         })
-
-    # corpus stats for BM25 (N, avgdl): row count via the input's metadata
-    # fast path (parquet count never reads data pages); total tokens folds
-    # from the per-bucket manifest below
-    n_docs = int(ds.count())
 
     manifest = (ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
                 .groupby("part")
                 .map_groups(write_bucket, batch_format="pyarrow")
                 .take_all())  # ≤ num_buckets rows — aggregate-small
-    total_tokens = int(sum(r["sum_tf"] for r in manifest))
+    n_docs = int(sum(r["n_docs_partial"] for r in manifest))
+    total_tokens = int(sum(r["total_tokens_partial"] for r in manifest))
     stats = {
         "num_buckets": num_buckets,
         "buckets_written": len(manifest),
@@ -178,6 +201,8 @@ def build_inverted_index(
         "n_terms": int(sum(r["n_terms"] for r in manifest)),
         "bytes": int(sum(r["bytes"] for r in manifest)),
         "n_docs": n_docs,
+        # raw (pre-cut) token total, consistent with the raw per-posting dl —
+        # BM25 length norms stay exact even under stop_terms/max_df_ratio
         "total_tokens": total_tokens,
         "avgdl": (total_tokens / n_docs) if n_docs else 0.0,
         "n_dropped_terms": int(sum(r["n_dropped_terms"] for r in manifest)),

@@ -177,32 +177,42 @@ def build_bigram_model(ds, *, text_col: str = "text",
               .groupby("bigram").aggregate(Sum("n", alias_name="n_total"))
               .materialize())
 
-    # tokens never contain \x00 ([a-z0-9]+ plus the sentinel BOS/UNK), so one
-    # split recovers (prev, w) exactly
-    def prev_partial(batch: pa.Table) -> pa.Table:
+    # prev-totals AND vocab-size in ONE fused groupby over `totals` (VERDICT
+    # r02 #2 — the driver only pulls O(unigram vocab) reduced rows, never
+    # distinct bigrams; fusing the two stats halves the shuffle count, the
+    # measured fixed cost of this builder at small scale). Tokens never
+    # contain \x00/\x01, so the split and the key prefixes are unambiguous:
+    # "p\x01<prev>" rows carry bigram counts (sum → c(prev·)); "w\x01<w>" rows
+    # carry 1 per DISTINCT bigram (the groupby dedupes nothing here — the row
+    # count with the w-prefix IS the distinct-second-token count once grouped).
+    def stats_partial(batch: pa.Table) -> pa.Table:
         parts = pc.split_pattern(batch["bigram"], pattern="\x00", max_splits=1)
-        return pa.table({"prev": pc.list_element(parts, 0),
-                         "n": batch["n_total"]})
+        prev = pc.list_element(parts, 0)
+        w_uniq = pc.unique(pc.list_element(parts, 1))
+        sep = pa.scalar("\x01", pa.string())
+        p_tbl = pa.table({
+            "k": pc.binary_join_element_wise(pa.scalar("p", pa.string()),
+                                             prev, sep),
+            "n": pc.cast(batch["n_total"], pa.int64()),
+        })
+        w_tbl = pa.table({
+            "k": pc.binary_join_element_wise(pa.scalar("w", pa.string()),
+                                             w_uniq, sep),
+            "n": pa.array([1] * len(w_uniq), pa.int64()),
+        })
+        return pa.concat_tables([p_tbl, w_tbl])
 
-    def w_partial(batch: pa.Table) -> pa.Table:
-        parts = pc.split_pattern(batch["bigram"], pattern="\x00", max_splits=1)
-        return pa.table({"w": pc.unique(pc.list_element(parts, 1))})
-
-    # prev_totals: distributed groupby on the prev token (VERDICT r02 #2 — the
-    # driver only pulls O(unigram vocab) reduced rows, never distinct bigrams)
-    prev_ds = (totals.map_batches(prev_partial, batch_format="pyarrow",
-                                  zero_copy_batch=True)
-               .groupby("prev").aggregate(Sum("n", alias_name="n_prev")))
+    stats_ds = (totals.map_batches(stats_partial, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+                .groupby("k").aggregate(Sum("n", alias_name="n_sum")))
     prev_totals: dict[str, int] = {}
-    for b in prev_ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        for p, n in zip(b["prev"].to_pylist(), b["n_prev"].to_pylist()):
-            prev_totals[p] = int(n)
-
-    # vocab_size: distributed distinct count of the second token (per-batch
-    # local unique is the combiner; the groupby dedupes across blocks)
-    vocab_size = (totals.map_batches(w_partial, batch_format="pyarrow",
-                                     zero_copy_batch=True)
-                  .groupby("w").count().count())
+    vocab_size = 0
+    for b in stats_ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for k, n in zip(b["k"].to_pylist(), b["n_sum"].to_pylist()):
+            if k[0] == "p":
+                prev_totals[k[2:]] = int(n)
+            else:
+                vocab_size += 1
 
     # kept numerators: partial-top-k reduce (no repartition(1) funnel)
     top_tbl = _topk_reduce(totals, "bigram", "n_total", max_vocab)
