@@ -501,6 +501,24 @@ def _winnow_sql() -> str:
     return winnow_sql()
 
 
+def q_winnow_neardup(sf_dir: str):
+    """Exact fingerprint-set-Jaccard near-dup pairs over winnowing fingerprints
+    (stages/winnow.py winnow_neardup_pairs): fp-bucket self-join with a
+    document-frequency skew cut, in-partition pair pre-aggregation, one coarse
+    pair shuffle, two hash joins for the set sizes. The SQL oracle replays the
+    whole chain exactly from the same constants."""
+    from janet_ray.stages.winnow import winnow_neardup_pairs
+
+    return winnow_neardup_pairs(_read(sf_dir, "documents",
+                                      columns=["doc_id", "text"]))
+
+
+def _winnow_pairs_sql() -> str:
+    from janet_ray.stages.winnow import winnow_pairs_sql
+
+    return winnow_pairs_sql()
+
+
 def q_fingerprint(sf_dir: str):
     return (
         _docs(sf_dir)
@@ -1701,6 +1719,7 @@ def build_queries() -> dict:
         "search_index_bm25": q_search_index_bm25,
         "pack_sequences": q_pack_sequences,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "winnow_neardup": q_winnow_neardup,
     }
 
 
@@ -1758,4 +1777,5 @@ def build_oracles() -> dict[str, str]:
         "search_index_lookup": _INDEX_LOOKUP_SQL,
         "pack_sequences": _pack_sql(),
         "winnow_fingerprints": _winnow_sql(),
+        "winnow_neardup": _winnow_pairs_sql(),
     }

@@ -33,6 +33,7 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 DEFAULT_K = 4  # tokens per gram
 DEFAULT_W = 4  # grams per window
@@ -70,22 +71,201 @@ def doc_fingerprints(text: str, *, k: int = DEFAULT_K, w: int = DEFAULT_W
 
 
 def winnow_fingerprints(ds, *, text_col: str = "text", id_col: str = "doc_id",
-                        k: int = DEFAULT_K, w: int = DEFAULT_W):
+                        k: int = DEFAULT_K, w: int = DEFAULT_W,
+                        n_parts: int = 0, with_size: bool = False):
     """Exploded DISTINCT (doc_id, fp) fingerprint rows for the corpus —
-    embarrassingly parallel per-batch map, no shuffle."""
+    embarrassingly parallel per-batch map, no shuffle. With ``n_parts > 0`` the
+    rows carry the fp-hash shuffle partition key (``part = fp % n_parts``) so a
+    downstream bucket groupby needs no separate part-assign stage — the engine's
+    fused-key rule (stages/dedup.py MinHashBandStage). With ``with_size=True``
+    every posting also carries ``n``, the emitting doc's EXACT fingerprint-set
+    size — complete at explode time because a doc is wholly inside one batch
+    (the same locality the index build exploits for tf/dl in stages/index.py),
+    which lets the near-dup scorer skip the set-size joins entirely."""
 
     def f(batch: pa.Table) -> pa.Table:
         ids_out: list[int] = []
         fps_out: list[int] = []
+        ns_out: list[int] = []
         for did, t in zip(batch[id_col].to_pylist(),
                           batch[text_col].to_pylist()):
-            for fp in doc_fingerprints(t or "", k=k, w=w):
+            fps = doc_fingerprints(t or "", k=k, w=w)
+            for fp in fps:
                 ids_out.append(did)
                 fps_out.append(fp)
-        return pa.table({"doc_id": pa.array(ids_out, pa.int64()),
-                         "fp": pa.array(fps_out, pa.int64())})
+            if with_size:
+                ns_out.extend([len(fps)] * len(fps))
+        cols = {"doc_id": pa.array(ids_out, pa.int64()),
+                "fp": pa.array(fps_out, pa.int64())}
+        if with_size:
+            cols["n"] = pa.array(ns_out, pa.int64())
+        if n_parts:
+            cols["part"] = pa.array(
+                np.asarray(fps_out, dtype=np.int64) % n_parts
+                if fps_out else np.zeros(0, dtype=np.int64), pa.int32())
+        return pa.table(cols)
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_N_FP_PARTS = 64       # fp-bucket shuffle width (coarse-partition rule)
+DEFAULT_MAX_DF = 64     # document-frequency cut: fps shared by more docs than
+                        # this are stopword-like (a boilerplate phrase) — they
+                        # explode the self-join quadratically and carry no
+                        # near-dup signal, so they are dropped from the SHARED
+                        # count (numerator candidates) only; per-doc set sizes
+                        # (denominators) stay exact over ALL fingerprints, so
+                        # the score is a conservative underestimate, never an
+                        # overestimate. Same skew guard as the index stopword
+                        # cut (stages/index.py).
+DEFAULT_THRESHOLD = 0.5
+
+
+def _pair_partials(tbl: pa.Table, max_df: int) -> pa.Table:
+    """Per fp-partition pair kernel: ALL postings of an fp land in one
+    partition (part = fp % n_parts), so a run's length IS the fp's global df.
+    Sort by fp, detect runs, drop runs with df > max_df or < 2, emit each
+    run's (id_a < id_b) pairs carrying both docs' exact set sizes, then
+    pre-aggregate the shared-fp count per pair INSIDE the partition (Arrow
+    group_by) — the downstream shuffle moves (id_a, id_b, n_a, n_b, s)
+    partials, never one row per shared fingerprint."""
+    empty = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64()),
+                      "n_a": pa.array([], pa.int64()),
+                      "n_b": pa.array([], pa.int64()),
+                      "s": pa.array([], pa.int64())})
+    if tbl.num_rows == 0 or "fp" not in tbl.column_names:
+        return empty
+    fp = tbl["fp"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ids = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ns = tbl["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((ids, fp))
+    fp, ids, ns = fp[order], ids[order], ns[order]
+    bounds = np.concatenate([[0], np.nonzero(np.diff(fp))[0] + 1, [len(fp)]])
+    starts, lens = bounds[:-1], np.diff(bounds)
+    # Vectorized pair emission: group runs by LENGTH (≤ max_df − 1 distinct
+    # values) and emit each length-class in one fancy-indexed matrix op — a
+    # Python loop per run would iterate once per distinct fingerprint (most
+    # runs are singletons), millions of times on a real partition.
+    a_out, b_out, na_out, nb_out = [], [], [], []
+    for m in np.unique(lens):
+        if m < 2 or m > max_df:
+            continue
+        s_m = starts[lens == m]
+        # rows: one run per row; ids within a run are distinct (and ascending)
+        # because the (doc_id, fp) fingerprint rows are DISTINCT by
+        # construction and the lexsort orders ids within each fp run
+        idx = s_m[:, None] + np.arange(m)
+        runs, nruns = ids[idx], ns[idx]
+        iu, ju = np.triu_indices(m, 1)
+        a_out.append(runs[:, iu].ravel())
+        b_out.append(runs[:, ju].ravel())
+        na_out.append(nruns[:, iu].ravel())
+        nb_out.append(nruns[:, ju].ravel())
+    if not a_out:
+        return empty
+    partial = (pa.table({"id_a": pa.array(np.concatenate(a_out)),
+                         "id_b": pa.array(np.concatenate(b_out)),
+                         "n_a": pa.array(np.concatenate(na_out)),
+                         "n_b": pa.array(np.concatenate(nb_out))})
+               .group_by(["id_a", "id_b", "n_a", "n_b"])
+               .aggregate([([], "count_all")]))
+    return pa.table({
+        "id_a": partial["id_a"],
+        "id_b": partial["id_b"],
+        "n_a": partial["n_a"],
+        "n_b": partial["n_b"],
+        "s": pc.cast(partial["count_all"], pa.int64()),
+    })
+
+
+def winnow_neardup_pairs(ds, *, threshold: float = DEFAULT_THRESHOLD,
+                         max_df: int = DEFAULT_MAX_DF,
+                         k: int = DEFAULT_K, w: int = DEFAULT_W,
+                         text_col: str = "text", id_col: str = "doc_id"):
+    """Near-duplicate (id_a < id_b, jaccard) pairs by EXACT fingerprint-set
+    Jaccard over winnowing fingerprints — the content-defined alternative to
+    MinHash (which estimates Jaccard; winnowing computes it exactly over the
+    selected fingerprint set, with the SIGMOD'03 guarantee that any shared run
+    of ≥ k+w−1 tokens contributes shared fingerprints).
+
+    Shape (all coarse-partition, no per-key Python groups, ZERO joins —
+    one lazy streaming chain with exactly two shuffles):
+      1. fingerprint explode with fused fp-bucket key AND the emitting doc's
+         exact set size ``n`` on every posting (a doc is wholly inside one
+         batch, so its set size is complete at explode time — the same
+         locality the inverted-index build exploits for tf/dl). Carrying n
+         costs one int64 per posting and ELIMINATES both the second corpus
+         pass for sizes and the two hash joins that would pull |A|, |B| onto
+         each pair — and with them a Ray 2.49 landmine where a join whose
+         first shuffled block is empty skips schema broadcast and crashes on
+         rowless partitions.
+      2. per fp-bucket (shuffle #1): df cut (run length IS global df) +
+         length-classed vectorized pair emission + in-partition
+         pre-aggregation → (id_a, id_b, n_a, n_b, s) partials.
+      3. one native pair-keyed Sum aggregate (shuffle #2) sums s per pair
+         (n_a, n_b are functionally dependent on the ids, so including them
+         in the key changes nothing). Native aggregate, not a coarse
+         map_groups: Ray's map_groups emits schema-less blocks for empty key
+         ranges; the vectorized Sum aggregate emits clean-schema blocks and
+         moves the same pre-aggregated partials.
+      4. jaccard = s/(n_a+n_b−s) per batch, filter ≥ threshold.
+
+    SQL-replayable end to end (winnow_pairs_sql) from the same constants."""
+    from ray.data.aggregate import Sum
+
+    fps = winnow_fingerprints(ds, text_col=text_col, id_col=id_col, k=k, w=w,
+                              n_parts=_N_FP_PARTS, with_size=True)
+
+    partials = fps.groupby("part").map_groups(
+        lambda g: _pair_partials(g, max_df), batch_format="pyarrow")
+    pairs = (partials.groupby(["id_a", "id_b", "n_a", "n_b"])
+             .aggregate(Sum("s", alias_name="s")))
+
+    def score(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "s" not in batch.column_names:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "jaccard": pa.array([], pa.float64())})
+        s = batch["s"].to_numpy(zero_copy_only=False).astype(np.float64)
+        na = batch["n_a"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nb = batch["n_b"].to_numpy(zero_copy_only=False).astype(np.float64)
+        j = s / (na + nb - s)
+        keep = j >= threshold
+        return pa.table({
+            "id_a": batch["id_a"].filter(pa.array(keep)),
+            "id_b": batch["id_b"].filter(pa.array(keep)),
+            "jaccard": pa.array(j[keep], pa.float64()),
+        })
+
+    return pairs.map_batches(score, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+
+def winnow_pairs_sql(*, threshold: float = DEFAULT_THRESHOLD,
+                     max_df: int = DEFAULT_MAX_DF,
+                     k: int = DEFAULT_K, w: int = DEFAULT_W) -> str:
+    """DuckDB replay of winnow_neardup_pairs from the same constants: the
+    fingerprint CTE is winnow_sql verbatim; df cut on the numerator join only;
+    denominators over all fingerprints; identical float division."""
+    fps = winnow_sql(k=k, w=w)
+    return f"""
+WITH fps AS ({fps}),
+df AS (SELECT fp, count(*) AS c FROM fps GROUP BY fp),
+rare AS (SELECT f.doc_id, f.fp FROM fps f JOIN df USING (fp)
+         WHERE df.c <= {max_df}),
+sizes AS (SELECT doc_id, count(*) AS n FROM fps GROUP BY doc_id),
+shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  CAST(count(*) AS BIGINT) AS s
+           FROM rare a JOIN rare b USING (fp)
+           WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT sh.id_a, sh.id_b,
+       CAST(sh.s AS DOUBLE) / (na.n + nb.n - sh.s) AS jaccard
+FROM shared sh
+JOIN sizes na ON sh.id_a = na.doc_id
+JOIN sizes nb ON sh.id_b = nb.doc_id
+WHERE CAST(sh.s AS DOUBLE) / (na.n + nb.n - sh.s) >= {threshold}
+"""
 
 
 def winnow_sql(*, k: int = DEFAULT_K, w: int = DEFAULT_W,

@@ -10,8 +10,10 @@ from janet_ray.stages.winnow import (
     DEFAULT_K,
     DEFAULT_W,
     _md5_u32,
+    _pair_partials,
     doc_fingerprints,
     winnow_fingerprints,
+    winnow_neardup_pairs,
 )
 
 
@@ -68,6 +70,94 @@ def test_density():
     fps = doc_fingerprints(text)
     density = len(fps) / n_grams
     assert 0.2 < density < 0.6  # 2/(w+1) = 0.4 for w=4
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.tuples(st.integers(min_value=0, max_value=12),   # doc_id
+                          st.integers(min_value=0, max_value=20)),  # fp
+                max_size=60).map(lambda ps: sorted(set(ps))),
+       st.integers(min_value=1, max_value=6))
+def test_pair_partials_matches_naive(postings, max_df):
+    """The length-classed vectorized kernel == a naive per-fp double loop."""
+    from collections import Counter, defaultdict
+
+    # n is functionally dependent on doc_id (here: doc_id*7+1 stands in for
+    # the doc's set size); the kernel must carry it through unchanged
+    tbl = pa.table({"doc_id": pa.array([d for d, _ in postings], pa.int64()),
+                    "fp": pa.array([f for _, f in postings], pa.int64()),
+                    "n": pa.array([d * 7 + 1 for d, _ in postings], pa.int64())})
+    got = Counter()
+    out = _pair_partials(tbl, max_df)
+    for r in out.to_pylist():
+        got[(r["id_a"], r["id_b"])] += r["s"]
+        assert r["n_a"] == r["id_a"] * 7 + 1
+        assert r["n_b"] == r["id_b"] * 7 + 1
+    by_fp = defaultdict(list)
+    for d, f in postings:
+        by_fp[f].append(d)
+    want = Counter()
+    for docs in by_fp.values():
+        if len(docs) < 2 or len(docs) > max_df:
+            continue
+        for i, a in enumerate(docs):
+            for b in docs[i + 1:]:
+                want[(min(a, b), max(a, b))] += 1
+    assert got == want
+
+
+def _jaccard_sets(a: set, b: set) -> float:
+    return len(a & b) / len(a | b) if a | b else 0.0
+
+
+def test_neardup_pairs_exact_jaccard(ray_session):
+    """Distributed pairs == per-doc fingerprint-set jaccard computed locally
+    (no df cut hit: every fp here is shared by fewer docs than max_df)."""
+    import ray
+
+    base = ("the quick brown fox jumps over the lazy dog while seventeen "
+            "other animals watch from a distance in the tall summer grass")
+    texts = []
+    for i in range(12):
+        if i % 3 == 0:
+            texts.append(base + f" unique tail {i}")          # near-dup family
+        else:
+            texts.append(f"doc {i} " + " ".join(f"tok{i}x{j}" for j in range(30)))
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })).repartition(5)
+    out = winnow_neardup_pairs(ds, threshold=0.3).to_pandas()
+    got = {(r.id_a, r.id_b): r.jaccard for r in out.itertuples()}
+    fps = [set(doc_fingerprints(t)) for t in texts]
+    want = {}
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            j = _jaccard_sets(fps[a], fps[b])
+            if j >= 0.3:
+                want[(a, b)] = j
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12
+    assert want, "fixture must actually produce near-dup pairs"
+
+
+def test_neardup_max_df_cut(ray_session):
+    """A fingerprint shared by more than max_df docs contributes NOTHING to
+    the shared count (conservative underestimate) — with max_df=2 and three
+    identical docs, every pair's numerator is fully cut, so no pairs."""
+    import ray
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([text] * 3, pa.string()),
+    }))
+    out = winnow_neardup_pairs(ds, threshold=0.5, max_df=2).to_pandas()
+    assert len(out) == 0
+    # at max_df=3 the same corpus yields all 3 identical pairs at jaccard 1.0
+    out = winnow_neardup_pairs(ds, threshold=0.5, max_df=3).to_pandas()
+    assert sorted(zip(out.id_a, out.id_b)) == [(0, 1), (0, 2), (1, 2)]
+    assert (out.jaccard == 1.0).all()
 
 
 def test_distributed_matches_local(ray_session):
