@@ -1377,8 +1377,14 @@ def q_training_manifest(sf_dir: str):
         keep = pc.equal(batch["doc_id"], batch["cluster_rep"])
         return batch.filter(keep).select(["doc_id"])
 
-    reps = clusters.map_batches(reps_only, batch_format="pyarrow",
-                                zero_copy_batch=True)
+    from janet_ray.stages.joins import drop_empty_blocks
+
+    # reps is a filter product — blocks where no row is its own cluster rep
+    # are EMPTY, and an empty block dispatched first crashes Dataset.join in
+    # Ray 2.49 (joins.drop_empty_blocks); reps is aggregate-small, so the
+    # materialize inside the guard is cheap
+    reps = drop_empty_blocks(clusters.map_batches(
+        reps_only, batch_format="pyarrow", zero_copy_batch=True))
     survivors = reps.join(docs, "inner", 8, on=("doc_id",), right_on=("doc_id",))
 
     def manifest(batch: pa.Table) -> pa.Table:

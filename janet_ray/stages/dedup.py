@@ -349,6 +349,12 @@ def minhash_neardup_pairs(ds: "ray.data.Dataset", *, threshold: float = 0.8,
 
     nparts = _join_partitions(num_partitions)
     docs = ds.select_columns([id_col, text_col])
+    # cand is a filter/groupby product — it can contain empty blocks, which
+    # crash Dataset.join if one is dispatched first (joins.drop_empty_blocks);
+    # docs comes straight from the read, whose blocks are non-empty
+    from janet_ray.stages.joins import drop_empty_blocks
+
+    cand = drop_empty_blocks(cand)
     j1 = cand.join(docs, "inner", nparts, on=("id_a",), right_on=(id_col,),
                    right_suffix="_ra")
     # j1 carries the a-side text under its original name; the second join
@@ -580,14 +586,26 @@ def dup_clusters_distributed(ds: "ray.data.Dataset", pairs: "ray.data.Dataset", 
             "dst": pa.chunked_array([t["id_b"], t["id_a"]]),
         })
 
-    e = edges.map_batches(both_dirs, batch_format="pyarrow",
-                          zero_copy_batch=True).materialize()
+    from janet_ray.stages.joins import drop_empty_blocks
 
-    labels = ds.map_batches(
+    # both join inputs are re-built from materialized non-empty blocks: an
+    # empty block dispatched first into Dataset.join crashes it in Ray 2.49
+    # (joins.drop_empty_blocks) — and with no dup pairs, EVERY e-block is empty
+    e = drop_empty_blocks(edges.map_batches(both_dirs, batch_format="pyarrow",
+                                            zero_copy_batch=True))
+
+    labels = drop_empty_blocks(ds.map_batches(
         lambda t: pa.table({"id": pc.cast(t[id_col], pa.int64()),
                             "label": pc.cast(t[id_col], pa.int64())}),
         batch_format="pyarrow", zero_copy_batch=True,
-    ).materialize()
+    ))
+    if e.count() == 0:
+        # no dup edges: every doc is its own component, and a join against an
+        # ENTIRELY empty side would crash (empty blocks are never shuffled)
+        return labels.map_batches(
+            lambda t: pa.table({id_col: t["id"], "cluster_rep": t["label"]}),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
     prev_sum = None
     converged = False
     for _ in range(max_iters):
@@ -596,9 +614,9 @@ def dup_clusters_distributed(ds: "ray.data.Dataset", pairs: "ray.data.Dataset", 
             lambda t: pa.table({"id": t["dst"], "label": t["label"]}),
             batch_format="pyarrow", zero_copy_batch=True,
         )
-        labels = labels.union(msgs).groupby("id").aggregate(
+        labels = drop_empty_blocks(labels.union(msgs).groupby("id").aggregate(
             Min("label", alias_name="label")
-        ).materialize()
+        ))
         cur = labels.aggregate(Sum("label", alias_name="s"))["s"]
         if cur == prev_sum:
             converged = True

@@ -36,6 +36,42 @@ import ray
 import ray.data
 
 
+def drop_empty_blocks(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Guard a ``Dataset.join`` input against a Ray 2.49 shuffle defect.
+
+    The hash-shuffle join broadcasts each input's schema to its aggregators by
+    fanning out typed EMPTY shards — but only alongside the FIRST block of the
+    input, and the shuffle task returns early for a block with 0 rows
+    (``hash_shuffle.py`` ``_shuffle_block``), while the once-only broadcast
+    flag is burned regardless. So if the first dispatched block of either side
+    is empty (typed or not), every join partition that receives no actual rows
+    is finalized as a SCHEMA-LESS table and pyarrow's join raises
+    ``ArrowInvalid: No match ... for key field reference`` — a nondeterministic
+    crash that appears exactly when a filter/map_groups upstream of a join
+    leaves empty blocks (reproduced: tests/test_joins.py).
+
+    The guard materializes the dataset (callers pass inputs that are already
+    materialized or aggregate-small) and rebuilds it from the non-empty block
+    REFS — metadata filtering only, no data copy. An all-empty dataset becomes
+    a single typed empty block (preserving the schema for downstream map/agg
+    consumers) — but note empty blocks are never shuffled at all, so a join
+    whose input side is ENTIRELY empty still crashes: callers must
+    short-circuit the zero-row case (see dup_clusters_distributed)."""
+    mat = ds.materialize()
+    refs = [br
+            for b in mat.iter_internal_ref_bundles()
+            for br, md in zip(b.block_refs, b.metadata)
+            if md.num_rows is None or md.num_rows > 0]
+    if not refs:
+        schema = mat.schema()
+        base = getattr(schema, "base_schema", None) if schema is not None \
+            else None
+        if base is None:
+            return mat
+        return ray.data.from_arrow(base.empty_table())
+    return ray.data.from_arrow_refs(refs)
+
+
 def broadcast_semi_join(ds: "ray.data.Dataset", key_col: str,
                         keys) -> "ray.data.Dataset":
     """Keep rows whose ``key_col`` is in ``keys`` (an iterable collected from the

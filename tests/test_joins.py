@@ -159,3 +159,58 @@ def test_interval_join_int32_key_and_out_col_guard(ray_session):
         interval_join_count(ds, ds, left_key="k", right_key="k",
                             left_ts="ts", right_ts="ts",
                             before_us=1, after_us=0, out_col="ts")
+
+
+def test_drop_empty_blocks_join_guard(ray_session):
+    """Ray 2.49 defect repro guard: a typed EMPTY block dispatched first into
+    Dataset.join skips the schema broadcast and rowless join partitions crash
+    in finalize. drop_empty_blocks removes the hazard without copying data."""
+    import ray.data
+
+    from janet_ray.stages.joins import drop_empty_blocks
+
+    empty = pa.table({"k": pa.array([], pa.int64()),
+                      "v": pa.array([], pa.int64())})
+    t1 = pa.table({"k": pa.array([1, 2], pa.int64()),
+                   "v": pa.array([10, 20], pa.int64())})
+    left = drop_empty_blocks(ray.data.from_arrow([empty, t1]))
+    # all surviving blocks are non-empty
+    assert left.count() == 2
+    right = ray.data.from_arrow(pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                                          "w": pa.array([7, 8, 9], pa.int64())}))
+    # 16 partitions over 2 keys guarantees rowless partitions — the exact
+    # shape that crashes unguarded (ArrowInvalid: No match for FieldRef 'k')
+    out = left.join(right, "inner", 16, on=("k",)).take_all()
+    assert sorted((r["k"], r["v"], r["w"]) for r in out) == \
+        [(1, 10, 7), (2, 20, 8)]
+
+
+def test_drop_empty_blocks_all_empty_keeps_schema(ray_session):
+    import ray.data
+
+    from janet_ray.stages.joins import drop_empty_blocks
+
+    empty = pa.table({"k": pa.array([], pa.int64())})
+    ds = drop_empty_blocks(ray.data.from_arrow([empty, empty]))
+    assert ds.count() == 0
+    assert ds.schema().names == ["k"]
+
+
+def test_dup_clusters_lp_zero_edges(ray_session):
+    """With no dup pairs every doc is its own component (and the join against
+    an entirely-empty edge side is short-circuited, not crashed)."""
+    import ray.data
+
+    from janet_ray.stages.dedup import dup_clusters_distributed
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([3, 1, 7], pa.int64()),
+        "text": pa.array(["a", "b", "c"], pa.string()),
+    }))
+    pairs = ray.data.from_arrow(pa.table({
+        "id_a": pa.array([], pa.int64()),
+        "id_b": pa.array([], pa.int64()),
+        "jaccard": pa.array([], pa.float64()),
+    }))
+    out = dup_clusters_distributed(docs, pairs).to_pandas()
+    assert sorted(zip(out.doc_id, out.cluster_rep)) == [(1, 1), (3, 3), (7, 7)]
