@@ -166,6 +166,9 @@ def run_suite(sf_dir: str) -> dict[str, float]:
         "search_index_bm25": Q.q_search_index_bm25,
         "pack_sequences": Q.q_pack_sequences,
         "winnow_fingerprints": Q.q_winnow_fingerprints,
+        "winnow_neardup": Q.q_winnow_neardup,
+        "repetition_stats": Q.q_repetition_stats,
+        "pii_scrub": Q.q_pii_scrub,
     }
     out = {}
     for name, fn in suite.items():

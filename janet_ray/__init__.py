@@ -28,6 +28,11 @@ _EXPORTS = {
     "index_lookup": ("janet_ray.stages.index", "index_lookup"),
     "index_lookup_bm25": ("janet_ray.stages.index", "index_lookup_bm25"),
     "pack_sequences": ("janet_ray.stages.pack", "pack_sequences"),
+    "winnow_fingerprints": ("janet_ray.stages.winnow", "winnow_fingerprints"),
+    "winnow_neardup_pairs": ("janet_ray.stages.winnow", "winnow_neardup_pairs"),
+    "repetition_stats": ("janet_ray.stages.repetition", "repetition_stats"),
+    "pii_scrub": ("janet_ray.stages.pii", "pii_scrub"),
+    "drop_empty_blocks": ("janet_ray.stages.joins", "drop_empty_blocks"),
     "row_deadline": ("janet_ray.functions.deadline", "row_deadline"),
     "retry_with_backoff": ("janet_ray.functions.retry", "retry_with_backoff"),
     "PAGES_SCHEMA": ("janet_ray.schemas", "PAGES_SCHEMA"),

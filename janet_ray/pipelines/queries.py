@@ -519,6 +519,52 @@ def _winnow_pairs_sql() -> str:
     return winnow_pairs_sql()
 
 
+def q_repetition_stats(sf_dir: str):
+    """Gopher/MassiveText repetition signals per document
+    (stages/repetition.py): duplicate-line fraction, duplicate-line character
+    fraction, top-2gram character fraction — pinned exact semantics replayed
+    verbatim by the generated DuckDB oracle."""
+    from janet_ray.stages.repetition import repetition_stats
+
+    return repetition_stats(_read(sf_dir, "documents",
+                                  columns=["doc_id", "text"]))
+
+
+def _repetition_sql() -> str:
+    from janet_ray.stages.repetition import repetition_sql
+
+    return repetition_sql()
+
+
+def q_pii_scrub(sf_dir: str):
+    """PII e-mail/phone redaction (stages/pii.py). The corpus is synthetic and
+    PII-free, so the query first injects deterministic PII derived from doc_id
+    — the SAME concatenation the oracle applies — and the redaction chain then
+    does real work on every row; counts and scrubbed bytes are hash-compared."""
+    from janet_ray.stages.pii import pii_scrub
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def inject(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch["doc_id"], pa.string())
+        txt = pc.binary_join_element_wise(
+            batch["text"], " contact user", ids,
+            "@example.com call +1-555-0", ids, "99 now", "")
+        return pa.table({"doc_id": batch["doc_id"], "text": txt})
+
+    return pii_scrub(ds.map_batches(inject, batch_format="pyarrow",
+                                    zero_copy_batch=True))
+
+
+def _pii_sql() -> str:
+    from janet_ray.stages.pii import pii_sql
+
+    inner = ("SELECT doc_id, text || ' contact user' || "
+             "CAST(doc_id AS VARCHAR) || '@example.com call +1-555-0' || "
+             "CAST(doc_id AS VARCHAR) || '99 now' AS text FROM documents")
+    return pii_sql(source=f"({inner}) AS d")
+
+
 def q_fingerprint(sf_dir: str):
     return (
         _docs(sf_dir)
@@ -1726,6 +1772,8 @@ def build_queries() -> dict:
         "pack_sequences": q_pack_sequences,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_neardup": q_winnow_neardup,
+        "repetition_stats": q_repetition_stats,
+        "pii_scrub": q_pii_scrub,
     }
 
 
@@ -1784,4 +1832,6 @@ def build_oracles() -> dict[str, str]:
         "pack_sequences": _pack_sql(),
         "winnow_fingerprints": _winnow_sql(),
         "winnow_neardup": _winnow_pairs_sql(),
+        "repetition_stats": _repetition_sql(),
+        "pii_scrub": _pii_sql(),
     }
