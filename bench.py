@@ -169,6 +169,8 @@ def run_suite(sf_dir: str) -> dict[str, float]:
         "winnow_neardup": Q.q_winnow_neardup,
         "repetition_stats": Q.q_repetition_stats,
         "pii_scrub": Q.q_pii_scrub,
+        "decontaminate": Q.q_decontaminate,
+        "ngram_jaccard": Q.q_ngram_jaccard,
     }
     out = {}
     for name, fn in suite.items():

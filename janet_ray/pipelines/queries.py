@@ -565,6 +565,58 @@ def _pii_sql() -> str:
     return pii_sql(source=f"({inner}) AS d")
 
 
+def q_ngram_jaccard(sf_dir: str):
+    """Exact n-gram Jaccard near-dup pairs — the prompt's fourth dedup
+    flavor, expressed as winnowing with w=1 (a 1-gram window keeps EVERY
+    gram hash, so the fingerprint set IS the document's distinct hashed
+    3-gram set and the score is exact set Jaccard, not an estimate). Same
+    join-free two-shuffle chain as winnow_neardup (stages/winnow.py)."""
+    from janet_ray.stages.winnow import winnow_neardup_pairs
+
+    return winnow_neardup_pairs(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        k=3, w=1, threshold=0.5)
+
+
+def _ngram_jaccard_sql() -> str:
+    from janet_ray.stages.winnow import winnow_pairs_sql
+
+    return winnow_pairs_sql(k=3, w=1, threshold=0.5)
+
+
+_DECONTAM_K = 4      # the synthetic docs are ~60 tokens; 4-grams overlap for real
+_DECONTAM_MOD = 37   # doc_id % 37 == 0 plays the "benchmark set" role
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination (stages/decontam.py, the GPT-3 13-gram
+    overlap rule at k=4 for this corpus): documents with doc_id % 37 == 0
+    act as the eval/benchmark side; every remaining document is marked with
+    its distinct shared-gram count against the broadcast benchmark set."""
+    from janet_ray.stages.decontam import decontaminate
+
+    def side(want_bench: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            mask = (ids % _DECONTAM_MOD == 0) == want_bench
+            return batch.filter(pa.array(mask))
+
+        return _read(sf_dir, "documents",
+                     columns=["doc_id", "text"]).map_batches(
+                         f, batch_format="pyarrow", zero_copy_batch=True)
+
+    return decontaminate(side(False), side(True), k=_DECONTAM_K)
+
+
+def _decontam_sql() -> str:
+    from janet_ray.stages.decontam import decontam_sql
+
+    return decontam_sql(
+        k=_DECONTAM_K,
+        corpus_pred=f"doc_id % {_DECONTAM_MOD} != 0",
+        bench_pred=f"doc_id % {_DECONTAM_MOD} = 0")
+
+
 def q_fingerprint(sf_dir: str):
     return (
         _docs(sf_dir)
@@ -1774,6 +1826,8 @@ def build_queries() -> dict:
         "winnow_neardup": q_winnow_neardup,
         "repetition_stats": q_repetition_stats,
         "pii_scrub": q_pii_scrub,
+        "decontaminate": q_decontaminate,
+        "ngram_jaccard": q_ngram_jaccard,
     }
 
 
@@ -1834,4 +1888,6 @@ def build_oracles() -> dict[str, str]:
         "winnow_neardup": _winnow_pairs_sql(),
         "repetition_stats": _repetition_sql(),
         "pii_scrub": _pii_sql(),
+        "decontaminate": _decontam_sql(),
+        "ngram_jaccard": _ngram_jaccard_sql(),
     }
