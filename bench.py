@@ -171,6 +171,7 @@ def run_suite(sf_dir: str) -> dict[str, float]:
         "pii_scrub": Q.q_pii_scrub,
         "decontaminate": Q.q_decontaminate,
         "ngram_jaccard": Q.q_ngram_jaccard,
+        "quality_buckets": Q.q_quality_buckets,
     }
     out = {}
     for name, fn in suite.items():

@@ -33,6 +33,7 @@ _EXPORTS = {
     "repetition_stats": ("janet_ray.stages.repetition", "repetition_stats"),
     "pii_scrub": ("janet_ray.stages.pii", "pii_scrub"),
     "decontaminate": ("janet_ray.stages.decontam", "decontaminate"),
+    "quantile_buckets": ("janet_ray.stages.bucketing", "quantile_buckets"),
     "drop_empty_blocks": ("janet_ray.stages.joins", "drop_empty_blocks"),
     "row_deadline": ("janet_ray.functions.deadline", "row_deadline"),
     "retry_with_backoff": ("janet_ray.functions.retry", "retry_with_backoff"),

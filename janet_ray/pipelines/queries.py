@@ -617,6 +617,29 @@ def _decontam_sql() -> str:
         bench_pred=f"doc_id % {_DECONTAM_MOD} = 0")
 
 
+def q_quality_buckets(sf_dir: str):
+    """CCNet head/middle/tail corpus split (stages/bucketing.py): exact
+    global tercile cutpoints of the per-document token count (a bounded-
+    cardinality quality signal) via the value-counts quantile kernel, then a
+    stateless searchsorted bucket assignment — two streaming passes, shuffle
+    bounded by distinct token counts."""
+    from janet_ray.stages.bucketing import quantile_buckets
+    from janet_ray.stages.textstats import add_token_count
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        lambda b: add_token_count(b).select(["doc_id", "n_tokens"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return quantile_buckets(ds, col="n_tokens")
+
+
+def _quality_buckets_sql() -> str:
+    from janet_ray.stages.bucketing import quantile_buckets_sql
+    from janet_ray.stages.textstats import token_count_sql
+
+    return quantile_buckets_sql(col_expr=token_count_sql("text"),
+                                out_col="n_tokens")
+
+
 def q_fingerprint(sf_dir: str):
     return (
         _docs(sf_dir)
@@ -1828,6 +1851,7 @@ def build_queries() -> dict:
         "pii_scrub": q_pii_scrub,
         "decontaminate": q_decontaminate,
         "ngram_jaccard": q_ngram_jaccard,
+        "quality_buckets": q_quality_buckets,
     }
 
 
@@ -1890,4 +1914,5 @@ def build_oracles() -> dict[str, str]:
         "pii_scrub": _pii_sql(),
         "decontaminate": _decontam_sql(),
         "ngram_jaccard": _ngram_jaccard_sql(),
+        "quality_buckets": _quality_buckets_sql(),
     }
