@@ -172,6 +172,7 @@ def run_suite(sf_dir: str) -> dict[str, float]:
         "decontaminate": Q.q_decontaminate,
         "ngram_jaccard": Q.q_ngram_jaccard,
         "quality_buckets": Q.q_quality_buckets,
+        "ccnet_mix": Q.q_ccnet_mix,
     }
     out = {}
     for name, fn in suite.items():

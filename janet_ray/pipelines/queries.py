@@ -640,6 +640,44 @@ def _quality_buckets_sql() -> str:
                                 out_col="n_tokens")
 
 
+# CCNet's per-bucket keep rates (Wenzek et al. §4.3 keeps the better-
+# perplexity buckets at higher rates); deterministic content-addressed
+# sampling so both engines pick the identical rows.
+_MIX_KEEP_PCT = {0: 100, 1: 50, 2: 10}
+
+
+def q_ccnet_mix(sf_dir: str):
+    """Composed CCNet corpus mix: tercile-bucket documents by token count
+    (quality_buckets), then keep head documents at 100%, middle at 50%, tail
+    at 10% via the engine's content-addressed md5 bucket of doc_id — the
+    whole chain (cutpoints, bucket assignment, sampling hash) replayed by
+    one generated SQL oracle."""
+    buckets = q_quality_buckets(sf_dir)
+
+    def sample(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        h = np.array(_md5_u32(batch["doc_id"].to_pylist()),
+                     dtype=np.uint64) % 100
+        rate = np.array([_MIX_KEEP_PCT[0], _MIX_KEEP_PCT[1],
+                         _MIX_KEEP_PCT[2]], dtype=np.uint64)
+        b = batch["bucket"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(h < rate[b]))
+
+    return buckets.map_batches(sample, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+
+def _ccnet_mix_sql() -> str:
+    inner = _quality_buckets_sql()
+    keep = " ".join(
+        f"WHEN bucket = {b} THEN {pct}" for b, pct in _MIX_KEEP_PCT.items())
+    return f"""
+SELECT * FROM ({inner})
+WHERE {_md5_u32_sql('doc_id')} % 100 < (CASE {keep} END)
+"""
+
+
 def q_fingerprint(sf_dir: str):
     return (
         _docs(sf_dir)
@@ -1852,6 +1890,7 @@ def build_queries() -> dict:
         "decontaminate": q_decontaminate,
         "ngram_jaccard": q_ngram_jaccard,
         "quality_buckets": q_quality_buckets,
+        "ccnet_mix": q_ccnet_mix,
     }
 
 
@@ -1915,4 +1954,5 @@ def build_oracles() -> dict[str, str]:
         "decontaminate": _decontam_sql(),
         "ngram_jaccard": _ngram_jaccard_sql(),
         "quality_buckets": _quality_buckets_sql(),
+        "ccnet_mix": _ccnet_mix_sql(),
     }
