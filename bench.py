@@ -173,6 +173,7 @@ def run_suite(sf_dir: str) -> dict[str, float]:
         "ngram_jaccard": Q.q_ngram_jaccard,
         "quality_buckets": Q.q_quality_buckets,
         "ccnet_mix": Q.q_ccnet_mix,
+        "bloom_new_docs": Q.q_bloom_new_docs,
     }
     out = {}
     for name, fn in suite.items():

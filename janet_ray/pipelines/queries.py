@@ -640,6 +640,35 @@ def _quality_buckets_sql() -> str:
                                 out_col="n_tokens")
 
 
+def q_bloom_new_docs(sf_dir: str):
+    """Incremental-ingest dedup via a Bloom filter (stages/bloom.py):
+    documents with doc_id % 3 == 0 play the already-ingested corpus; the
+    rest are admitted only if their exact-dedup fingerprint is definitely
+    unseen. Rows-only by declaration — false positives are hash artifacts a
+    SQL oracle cannot express; the no-false-negative and FP-rate contracts
+    are property-tested (tests/test_bloom.py)."""
+    from janet_ray.stages.bloom import bloom_filter_new
+    from janet_ray.stages.textstats import fingerprint
+
+    def side(seen: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            import numpy as np
+
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            t = batch.filter(pa.array((ids % 3 == 0) == seen))
+            fps = [int(fingerprint(x or "")[:15], 16)
+                   for x in t["text"].to_pylist()]
+            return pa.table({"doc_id": t["doc_id"],
+                             "fp": pa.array(fps, pa.int64())})
+
+        return _read(sf_dir, "documents",
+                     columns=["doc_id", "text"]).map_batches(
+                         f, batch_format="pyarrow", zero_copy_batch=True)
+
+    return bloom_filter_new(side(False), side(True), col="fp",
+                            n_expected=max(1024, side(True).count()))
+
+
 # CCNet's per-bucket keep rates (Wenzek et al. §4.3 keeps the better-
 # perplexity buckets at higher rates); deterministic content-addressed
 # sampling so both engines pick the identical rows.
@@ -1891,6 +1920,7 @@ def build_queries() -> dict:
         "ngram_jaccard": q_ngram_jaccard,
         "quality_buckets": q_quality_buckets,
         "ccnet_mix": q_ccnet_mix,
+        "bloom_new_docs": q_bloom_new_docs,
     }
 
 
