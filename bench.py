@@ -174,6 +174,7 @@ def run_suite(sf_dir: str) -> dict[str, float]:
         "quality_buckets": Q.q_quality_buckets,
         "ccnet_mix": Q.q_ccnet_mix,
         "bloom_new_docs": Q.q_bloom_new_docs,
+        "kmeans_clusters": Q.q_kmeans_clusters,
     }
     out = {}
     for name, fn in suite.items():

@@ -640,6 +640,19 @@ def _quality_buckets_sql() -> str:
                                 out_col="n_tokens")
 
 
+def q_kmeans_clusters(sf_dir: str):
+    """Distributed k-means corpus clustering (stages/cluster.py): Lloyd
+    iterations as streaming passes with per-batch (cell, vecsum, n) combiner
+    partials — driver state is k×d floats, shuffle is O(batches × k) rows.
+    Rows-only by declaration (iterative refinement isn't SQL-expressible);
+    exact single-process parity is pinned in tests/test_cluster.py."""
+    from janet_ray.stages.cluster import distributed_kmeans, kmeans_assign
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    centroids = distributed_kmeans(ds, n_clusters=8, iters=5)
+    return kmeans_assign(ds, centroids)
+
+
 def q_bloom_new_docs(sf_dir: str):
     """Incremental-ingest dedup via a Bloom filter (stages/bloom.py):
     documents with doc_id % 3 == 0 play the already-ingested corpus; the
@@ -1921,6 +1934,7 @@ def build_queries() -> dict:
         "quality_buckets": q_quality_buckets,
         "ccnet_mix": q_ccnet_mix,
         "bloom_new_docs": q_bloom_new_docs,
+        "kmeans_clusters": q_kmeans_clusters,
     }
 
 
