@@ -175,6 +175,8 @@ def run_suite(sf_dir: str) -> dict[str, float]:
         "ccnet_mix": Q.q_ccnet_mix,
         "bloom_new_docs": Q.q_bloom_new_docs,
         "kmeans_clusters": Q.q_kmeans_clusters,
+        "extract_links": Q.q_extract_links,
+        "page_link_counts": Q.q_page_link_counts,
     }
     out = {}
     for name, fn in suite.items():

@@ -38,6 +38,7 @@ _EXPORTS = {
     "bloom_filter_new": ("janet_ray.stages.bloom", "bloom_filter_new"),
     "distributed_kmeans": ("janet_ray.stages.cluster", "distributed_kmeans"),
     "kmeans_assign": ("janet_ray.stages.cluster", "kmeans_assign"),
+    "extract_links": ("janet_ray.stages.links", "extract_links"),
     "drop_empty_blocks": ("janet_ray.stages.joins", "drop_empty_blocks"),
     "row_deadline": ("janet_ray.functions.deadline", "row_deadline"),
     "retry_with_backoff": ("janet_ray.functions.retry", "retry_with_backoff"),

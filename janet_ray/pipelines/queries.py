@@ -640,6 +640,62 @@ def _quality_buckets_sql() -> str:
                                 out_col="n_tokens")
 
 
+def q_extract_links(sf_dir: str):
+    """Outlink extraction (stages/links.py). Link targets in the synthetic
+    corpus are RNG-derived (not SQL-replayable), so — exactly like pii_scrub
+    — the query builds deterministic doc_id-derived anchors with the SAME
+    concatenation on both sides and the extraction explode then does real
+    work on every row, hash-compared field by field."""
+    from janet_ray.stages.links import extract_links
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def inject(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch["doc_id"], pa.string())
+        html = pc.binary_join_element_wise(
+            "<p>", batch["text"], '</p> <a href="/doc/', ids,
+            '">next doc</a> <a class="x" href="https://ex.com/t?id=', ids,
+            '">tag ', ids, "</a>", "")
+        return pa.table({"doc_id": batch["doc_id"], "html": html})
+
+    return extract_links(ds.map_batches(inject, batch_format="pyarrow",
+                                        zero_copy_batch=True))
+
+
+def _extract_links_sql() -> str:
+    from janet_ray.stages.links import links_sql
+
+    inner = ("SELECT doc_id, '<p>' || text || '</p> <a href=\"/doc/' || "
+             "CAST(doc_id AS VARCHAR) || '\">next doc</a> "
+             "<a class=\"x\" href=\"https://ex.com/t?id=' || "
+             "CAST(doc_id AS VARCHAR) || '\">tag ' || "
+             "CAST(doc_id AS VARCHAR) || '</a>' AS html FROM documents")
+    return links_sql(source=f"({inner}) AS g")
+
+
+def q_page_link_counts(sf_dir: str):
+    """Per-page outlink counts over the REAL synthetic HTML pages (nav + footer
+    link soup): the extraction explode runs on actual markup; the oracle pins
+    the generator's 8+4 link contract per page."""
+    from ray.data.aggregate import Count
+
+    from janet_ray.stages.links import extract_links
+
+    pages = _docs(sf_dir).map_batches(docsrc.html_pages_batch,
+                                      batch_format="pyarrow",
+                                      zero_copy_batch=True)
+    links = extract_links(pages, html_col="html", id_col="url")
+    return (links.groupby("url")
+            .aggregate(Count(alias_name="n_links")))
+
+
+_PAGE_LINK_COUNTS_SQL = """
+SELECT 'https://docs.example/d-' || lpad(CAST(doc_id AS VARCHAR), 7, '0') AS url,
+       CAST(12 AS BIGINT) AS n_links
+FROM documents
+"""
+
+
 def q_kmeans_clusters(sf_dir: str):
     """Distributed k-means corpus clustering (stages/cluster.py): Lloyd
     iterations as streaming passes with per-batch (cell, vecsum, n) combiner
@@ -1935,6 +1991,8 @@ def build_queries() -> dict:
         "ccnet_mix": q_ccnet_mix,
         "bloom_new_docs": q_bloom_new_docs,
         "kmeans_clusters": q_kmeans_clusters,
+        "extract_links": q_extract_links,
+        "page_link_counts": q_page_link_counts,
     }
 
 
@@ -1999,4 +2057,6 @@ def build_oracles() -> dict[str, str]:
         "ngram_jaccard": _ngram_jaccard_sql(),
         "quality_buckets": _quality_buckets_sql(),
         "ccnet_mix": _ccnet_mix_sql(),
+        "extract_links": _extract_links_sql(),
+        "page_link_counts": _PAGE_LINK_COUNTS_SQL,
     }
