@@ -177,6 +177,10 @@ def run_suite(sf_dir: str) -> dict[str, float]:
         "kmeans_clusters": Q.q_kmeans_clusters,
         "extract_links": Q.q_extract_links,
         "page_link_counts": Q.q_page_link_counts,
+        "link_pagerank": Q.q_link_pagerank,
+        "anchor_corpus": Q.q_anchor_corpus,
+        "crawl_frontier": Q.q_crawl_frontier,
+        "host_stats": Q.q_host_stats,
     }
     out = {}
     for name, fn in suite.items():

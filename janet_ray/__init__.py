@@ -39,6 +39,10 @@ _EXPORTS = {
     "distributed_kmeans": ("janet_ray.stages.cluster", "distributed_kmeans"),
     "kmeans_assign": ("janet_ray.stages.cluster", "kmeans_assign"),
     "extract_links": ("janet_ray.stages.links", "extract_links"),
+    "pagerank": ("janet_ray.stages.graph", "pagerank"),
+    "anchor_corpus": ("janet_ray.stages.links", "anchor_corpus"),
+    "anti_join_values": ("janet_ray.stages.frontier", "anti_join_values"),
+    "crawl_frontier": ("janet_ray.stages.frontier", "crawl_frontier"),
     "drop_empty_blocks": ("janet_ray.stages.joins", "drop_empty_blocks"),
     "row_deadline": ("janet_ray.functions.deadline", "row_deadline"),
     "retry_with_backoff": ("janet_ray.functions.retry", "retry_with_backoff"),

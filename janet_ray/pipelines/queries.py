@@ -696,6 +696,182 @@ FROM documents
 """
 
 
+def q_anchor_corpus(sf_dir: str):
+    """Per-target anchor-text aggregation (stages/links.py anchor_corpus):
+    injected deterministic links with REPEATED targets (25 internal + 13
+    external target buckets, 7+5 anchor variants — same concatenation on
+    both sides, the pii_scrub pattern) so the aggregation does real work:
+    per-batch pyarrow group_by partials, one small Sum/Min groupby."""
+    from janet_ray.stages.links import anchor_corpus, extract_links
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def inject(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        t = pc.cast(pa.array(ids % 25), pa.string())
+        p = pc.cast(pa.array(ids % 13), pa.string())
+        a = pc.cast(pa.array(ids % 7), pa.string())
+        z = pc.cast(pa.array(ids % 5), pa.string())
+        html = pc.binary_join_element_wise(
+            '<a href="/t', t, '">a', a,
+            '</a> <a href="https://ex.com/p/', p, '">z', z, "</a>", "")
+        return pa.table({"doc_id": batch["doc_id"], "html": html})
+
+    links = extract_links(ds.map_batches(inject, batch_format="pyarrow",
+                                         zero_copy_batch=True))
+    return anchor_corpus(links)
+
+
+def _anchor_corpus_sql() -> str:
+    from janet_ray.stages.links import links_sql
+
+    inner = ("SELECT doc_id, '<a href=\"/t' || CAST(doc_id % 25 AS VARCHAR)"
+             " || '\">a' || CAST(doc_id % 7 AS VARCHAR) ||"
+             " '</a> <a href=\"https://ex.com/p/' ||"
+             " CAST(doc_id % 13 AS VARCHAR) || '\">z' ||"
+             " CAST(doc_id % 5 AS VARCHAR) || '</a>' AS html FROM documents")
+    return (f"SELECT href, CAST(count(*) AS BIGINT) AS n_refs, "
+            f"MIN(anchor) AS top_anchor "
+            f"FROM ({links_sql(source=f'({inner}) AS g')}) AS l "
+            f"GROUP BY href")
+
+
+def q_crawl_frontier(sf_dir: str):
+    """Crawl-frontier construction (stages/frontier.py): injected links with
+    one internal target (an EXISTING doc url — dropped by the anti-join) and
+    one external target (kept); resolution + the distributed value
+    anti-join both do real work on every row. The crawled set is the full
+    documents url list — same scale as the links side, exercising the
+    shuffle (not broadcast) anti-join path."""
+    from janet_ray.sources.documents import doc_url
+    from janet_ray.stages.frontier import crawl_frontier
+    from janet_ray.stages.links import extract_links
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def inject(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        internal = [f"/d-{i // 2:07d}" for i in ids]
+        ext = pc.cast(batch["doc_id"], pa.string())
+        html = pc.binary_join_element_wise(
+            '<a href="', pa.array(internal, pa.string()), '">prev</a> ',
+            '<a href="https://ex.com/t?id=', ext, '">out</a>', "")
+        return pa.table({"doc_id": batch["doc_id"], "html": html})
+
+    links = extract_links(ds.map_batches(inject, batch_format="pyarrow",
+                                         zero_copy_batch=True))
+
+    def crawled_urls(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"url": pa.array([doc_url(int(i)) for i in ids],
+                                         pa.string())})
+
+    crawled = ds.map_batches(crawled_urls, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return crawl_frontier(links, crawled, origin="https://docs.example")
+
+
+def _crawl_frontier_sql() -> str:
+    from janet_ray.stages.links import links_sql
+
+    inner = ("SELECT doc_id, '<a href=\"/d-' || "
+             "lpad(CAST(doc_id // 2 AS VARCHAR), 7, '0') || "
+             "'\">prev</a> <a href=\"https://ex.com/t?id=' || "
+             "CAST(doc_id AS VARCHAR) || '\">out</a>' AS html "
+             "FROM documents")
+    return f"""
+SELECT CASE WHEN href LIKE 'http%' THEN href
+            ELSE 'https://docs.example' || href END AS url
+FROM ({links_sql(source=f'({inner}) AS g')}) AS l
+EXCEPT
+SELECT 'https://docs.example/d-' || lpad(CAST(doc_id AS VARCHAR), 7, '0')
+FROM documents
+"""
+
+
+_HOST_MOD = 41
+
+
+def q_host_stats(sf_dir: str):
+    """Domain-level corpus statistics — the host-aggregation step a CC-style
+    pipeline runs before host-level filtering (spam domains, robots policy,
+    per-host quotas): injected multi-host urls (doc_id % 41 hosts, same
+    concatenation in the oracle) parsed by the ENGINE's url_host (the A6
+    dedupe key fn), exact-int aggregates only (counts + token sums + max id
+    — no float means, so the value-hash is exact)."""
+    from ray.data.aggregate import Max, Sum
+
+    from janet_ray.functions.text import url_host
+    from janet_ray.stages.textstats import add_token_count
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        urls = [f"https://h{i % _HOST_MOD}.example/d/{i}" for i in ids]
+        hosts = pa.array([url_host(u) for u in urls], pa.string())
+        toks = add_token_count(batch)["n_tokens"]
+        t = pa.table({"host": hosts, "n_tokens": toks,
+                      "doc_id": batch["doc_id"]})
+        agg = t.group_by("host").aggregate(
+            [("doc_id", "count"), ("n_tokens", "sum"), ("doc_id", "max")])
+        return pa.table({
+            "host": agg["host"],
+            "n": agg["doc_id_count"].cast(pa.int64()),
+            "tok": agg["n_tokens_sum"].cast(pa.int64()),
+            "mx": agg["doc_id_max"],
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("host")
+            .aggregate(Sum("n", alias_name="n_docs"),
+                       Sum("tok", alias_name="n_tokens_sum"),
+                       Max("mx", alias_name="max_doc_id")))
+
+
+def _host_stats_sql() -> str:
+    from janet_ray.stages.textstats import token_count_sql
+
+    return f"""
+SELECT 'h' || CAST(doc_id % {_HOST_MOD} AS VARCHAR) || '.example' AS host,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum({token_count_sql('text')}) AS BIGINT) AS n_tokens_sum,
+       MAX(doc_id) AS max_doc_id
+FROM documents GROUP BY host
+"""
+
+
+def q_link_pagerank(sf_dir: str):
+    """Composed link-graph centrality — the RefinedWeb/Common-Crawl ranking
+    flow end to end: real outlink extraction over the synthetic HTML pages
+    (stages/links.py) → (src, dst) int64 edges (doc node = doc_id parsed from
+    the url; target node = 10_000_000 + the /lNNN ordinal, a disjoint id
+    range) → 4 exact PageRank power iterations (stages/graph.py). Rows-only
+    by declaration (iterative float refinement; link targets are RNG-derived)
+    — exact parity with a single-process reference of the same pinned
+    semantics is in tests/test_graph.py."""
+    from janet_ray.stages.graph import pagerank
+    from janet_ray.stages.links import extract_links
+
+    pages = _docs(sf_dir).map_batches(docsrc.html_pages_batch,
+                                      batch_format="pyarrow",
+                                      zero_copy_batch=True)
+    links = extract_links(pages, html_col="html", id_col="url")
+
+    def edges(batch: pa.Table) -> pa.Table:
+        src = pc.cast(pc.utf8_slice_codeunits(
+            batch["url"], 23, 30), pa.int64())
+        dst = pc.add(pc.cast(pc.utf8_slice_codeunits(
+            batch["href"], 2, 99), pa.int64()), 10_000_000)
+        return pa.table({"src": src, "dst": dst})
+
+    ranks = pagerank(links.map_batches(edges, batch_format="pyarrow",
+                                       zero_copy_batch=True), iters=4,
+                     n_parts=16)
+    return ranks.sort("node")
+
+
 def q_kmeans_clusters(sf_dir: str):
     """Distributed k-means corpus clustering (stages/cluster.py): Lloyd
     iterations as streaming passes with per-batch (cell, vecsum, n) combiner
@@ -1993,6 +2169,10 @@ def build_queries() -> dict:
         "kmeans_clusters": q_kmeans_clusters,
         "extract_links": q_extract_links,
         "page_link_counts": q_page_link_counts,
+        "link_pagerank": q_link_pagerank,
+        "anchor_corpus": q_anchor_corpus,
+        "crawl_frontier": q_crawl_frontier,
+        "host_stats": q_host_stats,
     }
 
 
@@ -2059,4 +2239,7 @@ def build_oracles() -> dict[str, str]:
         "ccnet_mix": _ccnet_mix_sql(),
         "extract_links": _extract_links_sql(),
         "page_link_counts": _PAGE_LINK_COUNTS_SQL,
+        "anchor_corpus": _anchor_corpus_sql(),
+        "crawl_frontier": _crawl_frontier_sql(),
+        "host_stats": _host_stats_sql(),
     }

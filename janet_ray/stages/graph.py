@@ -1,0 +1,242 @@
+"""Distributed PageRank over an edge list — link-graph centrality for
+web-corpus quality weighting (the RefinedWeb / Common-Crawl-ranking use of
+centrality: score pages by the link graph, weight or filter the extraction
+output by the score).
+
+Pinned semantics (the textbook power iteration, replicated exactly by the
+single-process reference in tests/test_graph.py):
+
+  * nodes    = distinct(src) ∪ distinct(dst); N = |nodes|;
+  * rank_0   = 1/N;
+  * step     : rank'(v) = (1−d)/N + d·(Σ_{(u,v)∈E} rank(u)/outdeg(u)
+                                       + dangling_mass/N),
+    where dangling_mass = Σ rank(u) over nodes with outdeg 0 (the standard
+    uniform redistribution, so Σ rank stays 1 every iteration);
+  * fixed iteration count (convergence tolerance is the caller's policy —
+    web-scale runs pin iterations for reproducibility).
+
+Shape per iteration (PageRank is inherently one all-to-all per step; the
+job is to make each step ONE coarse shuffle of narrow rows, not to avoid
+it):
+
+  1. ranks ∪ edges, tagged, carrying a fused coarse partition key on the
+     SOURCE node (the engine's cogroup-via-union pattern — no Dataset.join,
+     so no Ray 2.49 empty-first-block landmine): per partition a vectorized
+     key-run kernel divides each source's rank over its out-edges (outdeg
+     is the run length — never precomputed, never joined) and emits
+     (dst, contribution) plus a dangling sentinel row per rank-only run;
+  2. contributions ∪ node markers, partitioned on the DESTINATION node:
+     per partition one Arrow group-sum + the damping formula. Node markers
+     guarantee every node emits a row even with zero in-links.
+
+Rows shuffled are (part, key, tag, val, dst) int64/float64 — payloads never
+move. Ranks materialize once per iteration (they are consumed by the next
+step and by the dangling-mass fold; lineage must not re-run prior steps).
+Driver state: N and dangling_mass, two scalars.
+
+Not SQL-expressible as a value oracle (iterative float refinement; the
+accumulation order differs between engines) — pinned by exact-semantics
+reference parity and conservation properties in pytest; the registered
+query is rows-only by declaration.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+DAMPING = 0.85
+_N_PARTS = 64
+_DANGLING = np.int64(-1)
+
+
+def _tag_table(key: np.ndarray, tag: int, val: np.ndarray,
+               dst: np.ndarray, n_parts: int) -> pa.Table:
+    return pa.table({
+        "part": pa.array((key % n_parts).astype(np.int32)),
+        "key": pa.array(key),
+        "tag": pa.array(np.full(len(key), tag, dtype=np.int8)),
+        "val": pa.array(val),
+        "dst": pa.array(dst),
+    })
+
+
+def _contrib_kernel(part: pa.Table) -> pa.Table:
+    """Per source-partition: split each source's rank over its out-edges.
+    Sorted by (key, tag) each key run is [rank row, edge rows...]; outdeg is
+    run length − 1; a run with no edge rows is dangling and emits its whole
+    rank on the sentinel key."""
+    empty = pa.table({"key": pa.array([], pa.int64()),
+                      "val": pa.array([], pa.float64())})
+    if part.num_rows == 0 or "key" not in part.column_names:
+        return empty
+    k = part["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+    t = part["tag"].to_numpy(zero_copy_only=False).astype(np.int8)
+    v = part["val"].to_numpy(zero_copy_only=False).astype(np.float64)
+    dst = part["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((t, k))
+    k, t, v, dst = k[order], t[order], v[order], dst[order]
+    bounds = np.concatenate([[0], np.nonzero(np.diff(k))[0] + 1, [len(k)]])
+    starts, lens = bounds[:-1], np.diff(bounds)
+    # every run begins with exactly one rank row (tag 0): nodes ⊇ sources
+    ranks = v[starts]
+    outdeg = lens - 1
+    dangling = outdeg == 0
+    # edge rows: every position not at a run start
+    mask = np.ones(len(k), dtype=bool)
+    mask[starts] = False
+    per_edge = np.repeat(
+        np.where(outdeg > 0, ranks / np.maximum(outdeg, 1), 0.0), lens)
+    out_key = np.concatenate([dst[mask],
+                              np.full(int(dangling.sum()), _DANGLING)])
+    out_val = np.concatenate([per_edge[mask], ranks[dangling]])
+    return pa.table({"key": pa.array(out_key), "val": pa.array(out_val)})
+
+
+def _apply_kernel(part: pa.Table, *, n_nodes: int, dangling_mass: float,
+                  damping: float) -> pa.Table:
+    """Per destination-partition: sum contributions per node (markers make
+    every node present) and apply the damping formula."""
+    empty = pa.table({"node": pa.array([], pa.int64()),
+                      "rank": pa.array([], pa.float64())})
+    if part.num_rows == 0 or "key" not in part.column_names:
+        return empty
+    agg = (part.select(["key", "val"]).group_by("key")
+           .aggregate([("val", "sum")]))
+    csum = agg["val_sum"].to_numpy(zero_copy_only=False)
+    base = (1.0 - damping) / n_nodes
+    rank = base + damping * (csum + dangling_mass / n_nodes)
+    return pa.table({"node": agg["key"], "rank": pa.array(rank)})
+
+
+def _bounded(ds, n_parts: int):
+    """Materialize and cap the block count at ``n_parts``. Block-count
+    discipline is THE cost driver of the loop: Ray's sort-based groupby and
+    map_groups both preserve the input block count, so a many-tiny-block
+    input (from_items' default 200 parallelism) or the per-iteration
+    ranks ∪ edges union would compound blocks every iteration — measured
+    ~50 ms/block/sort in local mode, i.e. minutes for a 50-node graph.
+    Repartitioning narrow (≤5 int64/float64 cols) rows is cheap relative to
+    one saved sort and keeps every iteration's shuffle at a flat grain."""
+    ds = ds.materialize()
+    if ds.num_blocks() > n_parts:
+        ds = ds.repartition(n_parts).materialize()
+    return ds
+
+
+def pagerank(edges, *, src_col: str = "src", dst_col: str = "dst",
+             iters: int = 5, damping: float = DAMPING,
+             n_parts: int = _N_PARTS):
+    """(node, rank) after ``iters`` exact power iterations over the edge
+    list. ``edges`` is any Dataset with two int64 node columns. ``n_parts``
+    is both the coarse shuffle grain and the block-count cap — size it to
+    the cluster (64 default; tests use small values so tiny graphs don't
+    pay web-scale shuffle constants)."""
+
+    def to_pairs(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": batch[src_col],
+            "dst": batch[dst_col],
+        })
+
+    pairs = _bounded(edges.map_batches(to_pairs, batch_format="pyarrow",
+                                       zero_copy_batch=True), n_parts)
+
+    def node_rows(batch: pa.Table) -> pa.Table:
+        ns = np.unique(np.concatenate([
+            batch["src"].to_numpy(zero_copy_only=False).astype(np.int64),
+            batch["dst"].to_numpy(zero_copy_only=False).astype(np.int64)]))
+        return pa.table({"part": pa.array((ns % n_parts).astype(np.int32)),
+                         "node": pa.array(ns)})
+
+    def distinct_nodes(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0 or "node" not in part.column_names:
+            return pa.table({"node": pa.array([], pa.int64())})
+        ns = np.unique(part["node"].to_numpy(zero_copy_only=False))
+        return pa.table({"node": pa.array(ns)})
+
+    # distinct via the coarse-part pattern, NOT groupby(node).count(): the
+    # native aggregate shuffles into its default 200 partitions, and those
+    # 200 blocks would ride every union/sort of every later iteration
+    # (measured: 75 s/iteration on a 50-node graph vs ~1 s with this shape)
+    nodes = (pairs.map_batches(node_rows, batch_format="pyarrow",
+                               zero_copy_batch=True)
+             .groupby("part").map_groups(distinct_nodes,
+                                         batch_format="pyarrow")
+             .materialize())
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.map_batches(
+            lambda b: pa.table({"node": pa.array([], pa.int64()),
+                                "rank": pa.array([], pa.float64())}),
+            batch_format="pyarrow")
+
+    def edge_tagged(batch: pa.Table) -> pa.Table:
+        s = batch["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return _tag_table(s, 1, np.zeros(len(s), dtype=np.float64), d,
+                          n_parts)
+
+    edges_t = _bounded(pairs.map_batches(edge_tagged, batch_format="pyarrow",
+                                         zero_copy_batch=True), n_parts)
+
+    init = 1.0 / n_nodes
+
+    def rank0(batch: pa.Table) -> pa.Table:
+        n = batch["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"node": pa.array(n),
+                         "rank": pa.array(np.full(len(n), init))})
+
+    ranks = _bounded(nodes.map_batches(rank0, batch_format="pyarrow",
+                                       zero_copy_batch=True), n_parts)
+
+    def marker(batch: pa.Table) -> pa.Table:
+        n = batch["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        z = np.zeros(len(n), dtype=np.float64)
+        return _tag_table(n, 0, z, np.full(len(n), _DANGLING), n_parts)
+
+    markers = _bounded(nodes.map_batches(marker, batch_format="pyarrow",
+                                         zero_copy_batch=True), n_parts)
+
+    for _ in range(iters):
+        def rank_tagged(batch: pa.Table) -> pa.Table:
+            n = batch["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+            r = batch["rank"].to_numpy(zero_copy_only=False)
+            return _tag_table(n, 0, r, np.full(len(n), _DANGLING), n_parts)
+
+        tagged = ranks.map_batches(rank_tagged, batch_format="pyarrow",
+                                   zero_copy_batch=True).union(edges_t)
+        contribs = (tagged.groupby("part")
+                    .map_groups(_contrib_kernel, batch_format="pyarrow")
+                    .materialize())
+
+        def dm_partial(b: pa.Table) -> pa.Table:
+            kk = b["key"].to_numpy(zero_copy_only=False)
+            vv = b["val"].to_numpy(zero_copy_only=False)
+            return pa.table({"dm": pa.array([float(vv[kk == _DANGLING].sum())],
+                                            pa.float64())})
+
+        dm_rows = contribs.map_batches(dm_partial, batch_format="pyarrow",
+                                       zero_copy_batch=True).take_all()
+        dangling_mass = float(sum(r["dm"] for r in dm_rows))
+
+        def contrib_tagged(batch: pa.Table) -> pa.Table:
+            kk = batch["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+            vv = batch["val"].to_numpy(zero_copy_only=False)
+            keep = kk != _DANGLING
+            kk, vv = kk[keep], vv[keep]
+            return _tag_table(kk, 1, vv, np.full(len(kk), _DANGLING),
+                              n_parts)
+
+        stage2 = contribs.map_batches(contrib_tagged, batch_format="pyarrow",
+                                      zero_copy_batch=True).union(markers)
+        dm, nn, d = dangling_mass, n_nodes, damping
+        # _bounded stops the union's block-count compounding: without it
+        # ranks grows by edges_t.num_blocks() every iteration (map_groups
+        # preserves the sorted union's block count).
+        ranks = _bounded(
+            (stage2.groupby("part")
+             .map_groups(lambda p: _apply_kernel(
+                 p, n_nodes=nn, dangling_mass=dm, damping=d),
+                 batch_format="pyarrow")), n_parts)
+    return ranks

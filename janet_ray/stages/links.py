@@ -87,3 +87,34 @@ SELECT doc_id,
        anchors[i] AS anchor
 FROM pages, UNNEST(range(1, len(hrefs) + 1)) AS t(i)
 """
+
+
+def anchor_corpus(links, *, href_col: str = "href",
+                  anchor_col: str = "anchor"):
+    """Per-target anchor-text aggregation — the classic link-graph text
+    product (anchor text describes the TARGET page; search engines and
+    DQ-style corpora index it): for each distinct link target, the number
+    of referring links and the lexicographically-first anchor text.
+
+    Shape: per-batch pyarrow ``group_by`` partials collapse the link stream
+    to (href, n, min_anchor) rows BEFORE the shuffle (the vocab_topk
+    combiner pattern — the anchor stream itself is never shuffled), then
+    one small native groupby folds partials with Sum/Min. Both folds are
+    associative, so the two-level aggregation is exact."""
+    from ray.data.aggregate import Min, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"href": batch[href_col], "anchor": batch[anchor_col]})
+        agg = t.group_by("href").aggregate(
+            [("anchor", "count"), ("anchor", "min")])
+        return pa.table({
+            "href": agg["href"],
+            "n": agg["anchor_count"].cast(pa.int64()),
+            "a_min": agg["anchor_min"],
+        })
+
+    partials = links.map_batches(partial, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    return (partials.groupby("href")
+            .aggregate(Sum("n", alias_name="n_refs"),
+                       Min("a_min", alias_name="top_anchor")))

@@ -1,0 +1,75 @@
+"""Distributed PageRank (stages/graph.py): exact parity with a
+single-process reference of the same pinned semantics, rank conservation,
+dangling handling, and shape invariants."""
+
+import numpy as np
+
+from janet_ray.stages.graph import DAMPING, pagerank
+
+
+def _reference_pagerank(edges, iters, d=DAMPING):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    out = np.zeros(n)
+    for u, _ in edges:
+        out[idx[u]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        contrib = np.zeros(n)
+        for u, v in edges:
+            contrib[idx[v]] += r[idx[u]] / out[idx[u]]
+        dangling = r[out == 0].sum()
+        r = (1 - d) / n + d * (contrib + dangling / n)
+    return {node: r[idx[node]] for node in nodes}
+
+
+def _run(ray, edges, iters=5, n_parts=4):
+    ds = ray.data.from_items([{"src": u, "dst": v} for u, v in edges])
+    out = pagerank(ds, iters=iters, n_parts=n_parts).to_pandas()
+    return dict(zip(out["node"], out["rank"]))
+
+
+def test_parity_simple_chain(ray_session):
+    import ray
+
+    edges = [(1, 2), (2, 3), (3, 1), (1, 3)]
+    got = _run(ray, edges)
+    want = _reference_pagerank(edges, 5)
+    assert got.keys() == want.keys()
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9
+
+
+def test_dangling_nodes_conserve_mass(ray_session):
+    import ray
+
+    # node 4 has no out-edges: its mass must be redistributed, total stays 1
+    edges = [(1, 2), (2, 3), (3, 4), (1, 4)]
+    got = _run(ray, edges, iters=7)
+    want = _reference_pagerank(edges, 7)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9
+
+
+def test_star_graph_hub_wins(ray_session):
+    import ray
+
+    edges = [(i, 100) for i in range(1, 20)]
+    got = _run(ray, edges)
+    assert got[100] == max(got.values())
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_random_graph_parity(ray_session):
+    import ray
+
+    rng = np.random.RandomState(11)
+    edges = list({(int(rng.randint(50)), int(rng.randint(50)))
+                  for _ in range(300)})
+    got = _run(ray, edges, iters=4)
+    want = _reference_pagerank(edges, 4)
+    assert got.keys() == want.keys()
+    err = max(abs(got[k] - want[k]) for k in want)
+    assert err < 1e-9
