@@ -181,6 +181,7 @@ def run_suite(sf_dir: str) -> dict[str, float]:
         "anchor_corpus": Q.q_anchor_corpus,
         "crawl_frontier": Q.q_crawl_frontier,
         "host_stats": Q.q_host_stats,
+        "bpe_merges": Q.q_bpe_merges,
     }
     out = {}
     for name, fn in suite.items():

@@ -43,6 +43,8 @@ _EXPORTS = {
     "anchor_corpus": ("janet_ray.stages.links", "anchor_corpus"),
     "anti_join_values": ("janet_ray.stages.frontier", "anti_join_values"),
     "crawl_frontier": ("janet_ray.stages.frontier", "crawl_frontier"),
+    "train_bpe": ("janet_ray.stages.bpe", "train_bpe"),
+    "word_frequencies": ("janet_ray.stages.bpe", "word_frequencies"),
     "drop_empty_blocks": ("janet_ray.stages.joins", "drop_empty_blocks"),
     "row_deadline": ("janet_ray.functions.deadline", "row_deadline"),
     "retry_with_backoff": ("janet_ray.functions.retry", "retry_with_backoff"),

@@ -872,6 +872,21 @@ def q_link_pagerank(sf_dir: str):
     return ranks.sort("node")
 
 
+def q_bpe_merges(sf_dir: str):
+    """Distributed BPE tokenizer training (stages/bpe.py): one corpus pass
+    folds DISTINCT (word, freq) with combiner partials; each of the 20 merge
+    steps shuffles only distinct symbol PAIRS (groupby sum → per-batch top-1
+    partials → O(blocks) driver argmax) and streams one vectorized
+    merge-application pass over the distinct-word table. Rows-only by
+    declaration (iterative argmax refinement isn't SQL-expressible); exact
+    merge-table parity with a single-process reference is pinned in
+    tests/test_bpe.py."""
+    from janet_ray.stages.bpe import train_bpe
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    return train_bpe(ds, n_merges=20)
+
+
 def q_kmeans_clusters(sf_dir: str):
     """Distributed k-means corpus clustering (stages/cluster.py): Lloyd
     iterations as streaming passes with per-batch (cell, vecsum, n) combiner
@@ -2173,6 +2188,7 @@ def build_queries() -> dict:
         "anchor_corpus": q_anchor_corpus,
         "crawl_frontier": q_crawl_frontier,
         "host_stats": q_host_stats,
+        "bpe_merges": q_bpe_merges,
     }
 
 

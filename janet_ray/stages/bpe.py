@@ -1,0 +1,262 @@
+"""Distributed BPE tokenizer training (Sennrich et al. 2016, the
+subword-vocabulary builder every LM training pipeline runs over its corpus).
+
+Pinned semantics (replicated exactly by the single-process reference in
+tests/test_bpe.py):
+
+  * word inventory = the engine tokenizer (lowercase, split on
+    ``[^a-z0-9]+``, drop empties) folded to DISTINCT (word, freq);
+  * a word's initial symbol sequence = its characters + a final ``</w>``
+    end-of-word marker symbol;
+  * merge step k: count adjacent symbol pairs weighted by word freq over
+    the distinct-word table; the winner is the highest count with ties
+    broken by the lexicographically smallest (left, right); merging
+    replaces non-overlapping occurrences LEFT-TO-RIGHT (in ``aaa`` the
+    pair (a,a) merges positions 0-1, not 1-2);
+  * K merge steps → the merge table [(rank, left, right)].
+
+Distributed shape — the corpus is touched ONCE (the word-count pass, the
+vocab_topk combiner pattern: per-batch value_counts partials, one small
+groupby; the token stream itself is never shuffled). The iterative loop
+runs over the DISTINCT-WORD table (the model-fit metadata, orders of
+magnitude smaller than the corpus — same scale contract as the LM bigram
+model, boundable upstream with the vocab frequency cut). Each iteration:
+
+  1. per-batch VECTORIZED pair counting over the flattened list<string>
+     symbol column (offsets → adjacency mask → np.unique inverse →
+     np.bincount weighted by freq) → partial (left, right, n) rows;
+  2. one small groupby((left, right)).sum — shuffle bounded by the distinct
+     pair count — then per-batch top-1 partials and an O(num_blocks) driver
+     argmax (count desc, pair asc);
+  3. a streaming merge-application pass updating the symbol column
+     (vectorized run-detection for the left-to-right non-overlap rule),
+     materialized for the next iteration (consumed K times; lineage must
+     not recompute prior merges).
+
+Driver state per iteration: one (left, right, count) triple. Rows shuffled
+per iteration: distinct pairs only, never words, never the corpus."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+END_WORD = "</w>"
+_SEP = "\x01"  # never occurs in symbols (alnum + '</w>' concatenations);
+# NOT \x00 — numpy unicode arrays truncate NULs and np.char treats a NUL
+# separator as empty
+
+
+# --------------------------------------------------------------- reference
+
+def bpe_reference(word_freqs: dict[str, int], n_merges: int):
+    """Single-process reference of the exact pinned semantics (test oracle;
+    also the per-partition kernel contract)."""
+    words = {w: list(w) + [END_WORD] for w in word_freqs}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for w, syms in words.items():
+            f = word_freqs[w]
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        best_n = max(counts.values())
+        best = min(p for p, n in counts.items() if n == best_n)
+        merges.append(best)
+        l, r = best
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    return merges
+
+
+# ------------------------------------------------------------- kernels
+
+def _pair_counts(flat: np.ndarray, offsets: np.ndarray,
+                 freq: np.ndarray) -> pa.Table:
+    """(left, right, n) partials for one batch of symbolized words.
+    ``flat``/``offsets`` are the list-column pieces; adjacency stops at
+    list boundaries."""
+    n_lists = len(offsets) - 1
+    if len(flat) == 0:
+        return pa.table({"left": pa.array([], pa.string()),
+                         "right": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
+    # position i pairs with i+1 unless i+1 starts a new list
+    is_last = np.zeros(len(flat), dtype=bool)
+    is_last[offsets[1:] - 1] = True
+    pos = np.nonzero(~is_last)[0]
+    if len(pos) == 0:  # every word fully merged to one symbol
+        return pa.table({"left": pa.array([], pa.string()),
+                         "right": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
+    lefts, rights = flat[pos], flat[pos + 1]
+    # weight of each pair = freq of its word
+    word_of = np.repeat(np.arange(n_lists), np.diff(offsets))
+    w = freq[word_of[pos]]
+    key = np.char.add(np.char.add(lefts.astype(object).astype(str), _SEP),
+                      rights.astype(object).astype(str))
+    uniq, inv = np.unique(key, return_inverse=True)
+    sums = np.bincount(inv, weights=w).astype(np.int64)
+    lr = np.char.partition(uniq, _SEP)
+    return pa.table({"left": pa.array(lr[:, 0].tolist(), pa.string()),
+                     "right": pa.array(lr[:, 2].tolist(), pa.string()),
+                     "n": pa.array(sums)})
+
+
+def _apply_merge(flat: np.ndarray, offsets: np.ndarray, left: str,
+                 right: str) -> tuple[np.ndarray, np.ndarray]:
+    """Merge non-overlapping (left, right) occurrences left-to-right in every
+    list. Vectorized: candidate positions → run detection → every-other
+    selection within each run of consecutive candidates."""
+    if len(flat) == 0:
+        return flat, offsets
+    is_last = np.zeros(len(flat), dtype=bool)
+    is_last[offsets[1:] - 1] = True
+    cand = np.nonzero((~is_last) & (flat == left)
+                      & (np.roll(flat, -1) == right))[0]
+    if len(cand) == 0:
+        return flat, offsets
+    # left-to-right non-overlap: in a run of consecutive candidate positions
+    # (e.g. 'aaaa' with (a,a): cand = [0,1,2]) keep every other from the run
+    # start (0 and 2). Runs never cross list boundaries because the boundary
+    # position is not a candidate.
+    run_start = np.nonzero(np.diff(cand, prepend=cand[0] - 2) > 1)[0]
+    run_id = np.cumsum(np.isin(np.arange(len(cand)), run_start))
+    off_in_run = np.arange(len(cand)) - run_start[run_id - 1]
+    sel = cand[off_in_run % 2 == 0]
+    # build output: selected position becomes left+right, position+1 dropped
+    keep = np.ones(len(flat), dtype=bool)
+    keep[sel + 1] = False
+    out = flat.copy()
+    out[sel] = left + right
+    new_flat = out[keep]
+    # per-list removed count adjusts offsets
+    word_of = np.repeat(np.arange(len(offsets) - 1), np.diff(offsets))
+    removed = np.bincount(word_of[sel + 1], minlength=len(offsets) - 1)
+    new_offsets = offsets.copy()
+    new_offsets[1:] = offsets[1:] - np.cumsum(removed)
+    return new_flat, new_offsets
+
+
+def _list_pieces(col: pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = np.asarray(arr.values.to_pylist(), dtype=object)
+    offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    # offsets of a sliced array may not start at 0
+    if offsets[0] != 0:
+        flat = flat[offsets[0]:offsets[-1]]
+        offsets = offsets - offsets[0]
+    return flat, offsets
+
+
+def _symbol_table(flat: np.ndarray, offsets: np.ndarray,
+                  freq: np.ndarray) -> pa.Table:
+    return pa.table({
+        "syms": pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()),
+            pa.array(flat.tolist(), pa.string())),
+        "freq": pa.array(freq, pa.int64()),
+    })
+
+
+# ------------------------------------------------------------- operator
+
+def word_frequencies(ds, *, text_col: str = "text"):
+    """DISTINCT (word, freq) over the corpus — one pass, combiner partials,
+    one small groupby (the engine tokenizer; vocab_topk's shape minus the
+    top-k cut)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.coalesce(batch[text_col],
+                                      pa.scalar("", pa.string()))),
+            pattern="[^a-z0-9]+")
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, pa.scalar("", pa.string())))
+        vc = flat.value_counts()
+        return pa.table({"word": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("word").aggregate(Sum("n", alias_name="freq")))
+
+
+def train_bpe(ds, *, n_merges: int, text_col: str = "text"):
+    """Learn ``n_merges`` BPE merges over the corpus. Returns the merge
+    table as a pyarrow Table (rank:int64, left, right, n:int64) — the model
+    artifact is driver-sized (K rows) by definition."""
+    words = word_frequencies(ds, text_col=text_col)
+
+    def symbolize(batch: pa.Table) -> pa.Table:
+        ws = batch["word"].to_pylist()
+        freq = batch["freq"].to_numpy(zero_copy_only=False).astype(np.int64)
+        syms = [list(w) + [END_WORD] for w in ws]
+        lens = np.asarray([len(s) for s in syms], dtype=np.int64)
+        offsets = np.concatenate([[0], np.cumsum(lens)])
+        flat = np.asarray([s for ss in syms for s in ss], dtype=object)
+        return _symbol_table(flat, offsets, freq)
+
+    table = words.map_batches(symbolize, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+
+    from ray.data.aggregate import Sum
+
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        def count_batch(batch: pa.Table) -> pa.Table:
+            flat, offsets = _list_pieces(batch["syms"])
+            freq = batch["freq"].to_numpy(zero_copy_only=False)
+            return _pair_counts(flat, offsets, freq)
+
+        totals = (table.map_batches(count_batch, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+                  .groupby(["left", "right"])
+                  .aggregate(Sum("n", alias_name="n_total")))
+
+        def top1(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return batch
+            idx = pc.sort_indices(batch,
+                                  sort_keys=[("n_total", "descending"),
+                                             ("left", "ascending"),
+                                             ("right", "ascending")])
+            return batch.take(idx[:1])
+
+        partials = totals.map_batches(top1, batch_format="pyarrow",
+                                      zero_copy_batch=True).take_all()
+        if not partials:
+            break
+        best = min(partials, key=lambda r: (-r["n_total"], r["left"],
+                                            r["right"]))
+        l, r, n = best["left"], best["right"], int(best["n_total"])
+        merges.append((rank, l, r, n))
+
+        def apply_batch(batch: pa.Table, l=l, r=r) -> pa.Table:
+            flat, offsets = _list_pieces(batch["syms"])
+            freq = batch["freq"].to_numpy(zero_copy_only=False)
+            nf, no = _apply_merge(flat, offsets, l, r)
+            return _symbol_table(nf, no, freq)
+
+        table = table.map_batches(apply_batch, batch_format="pyarrow",
+                                  zero_copy_batch=True).materialize()
+
+    return pa.table({
+        "rank": pa.array([m[0] for m in merges], pa.int64()),
+        "left": pa.array([m[1] for m in merges], pa.string()),
+        "right": pa.array([m[2] for m in merges], pa.string()),
+        "n": pa.array([m[3] for m in merges], pa.int64()),
+    })

@@ -1,0 +1,94 @@
+"""Distributed BPE training (stages/bpe.py): exact merge-table parity with
+the single-process reference, kernel edge cases (overlap rule, list
+boundaries), and the word-frequency pass."""
+
+import numpy as np
+import pyarrow as pa
+
+from janet_ray.stages.bpe import (END_WORD, _apply_merge, _pair_counts,
+                                  bpe_reference, train_bpe,
+                                  word_frequencies)
+
+CORPUS = [
+    "the lowest newest widest rates",
+    "lower and lower the rates go",
+    "newest of the new lowest of the low",
+    "wide wide widest",
+]
+
+
+def _wf(texts):
+    import re
+
+    freqs: dict = {}
+    for t in texts:
+        for w in re.split(r"[^a-z0-9]+", t.lower()):
+            if w:
+                freqs[w] = freqs.get(w, 0) + 1
+    return freqs
+
+
+def test_reference_overlap_rule():
+    # 'aaaa' with (a,a): left-to-right merges positions 0-1 and 2-3
+    merges = bpe_reference({"aaaa": 1}, 1)
+    assert merges == [("a", "a")]
+
+
+def test_apply_merge_left_to_right():
+    flat = np.asarray(list("aaaa") + [END_WORD], dtype=object)
+    off = np.asarray([0, 5])
+    nf, no = _apply_merge(flat, off, "a", "a")
+    assert nf.tolist() == ["aa", "aa", END_WORD]
+    assert no.tolist() == [0, 3]
+
+
+def test_apply_merge_respects_list_boundary():
+    # ...a | a... across two words must NOT merge
+    flat = np.asarray(["x", "a", "a", "y"], dtype=object)
+    off = np.asarray([0, 2, 4])
+    nf, no = _apply_merge(flat, off, "a", "a")
+    assert nf.tolist() == ["x", "a", "a", "y"]
+    assert no.tolist() == [0, 2, 4]
+
+
+def test_pair_counts_weighted():
+    flat = np.asarray(["a", "b", "a", "b"], dtype=object)
+    off = np.asarray([0, 2, 4])
+    t = _pair_counts(flat, off, np.asarray([3, 4]))
+    d = dict(zip(zip(t["left"].to_pylist(), t["right"].to_pylist()),
+                 t["n"].to_pylist()))
+    assert d == {("a", "b"): 7}
+
+
+def test_word_frequencies(ray_session):
+    import ray
+
+    ds = ray.data.from_items([{"text": t} for t in CORPUS])
+    out = word_frequencies(ds).to_pandas()
+    got = dict(zip(out["word"], out["freq"]))
+    assert got == _wf(CORPUS)
+
+
+def test_train_bpe_parity(ray_session):
+    import ray
+
+    ds = ray.data.from_items([{"text": t} for t in CORPUS])
+    got = train_bpe(ds, n_merges=12).to_pydict()
+    want = bpe_reference(_wf(CORPUS), 12)
+    assert list(zip(got["left"], got["right"])) == want
+    assert got["rank"] == list(range(len(want)))
+    # counts are positive and non-increasing is NOT required (merges create
+    # new pairs), but every count must match a recount by the reference —
+    # parity of the pair list is the strong assertion above.
+    assert all(n > 0 for n in got["n"])
+
+
+def test_train_bpe_exhausts_pairs(ray_session):
+    import ray
+
+    # single tiny word: only a few merges possible, then the loop stops
+    ds = ray.data.from_items([{"text": "ab ab"}])
+    got = train_bpe(ds, n_merges=50).to_pydict()
+    want = bpe_reference({"ab": 2}, 50)
+    assert list(zip(got["left"], got["right"])) == want
+    assert len(got["rank"]) < 50
