@@ -182,6 +182,7 @@ def run_suite(sf_dir: str) -> dict[str, float]:
         "crawl_frontier": Q.q_crawl_frontier,
         "host_stats": Q.q_host_stats,
         "bpe_merges": Q.q_bpe_merges,
+        "paragraph_dedup": Q.q_paragraph_dedup,
     }
     out = {}
     for name, fn in suite.items():

@@ -872,6 +872,39 @@ def q_link_pagerank(sf_dir: str):
     return ranks.sort("node")
 
 
+def q_paragraph_dedup(sf_dir: str):
+    """CCNet-style paragraph-level exact dedup (stages/paradedup.py):
+    injected multi-paragraph docs whose first/last paragraphs repeat across
+    docs (doc_id % 29 / % 31 buckets — same concatenation in the oracle),
+    so the global first-occurrence rule does real cross-document work; the
+    middle paragraph is unique and must survive."""
+    from janet_ray.stages.paradedup import paragraph_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def inject(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        a = pc.cast(pa.array(ids % 29), pa.string())
+        b = pc.cast(batch["doc_id"], pa.string())
+        c = pc.cast(pa.array(ids % 31), pa.string())
+        text = pc.binary_join_element_wise(
+            "shared-", a, "\nuniq-", b, "\nshared-", c, "")
+        return pa.table({"doc_id": batch["doc_id"], "text": text})
+
+    return paragraph_dedup(ds.map_batches(inject, batch_format="pyarrow",
+                                          zero_copy_batch=True))
+
+
+def _paragraph_dedup_sql() -> str:
+    from janet_ray.stages.paradedup import paragraph_dedup_sql
+
+    inner = ("SELECT doc_id, 'shared-' || CAST(doc_id % 29 AS VARCHAR) || "
+             "chr(10) || 'uniq-' || CAST(doc_id AS VARCHAR) || chr(10) || "
+             "'shared-' || CAST(doc_id % 31 AS VARCHAR) AS text "
+             "FROM documents")
+    return paragraph_dedup_sql(source=f"({inner}) AS g")
+
+
 def q_bpe_merges(sf_dir: str):
     """Distributed BPE tokenizer training (stages/bpe.py): one corpus pass
     folds DISTINCT (word, freq) with combiner partials; each of the 20 merge
@@ -2189,6 +2222,7 @@ def build_queries() -> dict:
         "crawl_frontier": q_crawl_frontier,
         "host_stats": q_host_stats,
         "bpe_merges": q_bpe_merges,
+        "paragraph_dedup": q_paragraph_dedup,
     }
 
 
@@ -2258,4 +2292,5 @@ def build_oracles() -> dict[str, str]:
         "anchor_corpus": _anchor_corpus_sql(),
         "crawl_frontier": _crawl_frontier_sql(),
         "host_stats": _host_stats_sql(),
+        "paragraph_dedup": _paragraph_dedup_sql(),
     }

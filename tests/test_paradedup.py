@@ -1,0 +1,85 @@
+"""Paragraph-level dedup (stages/paradedup.py): first-occurrence rule,
+round-trip of unique corpora, empty-paragraph handling, and equality of
+the broadcast and cogroup (union) apply paths."""
+
+import pyarrow as pa
+
+from janet_ray.stages.paradedup import paragraph_dedup
+
+
+def _run(ray, rows, **kw):
+    ds = ray.data.from_items(rows)
+    out = paragraph_dedup(ds, **kw).to_pandas()
+    return {r.doc_id: (r.text, r.n_dropped) for r in out.itertuples()}
+
+
+def _reference(rows, sep="\n"):
+    seen = set()
+    out = {}
+    for r in sorted(rows, key=lambda r: r["doc_id"]):
+        paras = r["text"].split(sep)
+        kept = []
+        dropped = 0
+        for p in paras:
+            if p in seen:
+                dropped += 1
+            else:
+                seen.add(p)
+                kept.append(p)
+        out[r["doc_id"]] = (sep.join(kept), dropped)
+    return out
+
+
+ROWS = [
+    {"doc_id": 1, "text": "alpha\nshared one\nbeta"},
+    {"doc_id": 2, "text": "shared one\ngamma\nshared two"},
+    {"doc_id": 3, "text": "shared two\nshared one\ndelta"},
+    {"doc_id": 4, "text": "unique only"},
+]
+
+
+def test_first_occurrence_rule(ray_session):
+    import ray
+
+    got = _run(ray, ROWS)
+    assert got == _reference(ROWS)
+    # doc 1 keeps everything; docs 2/3 lose the shared paragraphs
+    assert got[1] == ("alpha\nshared one\nbeta", 0)
+    assert got[2] == ("gamma\nshared two", 1)
+    assert got[3] == ("delta", 2)
+    assert got[4] == ("unique only", 0)
+
+
+def test_within_doc_duplicates(ray_session):
+    import ray
+
+    rows = [{"doc_id": 7, "text": "x\nx\ny"}]
+    got = _run(ray, rows)
+    assert got[7] == ("x\ny", 1)
+
+
+def test_all_dropped_yields_empty(ray_session):
+    import ray
+
+    rows = [{"doc_id": 1, "text": "p"}, {"doc_id": 2, "text": "p"}]
+    got = _run(ray, rows)
+    assert got[2] == ("", 1)
+
+
+def test_union_path_matches_broadcast_path(ray_session):
+    import ray
+
+    got_b = _run(ray, ROWS)
+    got_u = _run(ray, ROWS, broadcast_limit=0)  # force the cogroup path
+    assert got_b == got_u
+
+
+def test_empty_paragraphs_are_paragraphs(ray_session):
+    import ray
+
+    # '\n\n' produces an empty paragraph; its first occurrence is kept,
+    # later empties are dropped like any duplicate
+    rows = [{"doc_id": 1, "text": "a\n\nb"}, {"doc_id": 2, "text": "c\n\nd"}]
+    got = _run(ray, rows)
+    assert got[1] == ("a\n\nb", 0)
+    assert got[2] == ("c\nd", 1)
