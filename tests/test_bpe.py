@@ -83,6 +83,17 @@ def test_train_bpe_parity(ray_session):
     assert all(n > 0 for n in got["n"])
 
 
+def test_train_bpe_distributed_path_parity(ray_session):
+    import ray
+
+    # force the distributed per-iteration loop (local_vocab_limit=0) and
+    # require exact agreement with both the fast path and the reference
+    ds = ray.data.from_items([{"text": t} for t in CORPUS])
+    got = train_bpe(ds, n_merges=8, local_vocab_limit=0).to_pydict()
+    want = bpe_reference(_wf(CORPUS), 8)
+    assert list(zip(got["left"], got["right"])) == want
+
+
 def test_train_bpe_exhausts_pairs(ray_session):
     import ray
 
