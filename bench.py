@@ -183,6 +183,7 @@ def run_suite(sf_dir: str) -> dict[str, float]:
         "host_stats": Q.q_host_stats,
         "bpe_merges": Q.q_bpe_merges,
         "paragraph_dedup": Q.q_paragraph_dedup,
+        "quality_classifier": Q.q_quality_classifier,
     }
     out = {}
     for name, fn in suite.items():

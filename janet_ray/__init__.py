@@ -45,6 +45,8 @@ _EXPORTS = {
     "crawl_frontier": ("janet_ray.stages.frontier", "crawl_frontier"),
     "train_bpe": ("janet_ray.stages.bpe", "train_bpe"),
     "paragraph_dedup": ("janet_ray.stages.paradedup", "paragraph_dedup"),
+    "classify": ("janet_ray.stages.classifier", "classify"),
+    "merge_segments": ("janet_ray.stages.index", "merge_segments"),
     "word_frequencies": ("janet_ray.stages.bpe", "word_frequencies"),
     "drop_empty_blocks": ("janet_ray.stages.joins", "drop_empty_blocks"),
     "row_deadline": ("janet_ray.functions.deadline", "row_deadline"),

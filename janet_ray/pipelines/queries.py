@@ -905,6 +905,23 @@ def _paragraph_dedup_sql() -> str:
     return paragraph_dedup_sql(source=f"({inner}) AS g")
 
 
+def q_quality_classifier(sf_dir: str):
+    """Hashed-feature linear quality classifier (stages/classifier.py, the
+    fastText-style corpus filter) over the REAL document texts: exact-int
+    score = Σ W[md5_u32(token) % 64] with the deterministic placeholder
+    weight table, strict-greater keep threshold — the oracle replays
+    tokenizer, hash, weight arithmetic, and threshold identically."""
+    from janet_ray.stages.classifier import classify
+
+    return classify(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def _quality_classifier_sql() -> str:
+    from janet_ray.stages.classifier import classifier_sql
+
+    return classifier_sql()
+
+
 def q_bpe_merges(sf_dir: str):
     """Distributed BPE tokenizer training (stages/bpe.py): one corpus pass
     folds DISTINCT (word, freq) with combiner partials; each of the 20 merge
@@ -2223,6 +2240,7 @@ def build_queries() -> dict:
         "host_stats": q_host_stats,
         "bpe_merges": q_bpe_merges,
         "paragraph_dedup": q_paragraph_dedup,
+        "quality_classifier": q_quality_classifier,
     }
 
 
@@ -2293,4 +2311,5 @@ def build_oracles() -> dict[str, str]:
         "crawl_frontier": _crawl_frontier_sql(),
         "host_stats": _host_stats_sql(),
         "paragraph_dedup": _paragraph_dedup_sql(),
+        "quality_classifier": _quality_classifier_sql(),
     }

@@ -400,3 +400,89 @@ def index_lookup_bm25(index_dir: str, terms: list[str], *, k: int = 10,
 
 def scan_index_files(index_dir: str) -> list[str]:
     return sorted(glob.glob(os.path.join(index_dir, "bucket-*.parquet")))
+
+
+def merge_segments(index_dir: str, out_dir: str) -> dict:
+    """Compact a segmented index into one flat index — the Lucene
+    segment-merge this module's segments section names as the production
+    read-amplification bound (a lookup over S segments reads S small files;
+    after compaction it reads ONE).
+
+    A document lives in exactly one segment, so merging needs no tf/dl
+    reconciliation: per bucket, the merge is concat → re-sort (term, doc_id)
+    → one atomic parquet write. Distributed as one Ray task per bucket
+    (``from_items`` over bucket ids — the same fan-out grain as the build's
+    bucket shuffle, no data shuffle at all: each task reads only its
+    bucket's S files). The merged meta keeps the build-time corpus totals
+    (N, avgdl — BM25 scores are unchanged by compaction) and upgrades
+    ``n_terms`` from the segmented upper bound to the exact distinct count.
+    Commit is atomic (tmp dir + rename): the merged index is absent or
+    complete, and the source segments are left untouched (callers delete
+    them once the swap is verified)."""
+    import shutil
+
+    import ray.data
+
+    segs = segment_dirs(index_dir)
+    if not segs:
+        raise ValueError(f"{index_dir} has no segments to merge")
+    if os.path.exists(out_dir):
+        raise FileExistsError(f"merge target {out_dir} already exists — "
+                              "compaction writes a fresh index")
+    meta = index_meta(index_dir)
+    nb = meta["num_buckets"]
+    tmp_root = out_dir.rstrip("/") + ".tmp-merge"
+    if os.path.isdir(tmp_root):
+        shutil.rmtree(tmp_root)
+    os.makedirs(tmp_root)
+
+    def merge_bucket(batch: pa.Table) -> pa.Table:
+        rows = []
+        for b in batch["bucket"].to_pylist():
+            parts = []
+            for seg in segs:
+                path = bucket_path(seg, b)
+                if os.path.exists(path):
+                    t = pq.read_table(path)
+                    if t.num_rows:
+                        parts.append(t)
+            if not parts:
+                rows.append((b, 0, 0, 0))
+                continue
+            merged = pa.concat_tables(parts, promote_options="default")
+            merged = merged.take(pc.sort_indices(
+                merged, sort_keys=[("term", "ascending"),
+                                   ("doc_id", "ascending")]))
+            final = bucket_path(tmp_root, b)
+            tmp = final + ".tmp"
+            pq.write_table(merged, tmp)
+            os.replace(tmp, final)
+            rows.append((b, merged.num_rows,
+                         int(pc.count_distinct(merged["term"]).as_py()),
+                         os.path.getsize(final)))
+        return pa.table({
+            "bucket": pa.array([r[0] for r in rows], pa.int32()),
+            "n_postings": pa.array([r[1] for r in rows], pa.int64()),
+            "n_terms": pa.array([r[2] for r in rows], pa.int64()),
+            "bytes": pa.array([r[3] for r in rows], pa.int64()),
+        })
+
+    manifest = (ray.data.from_items([{"bucket": b} for b in range(nb)])
+                .map_batches(merge_bucket, batch_format="pyarrow",
+                             batch_size=1)
+                .take_all())  # ≤ num_buckets rows — aggregate-small
+    merged_meta = {
+        "num_buckets": nb,
+        "n_postings": int(sum(r["n_postings"] for r in manifest)),
+        "n_terms": int(sum(r["n_terms"] for r in manifest)),
+        "bytes": int(sum(r["bytes"] for r in manifest)),
+        "n_docs": meta["n_docs"],
+        "total_tokens": meta["total_tokens"],
+        "avgdl": meta["avgdl"],
+        "n_dropped_terms": meta.get("n_dropped_terms", 0),
+        "merged_from_segments": len(segs),
+    }
+    with open(os.path.join(tmp_root, META_FILE), "w") as f:
+        json.dump(merged_meta, f)
+    os.replace(tmp_root, out_dir)
+    return merged_meta

@@ -299,3 +299,40 @@ def test_empty_corpus(ray_session, tmp_path):
     stats = inv.build_inverted_index(_docs_ds(["", "   "]), d, num_buckets=4)
     assert stats["n_postings"] == 0
     assert inv.index_lookup(d, "data", k=10).num_rows == 0
+
+
+def test_merge_segments_compacts_to_flat(ray_session, tmp_path):
+    """Segment merge (Lucene compaction): merged index == the segmented
+    index for every lookup flavor, reads ONE file per term, n_terms becomes
+    the exact distinct count, and the source segments are untouched."""
+    texts = [f"doc {i} " + "data " * (i % 4) + "word common text"
+             for i in range(60)]
+    inp = str(tmp_path / "shards")
+    _write_shards(inp, texts, shard_rows=10)
+    segd = str(tmp_path / "segd")
+    inv.build_index_segments(inp, segd, files_per_segment=2, num_buckets=8)
+
+    out = str(tmp_path / "compact")
+    meta = inv.merge_segments(segd, out)
+    assert meta["merged_from_segments"] == 3
+    assert meta["n_postings"] == inv.index_meta(segd)["n_postings"]
+    assert meta["n_docs"] == 60
+    # flat layout: no segments, one bucket file set at the root
+    assert inv.segment_dirs(out) == []
+    flat = str(tmp_path / "flat")
+    inv.build_inverted_index(_docs_ds(texts), flat, num_buckets=8)
+    assert meta["n_terms"] == inv.index_meta(flat)["n_terms"]  # exact now
+
+    for term in ("data", "common", "doc", "zzzmissing"):
+        a = inv.index_lookup(segd, term, k=50).to_pylist()
+        b = inv.index_lookup(out, term, k=50).to_pylist()
+        assert sorted(a, key=lambda r: r["doc_id"]) == sorted(
+            b, key=lambda r: r["doc_id"])
+    ba = inv.index_lookup_bm25(segd, ["data", "common"], k=50).to_pylist()
+    bb = inv.index_lookup_bm25(out, ["data", "common"], k=50).to_pylist()
+    assert [(r["doc_id"], pytest.approx(r["score"])) for r in ba] == \
+           [(r["doc_id"], r["score"]) for r in bb]
+    # segments untouched; merge refuses to overwrite
+    assert inv.segment_dirs(segd)
+    with pytest.raises(FileExistsError):
+        inv.merge_segments(segd, out)
