@@ -184,6 +184,7 @@ def run_suite(sf_dir: str) -> dict[str, float]:
         "bpe_merges": Q.q_bpe_merges,
         "paragraph_dedup": Q.q_paragraph_dedup,
         "quality_classifier": Q.q_quality_classifier,
+        "events_distinct_users_hll": Q.q_events_distinct_users_hll,
     }
     out = {}
     for name, fn in suite.items():

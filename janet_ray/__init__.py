@@ -47,6 +47,8 @@ _EXPORTS = {
     "paragraph_dedup": ("janet_ray.stages.paradedup", "paragraph_dedup"),
     "classify": ("janet_ray.stages.classifier", "classify"),
     "merge_segments": ("janet_ray.stages.index", "merge_segments"),
+    "hll_build": ("janet_ray.stages.sketch", "hll_build"),
+    "hll_distinct": ("janet_ray.stages.sketch", "hll_distinct"),
     "word_frequencies": ("janet_ray.stages.bpe", "word_frequencies"),
     "drop_empty_blocks": ("janet_ray.stages.joins", "drop_empty_blocks"),
     "row_deadline": ("janet_ray.functions.deadline", "row_deadline"),

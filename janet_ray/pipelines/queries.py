@@ -2052,6 +2052,32 @@ SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct FROM events
 """
 
 
+def q_events_distinct_users_hll(sf_dir: str):
+    """Approximate COUNT(DISTINCT) via HyperLogLog (stages/sketch.py) — the
+    unbounded-cardinality scale path for the exact kernel above (whose
+    shuffle is bounded by the distinct count): one streaming pass, NO
+    shuffle, a 2^14-register sketch merged in Ray's aggregation tree. The
+    query returns the estimate next to the exact count so each driver run
+    evidences the ~0.8% error bound live. Rows-only by declaration (the
+    estimate is a hash artifact); register-exact distributed-vs-reference
+    parity and error-bound properties are pinned in tests/test_sketch.py."""
+    import pandas as pd
+
+    from janet_ray.stages.sketch import hll_distinct
+    from janet_ray.stages.stats import distinct_count
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    est = hll_distinct(ds, "user_id")
+    exact = int(distinct_count(
+        _read(sf_dir, "events", columns=["user_id"]),
+        "user_id")["n_distinct"][0])
+    return pd.DataFrame({
+        "n_hll": [est],
+        "n_exact": [exact],
+        "rel_err_pct": [round(abs(est - exact) / max(exact, 1) * 100.0, 3)],
+    })
+
+
 # ------------------------------------------------------------- visibility
 
 def q_visibility_filter(sf_dir: str):
@@ -2241,6 +2267,7 @@ def build_queries() -> dict:
         "bpe_merges": q_bpe_merges,
         "paragraph_dedup": q_paragraph_dedup,
         "quality_classifier": q_quality_classifier,
+        "events_distinct_users_hll": q_events_distinct_users_hll,
     }
 
 
