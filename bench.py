@@ -185,6 +185,7 @@ def run_suite(sf_dir: str) -> dict[str, float]:
         "paragraph_dedup": Q.q_paragraph_dedup,
         "quality_classifier": Q.q_quality_classifier,
         "events_distinct_users_hll": Q.q_events_distinct_users_hll,
+        "quantity_quantiles_dd": Q.q_quantity_quantiles_dd,
     }
     out = {}
     for name, fn in suite.items():

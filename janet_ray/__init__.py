@@ -49,6 +49,8 @@ _EXPORTS = {
     "merge_segments": ("janet_ray.stages.index", "merge_segments"),
     "hll_build": ("janet_ray.stages.sketch", "hll_build"),
     "hll_distinct": ("janet_ray.stages.sketch", "hll_distinct"),
+    "dd_build": ("janet_ray.stages.ddsketch", "dd_build"),
+    "dd_quantiles": ("janet_ray.stages.ddsketch", "dd_quantiles"),
     "word_frequencies": ("janet_ray.stages.bpe", "word_frequencies"),
     "drop_empty_blocks": ("janet_ray.stages.joins", "drop_empty_blocks"),
     "row_deadline": ("janet_ray.functions.deadline", "row_deadline"),

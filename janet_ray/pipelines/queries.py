@@ -2039,6 +2039,33 @@ _QUANTILES_SQL = " UNION ALL ".join(
 )
 
 
+def q_quantity_quantiles_dd(sf_dir: str):
+    """DDSketch quantiles (stages/ddsketch.py) — the unbounded-cardinality
+    scale path for the exact kernel above (whose shuffle is bounded by the
+    column's distinct count): one streaming pass, ZERO shuffle, log-spaced
+    bins merged by addition in Ray's aggregation tree (deterministic and
+    partition-invariant, unlike t-digest). Returns sketch estimates NEXT TO
+    the exact values so every driver run evidences the α=1% bound live.
+    Rows-only by declaration (bin midpoints are sketch artifacts)."""
+    import pandas as pd
+
+    from janet_ray.stages.ddsketch import dd_quantiles
+    from janet_ray.stages.stats import distributed_quantiles
+
+    ds = _read(sf_dir, "lineitem", columns=["l_quantity"])
+    est = dd_quantiles(ds, "l_quantity", _QUANTILES)
+    exact = distributed_quantiles(
+        _read(sf_dir, "lineitem", columns=["l_quantity"]),
+        "l_quantity", _QUANTILES)["value"].astype("float64").tolist()
+    return pd.DataFrame({
+        "q": _QUANTILES,
+        "dd_value": est,
+        "exact_value": exact,
+        "rel_err_pct": [round(abs(e - x) / abs(x) * 100.0, 3) if x else 0.0
+                        for e, x in zip(est, exact)],
+    })
+
+
 def q_events_distinct_users(sf_dir: str):
     """Exact COUNT(DISTINCT): per-batch local unique (combiner) → one hash
     shuffle of distinct values only → group count."""
@@ -2268,6 +2295,7 @@ def build_queries() -> dict:
         "paragraph_dedup": q_paragraph_dedup,
         "quality_classifier": q_quality_classifier,
         "events_distinct_users_hll": q_events_distinct_users_hll,
+        "quantity_quantiles_dd": q_quantity_quantiles_dd,
     }
 
 
