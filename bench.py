@@ -186,6 +186,7 @@ def run_suite(sf_dir: str) -> dict[str, float]:
         "quality_classifier": Q.q_quality_classifier,
         "events_distinct_users_hll": Q.q_events_distinct_users_hll,
         "quantity_quantiles_dd": Q.q_quantity_quantiles_dd,
+        "vocab_topk_cms": Q.q_vocab_topk_cms,
     }
     out = {}
     for name, fn in suite.items():

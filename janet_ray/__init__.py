@@ -51,6 +51,8 @@ _EXPORTS = {
     "hll_distinct": ("janet_ray.stages.sketch", "hll_distinct"),
     "dd_build": ("janet_ray.stages.ddsketch", "dd_build"),
     "dd_quantiles": ("janet_ray.stages.ddsketch", "dd_quantiles"),
+    "cms_build": ("janet_ray.stages.cms", "cms_build"),
+    "cms_query": ("janet_ray.stages.cms", "cms_query"),
     "word_frequencies": ("janet_ray.stages.bpe", "word_frequencies"),
     "drop_empty_blocks": ("janet_ray.stages.joins", "drop_empty_blocks"),
     "row_deadline": ("janet_ray.functions.deadline", "row_deadline"),

@@ -2066,6 +2066,41 @@ def q_quantity_quantiles_dd(sf_dir: str):
     })
 
 
+def q_vocab_topk_cms(sf_dir: str):
+    """Count-Min frequency estimates (stages/cms.py) for the exact
+    vocab_topk terms — the no-shuffle scale path for frequency queries over
+    unbounded key streams (vocab_topk's partial-counts shuffle is bounded
+    by distinct terms per batch; a CMS is one streaming pass into a fixed
+    d×w matrix merged in the aggregation tree). Returns estimates NEXT TO
+    the exact counts: the overestimate-only guarantee (est ≥ exact, gap ≤
+    ε·N) is visible in every driver run. Rows-only by declaration."""
+    import pandas as pd
+
+    from janet_ray.stages.cms import cms_build, cms_query
+
+    exact = q_vocab_topk(sf_dir).to_pandas()
+
+    def tokens(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.coalesce(batch["text"],
+                                      pa.scalar("", pa.string()))),
+            pattern="[^a-z0-9]+")
+        flat = pc.list_flatten(toks)
+        return pa.table({"tok": flat.filter(
+            pc.not_equal(flat, pa.scalar("", pa.string())))})
+
+    stream = _docs(sf_dir).map_batches(tokens, batch_format="pyarrow",
+                                       zero_copy_batch=True)
+    sk = cms_build(stream, "tok")
+    est = cms_query(sk, exact["word"].tolist())
+    return pd.DataFrame({
+        "word": exact["word"],
+        "n_exact": exact["n_total"].astype("int64"),
+        "n_cms": est.astype("int64"),
+        "overestimate": (est - exact["n_total"].to_numpy()).astype("int64"),
+    })
+
+
 def q_events_distinct_users(sf_dir: str):
     """Exact COUNT(DISTINCT): per-batch local unique (combiner) → one hash
     shuffle of distinct values only → group count."""
@@ -2296,6 +2331,7 @@ def build_queries() -> dict:
         "quality_classifier": q_quality_classifier,
         "events_distinct_users_hll": q_events_distinct_users_hll,
         "quantity_quantiles_dd": q_quantity_quantiles_dd,
+        "vocab_topk_cms": q_vocab_topk_cms,
     }
 
 
