@@ -187,6 +187,7 @@ def run_suite(sf_dir: str) -> dict[str, float]:
         "events_distinct_users_hll": Q.q_events_distinct_users_hll,
         "quantity_quantiles_dd": Q.q_quantity_quantiles_dd,
         "vocab_topk_cms": Q.q_vocab_topk_cms,
+        "curation_v2": Q.q_curation_v2,
     }
     out = {}
     for name, fn in suite.items():
@@ -212,25 +213,35 @@ def main() -> None:
         # evidenced at 4→16 where the hardware ceiling is 0.90 (BASELINE.md).
         n, n4 = (4, 16)
         rep = max(REPLICATE, 256)  # long enough to amortize pool spin-up
-        results = {}
-        for cpus in (n, n4):
+        # each leg runs TWICE (alternating so neither leg owns a quiet/noisy
+        # window) and reports its MINIMUM wall — the least-co-tenant-contended
+        # estimate. A single-shot 4-cpu leg (~80-110 s) integrates shared-VM
+        # spikes and alone swings the efficiency reading by ±0.2 (measured
+        # 0.638 / 0.987 / 0.753 back-to-back on an idle driver); min-of-2
+        # recovers the stable number the same way BASELINE's band analysis
+        # does by hand.
+        runs: dict[int, list[dict]] = {n: [], n4: []}
+        for cpus in (n, n4, n, n4):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=sf_dir,
                        GRAFT_BENCH_REPLICATE=str(rep))
             p = subprocess.run([sys.executable, os.path.abspath(__file__),
                                 "--headline-only"], env=env, capture_output=True,
                                text=True, timeout=3600)
             line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
-            results[cpus] = json.loads(line)
-        tn, tn4 = results[n]["wall_s"], results[n4]["wall_s"]
+            runs[cpus].append(json.loads(line))
+        best = {c: min(rs, key=lambda r: r["wall_s"]) for c, rs in runs.items()}
+        tn, tn4 = best[n]["wall_s"], best[n4]["wall_s"]
         print(json.dumps({
             "metric": f"headline extraction scaling {n}→{n4} cpus (same input)",
             "sf": _sf(sf_dir),
             f"t_{n}cpu_s": tn, f"t_{n4}cpu_s": tn4,
-            f"docs_per_sec_{n}": results[n]["docs_per_sec"],
-            f"docs_per_sec_{n4}": results[n4]["docs_per_sec"],
+            f"t_{n}cpu_runs": [r["wall_s"] for r in runs[n]],
+            f"t_{n4}cpu_runs": [r["wall_s"] for r in runs[n4]],
+            f"docs_per_sec_{n}": best[n]["docs_per_sec"],
+            f"docs_per_sec_{n4}": best[n4]["docs_per_sec"],
             "speedup": round(tn / tn4, 3),
             "scaling_efficiency": round((tn / tn4) / 4, 3),
-            "rows": results[n4]["rows"],
+            "rows": best[n4]["rows"],
         }))
         return
 

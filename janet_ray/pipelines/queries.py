@@ -922,6 +922,50 @@ def _quality_classifier_sql() -> str:
     return classifier_sql()
 
 
+def q_curation_v2(sf_dir: str):
+    """Composed corpus-curation flow exercising the round-3 additions end to
+    end in ONE lazy chain, COMPOSITION oracle-checked (the training_manifest
+    pattern): inject multi-paragraph docs with cross-doc repeats → CCNet
+    paragraph-level dedup (stages/paradedup.py) → hashed linear quality
+    classifier over the DEDUPED text (stages/classifier.py) → exact global
+    score terciles (stages/bucketing.py). Every stage's SQL twin nests into
+    the next, so the oracle replays the whole composition."""
+    from janet_ray.stages.bucketing import quantile_buckets
+    from janet_ray.stages.classifier import classify
+    from janet_ray.stages.paradedup import paragraph_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def inject(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        a = pc.cast(pa.array(ids % 29), pa.string())
+        b = pc.cast(batch["doc_id"], pa.string())
+        c = pc.cast(pa.array(ids % 31), pa.string())
+        text = pc.binary_join_element_wise(
+            "shared-", a, "\nuniq-", b, "\nshared-", c, "")
+        return pa.table({"doc_id": batch["doc_id"], "text": text})
+
+    deduped = paragraph_dedup(ds.map_batches(inject, batch_format="pyarrow",
+                                             zero_copy_batch=True))
+    scored = classify(deduped)
+    return quantile_buckets(scored, col="score")
+
+
+def _curation_v2_sql() -> str:
+    from janet_ray.stages.bucketing import quantile_buckets_sql
+    from janet_ray.stages.classifier import classifier_sql
+    from janet_ray.stages.paradedup import paragraph_dedup_sql
+
+    inner = ("SELECT doc_id, 'shared-' || CAST(doc_id % 29 AS VARCHAR) || "
+             "chr(10) || 'uniq-' || CAST(doc_id AS VARCHAR) || chr(10) || "
+             "'shared-' || CAST(doc_id % 31 AS VARCHAR) AS text "
+             "FROM documents")
+    dedup = paragraph_dedup_sql(source=f"({inner}) AS g")
+    clf = classifier_sql(source=f"({dedup}) AS dd", text_expr="text")
+    return quantile_buckets_sql(col_expr="score", out_col="score",
+                                source=f"({clf}) AS sc")
+
+
 def q_bpe_merges(sf_dir: str):
     """Distributed BPE tokenizer training (stages/bpe.py): one corpus pass
     folds DISTINCT (word, freq) with combiner partials; each of the 20 merge
@@ -2332,6 +2376,7 @@ def build_queries() -> dict:
         "events_distinct_users_hll": q_events_distinct_users_hll,
         "quantity_quantiles_dd": q_quantity_quantiles_dd,
         "vocab_topk_cms": q_vocab_topk_cms,
+        "curation_v2": q_curation_v2,
     }
 
 
@@ -2403,4 +2448,5 @@ def build_oracles() -> dict[str, str]:
         "host_stats": _host_stats_sql(),
         "paragraph_dedup": _paragraph_dedup_sql(),
         "quality_classifier": _quality_classifier_sql(),
+        "curation_v2": _curation_v2_sql(),
     }
