@@ -188,6 +188,7 @@ def run_suite(sf_dir: str) -> dict[str, float]:
         "quantity_quantiles_dd": Q.q_quantity_quantiles_dd,
         "vocab_topk_cms": Q.q_vocab_topk_cms,
         "curation_v2": Q.q_curation_v2,
+        "normalize_text": Q.q_normalize_text,
     }
     out = {}
     for name, fn in suite.items():

@@ -922,6 +922,33 @@ def _quality_classifier_sql() -> str:
     return classifier_sql()
 
 
+def q_normalize_text(sf_dir: str):
+    """Unicode text normalization (stages/textnorm.py): injected suffix
+    carries a \\r\\n newline, a combining acute (e + U+0301 → NFC é), and a
+    BEL control char, so every chain step does real work on every row; the
+    oracle replays the same injection and the same three-step chain
+    (newline canonicalization → control strip → nfc_normalize)."""
+    from janet_ray.stages.textnorm import normalize_column
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def inject(batch: pa.Table) -> pa.Table:
+        text = pc.binary_join_element_wise(
+            batch["text"], "\r\ncafé\x07end", "")
+        return pa.table({"doc_id": batch["doc_id"], "text": text})
+
+    return normalize_column(ds.map_batches(inject, batch_format="pyarrow",
+                                           zero_copy_batch=True))
+
+
+def _normalize_text_sql() -> str:
+    from janet_ray.stages.textnorm import normalize_sql
+
+    inner = ("SELECT doc_id, text || chr(13) || chr(10) || 'cafe' || "
+             "chr(769) || chr(7) || 'end' AS text FROM documents")
+    return normalize_sql(source=f"({inner}) AS g")
+
+
 def q_curation_v2(sf_dir: str):
     """Composed corpus-curation flow exercising the round-3 additions end to
     end in ONE lazy chain, COMPOSITION oracle-checked (the training_manifest
@@ -2377,6 +2404,7 @@ def build_queries() -> dict:
         "quantity_quantiles_dd": q_quantity_quantiles_dd,
         "vocab_topk_cms": q_vocab_topk_cms,
         "curation_v2": q_curation_v2,
+        "normalize_text": q_normalize_text,
     }
 
 
@@ -2449,4 +2477,5 @@ def build_oracles() -> dict[str, str]:
         "paragraph_dedup": _paragraph_dedup_sql(),
         "quality_classifier": _quality_classifier_sql(),
         "curation_v2": _curation_v2_sql(),
+        "normalize_text": _normalize_text_sql(),
     }
