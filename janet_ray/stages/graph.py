@@ -124,14 +124,47 @@ def _bounded(ds, n_parts: int):
     return ds
 
 
+def _pagerank_local(src: np.ndarray, dst: np.ndarray, *, iters: int,
+                    damping: float) -> pa.Table:
+    """The whole power iteration over one in-memory edge array — the same
+    pinned semantics (dense-array form), zero shuffles. Used by the
+    single-worker fast path."""
+    nodes = np.unique(np.concatenate([src, dst]))
+    n = len(nodes)
+    if n == 0:
+        return pa.table({"node": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.float64())})
+    s = np.searchsorted(nodes, src)
+    d = np.searchsorted(nodes, dst)
+    outdeg = np.bincount(s, minlength=n).astype(np.float64)
+    dangling = outdeg == 0
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        per_edge = np.where(dangling, 0.0, r / np.maximum(outdeg, 1.0))
+        contrib = np.bincount(d, weights=per_edge[s], minlength=n)
+        dm = float(r[dangling].sum())
+        r = (1.0 - damping) / n + damping * (contrib + dm / n)
+    return pa.table({"node": pa.array(nodes.astype(np.int64)),
+                     "rank": pa.array(r)})
+
+
 def pagerank(edges, *, src_col: str = "src", dst_col: str = "dst",
              iters: int = 5, damping: float = DAMPING,
-             n_parts: int = _N_PARTS):
+             n_parts: int = _N_PARTS,
+             local_edge_limit: int = 5_000_000):
     """(node, rank) after ``iters`` exact power iterations over the edge
     list. ``edges`` is any Dataset with two int64 node columns. ``n_parts``
     is both the coarse shuffle grain and the block-count cap — size it to
     the cluster (64 default; tests use small values so tiny graphs don't
-    pay web-scale shuffle constants)."""
+    pay web-scale shuffle constants).
+
+    Scale-adaptive (the BPE precedent): when the edge list is ≤
+    ``local_edge_limit`` rows (~80 MB of int64 pairs), the whole iteration
+    runs inside ONE Ray worker task with the same pinned semantics — the
+    distributed loop's two shuffles per iteration are pure fixed overhead
+    at that size (measured ~0.9 s/iteration in local mode for graphs the
+    kernel folds in milliseconds). Above the limit the per-iteration
+    cogroup-via-union loop runs, shuffling only narrow rows."""
 
     def to_pairs(batch: pa.Table) -> pa.Table:
         return pa.table({
@@ -141,6 +174,26 @@ def pagerank(edges, *, src_col: str = "src", dst_col: str = "dst",
 
     pairs = _bounded(edges.map_batches(to_pairs, batch_format="pyarrow",
                                        zero_copy_batch=True), n_parts)
+
+    if pairs.count() <= local_edge_limit:
+        import ray
+
+        @ray.remote
+        def _local(refs):
+            tbls = [t for t in ray.get(refs) if t.num_rows]
+            if not tbls:
+                return pa.table({"node": pa.array([], pa.int64()),
+                                 "rank": pa.array([], pa.float64())})
+            whole = pa.concat_tables(tbls, promote_options="default")
+            return _pagerank_local(
+                whole["src"].to_numpy(zero_copy_only=False).astype(np.int64),
+                whole["dst"].to_numpy(zero_copy_only=False).astype(np.int64),
+                iters=iters, damping=damping)
+
+        result = ray.get(_local.remote(list(pairs.to_arrow_refs())))
+        import ray.data
+
+        return ray.data.from_arrow(result)
 
     def node_rows(batch: pa.Table) -> pa.Table:
         ns = np.unique(np.concatenate([

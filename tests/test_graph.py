@@ -73,3 +73,19 @@ def test_random_graph_parity(ray_session):
     assert got.keys() == want.keys()
     err = max(abs(got[k] - want[k]) for k in want)
     assert err < 1e-9
+
+
+def test_distributed_path_parity(ray_session):
+    import ray
+
+    # force the per-iteration shuffle loop (local_edge_limit=0) and require
+    # agreement with both the fast path and the reference
+    rng = np.random.RandomState(3)
+    edges = list({(int(rng.randint(30)), int(rng.randint(30)))
+                  for _ in range(120)})
+    ds = ray.data.from_items([{"src": u, "dst": v} for u, v in edges])
+    out = pagerank(ds, iters=3, n_parts=4, local_edge_limit=0).to_pandas()
+    got = dict(zip(out["node"], out["rank"]))
+    want = _reference_pagerank(edges, 3)
+    assert got.keys() == want.keys()
+    assert max(abs(got[k] - want[k]) for k in want) < 1e-9
