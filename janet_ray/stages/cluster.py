@@ -66,12 +66,53 @@ def _fold_centroids(rows, C_old: np.ndarray) -> np.ndarray:
 def distributed_kmeans(ds, *, vec_col: str = "embedding",
                        n_clusters: int = 8, iters: int = 10,
                        tol: float = 1e-4,
-                       sample_size: int = 4096) -> np.ndarray:
+                       sample_size: int = 4096,
+                       local_row_limit: int = 1_000_000) -> np.ndarray:
     """Train L2-normalized centroids on the full corpus; returns (k, d)."""
     sample = _sample_matrix(ds, vec_col, sample_size)
     C = _farthest_point_init(sample.astype(np.float64),
                              min(n_clusters, len(sample)))
     k = len(C)
+
+    # scale-adaptive (the BPE/PageRank precedent): when the corpus fits one
+    # worker (~500 MB of float64 at 1M × 64-d), run ALL Lloyd iterations in a
+    # single Ray task with the SAME kernels — per-iteration groupby shuffles
+    # and ray.put round-trips are pure fixed overhead at that size. The same
+    # init, same assignment/sum kernels, same _fold_centroids update and the
+    # same tol early-stop keep the two paths numerically aligned (pinned by
+    # the forced-dispatch parity test).
+    if local_row_limit and ds.count() <= local_row_limit:
+        @ray.remote
+        def _local(refs, C0):
+            tbls = [t for t in ray.get(refs) if t.num_rows]
+            if not tbls:
+                return C0
+            import pyarrow as _pa
+
+            whole = _pa.concat_tables(tbls, promote_options="default")
+            M = _normalize(_as_matrix(whole[vec_col])).astype(np.float64)
+            Cl = C0
+            kl = len(Cl)
+            for _ in range(iters):
+                a = np.argmax(M @ Cl.T, axis=1)
+                sums = np.zeros((kl, Cl.shape[1]), dtype=np.float64)
+                np.add.at(sums, a, M)
+                counts = np.bincount(a, minlength=kl).astype(np.int64)
+                nz = np.nonzero(counts)[0]
+                rows = [{"cell": int(c), "vsum": sums[c], "n": int(counts[c])}
+                        for c in nz]
+                C_new = _fold_centroids(rows, Cl)
+                shift = (float(np.max(np.linalg.norm(C_new - Cl, axis=1)))
+                         if kl else 0.0)
+                Cl = C_new
+                if shift < tol:
+                    break
+            return Cl
+
+        vecs = ds.map_batches(
+            lambda b: pa.table({vec_col: b[vec_col]}),
+            batch_format="pyarrow", zero_copy_batch=True)
+        return ray.get(_local.remote(list(vecs.to_arrow_refs()), C))
 
     for _ in range(iters):
         ref = ray.put(C)

@@ -55,6 +55,12 @@ def test_parity_with_reference(ray_session):
                                 sample_size=len(items))
     C_ref = _reference_kmeans(X, 3, 6, 1e-4)
     assert np.allclose(C_dist, C_ref, atol=1e-9)
+    # forced per-iteration distributed loop (local_row_limit=0) must agree
+    # with both the fast path and the reference
+    C_loop = distributed_kmeans(ds, n_clusters=3, iters=6,
+                                sample_size=len(items), local_row_limit=0)
+    assert np.allclose(C_loop, C_ref, atol=1e-9)
+    assert np.allclose(C_loop, C_dist, atol=1e-9)
 
 
 def test_blob_recovery_and_assignment(ray_session):
