@@ -54,6 +54,7 @@ _EXPORTS = {
     "cms_build": ("janet_ray.stages.cms", "cms_build"),
     "cms_query": ("janet_ray.stages.cms", "cms_query"),
     "normalize_column": ("janet_ray.stages.textnorm", "normalize_column"),
+    "lookup_url": ("janet_ray.pipelines.checkpoint", "lookup_url"),
     "word_frequencies": ("janet_ray.stages.bpe", "word_frequencies"),
     "drop_empty_blocks": ("janet_ray.stages.joins", "drop_empty_blocks"),
     "row_deadline": ("janet_ray.functions.deadline", "row_deadline"),

@@ -323,3 +323,59 @@ def read_output(out_dir: str, *, global_dedupe: bool = True) -> "ray.data.Datase
         if {"url", "warc_ts", "route"} <= cols:
             ds = dedupe_last_wins(ds).sort("url")
     return ds
+
+
+def lookup_url(out_dir: str, url: str, *, columns: list[str] | None = None):
+    """Point lookup of one url from the partitioned output — the reference's
+    PK lookup (`getPdfById`, apps/web/lib/db.ts:28-53) served WITHOUT a
+    corpus scan: every partition file is written sorted by url, so parquet
+    row-group statistics identify the at-most-one matching row group per
+    file, and only those row groups are read (footer metadata is the only
+    per-file cost; a production deployment additionally records each file's
+    url range in the partition manifest at commit time to prune files
+    without opening footers). Duplicate urls across partitions resolve with
+    the EXACT `dedupe_last_wins` winner rule (warc_ts desc, route asc), so
+    the lookup always agrees with `read_output`'s deduped view.
+
+    Returns a pyarrow Table with exactly 1 row, or ``None`` when the url is
+    absent from the output."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    part_dirs = sorted(glob.glob(os.path.join(out_dir, "part-*")))
+    files = [f for d in part_dirs
+             for f in sorted(glob.glob(os.path.join(d, "*.parquet")))]
+    want = columns if columns is None else list(
+        dict.fromkeys(list(columns) + ["url", "warc_ts", "route"]))
+    parts = []
+    for f in files:
+        pf = pq.ParquetFile(f)
+        names = pf.schema_arrow.names
+        if "url" not in names:
+            continue
+        ci = None
+        md = pf.metadata
+        for i in range(md.num_columns):
+            if md.schema.column(i).name == "url":
+                ci = i
+                break
+        keep_rgs = []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics if ci is not None else None
+            if st is None or not st.has_min_max or (st.min <= url <= st.max):
+                keep_rgs.append(rg)
+        if not keep_rgs:
+            continue
+        t = pf.read_row_groups(keep_rgs, columns=want)
+        t = t.filter(pc.equal(t["url"], pa.scalar(url, pa.string())))
+        if t.num_rows:
+            parts.append(t)
+    if not parts:
+        return None
+    whole = pa.concat_tables(parts, promote_options="default")
+    idx = pc.sort_indices(whole, sort_keys=[("warc_ts", "descending"),
+                                            ("route", "ascending")])
+    winner = whole.take(idx[:1])
+    if columns is not None:
+        winner = winner.select(list(columns))
+    return winner

@@ -143,3 +143,28 @@ def test_torn_manifest_triggers_recompute(ray_session, corpus_pages, tmp_path):
     summary = run_partitioned(corpus_pages, out, num_partitions=2, batch_size=32)
     assert summary["complete"] == 2
     assert _final_table(out)["url"].is_unique
+
+
+def test_lookup_url_point_query(ray_session, tmp_path):
+    """lookup_url: row-group-pruned point lookup agrees with read_output's
+    deduped view for every url; absent url -> None; column projection."""
+    import pyarrow.compute as pc
+
+    from janet_ray.pipelines.checkpoint import (lookup_url, read_output,
+                                                run_partitioned)
+    from janet_ray.synth import ensure_pages_dir
+
+    corpus = ensure_pages_dir(200, root=str(tmp_path / "c"), shard_rows=50)
+    out = str(tmp_path / "out")
+    run_partitioned(f"{corpus}/pages", out, num_partitions=4)
+    view = read_output(out).to_pandas().set_index("url")
+
+    for url in list(view.index[:3]) + [view.index[-1]]:
+        got = lookup_url(out, url)
+        assert got is not None and got.num_rows == 1
+        assert got["url"][0].as_py() == url
+        assert got["text"][0].as_py() == view.loc[url, "text"]
+
+    assert lookup_url(out, "https://docs.example/d-9999999") is None
+    proj = lookup_url(out, view.index[0], columns=["url", "filename"])
+    assert proj.column_names == ["url", "filename"]
