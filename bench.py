@@ -189,6 +189,7 @@ def run_suite(sf_dir: str) -> dict[str, float]:
         "vocab_topk_cms": Q.q_vocab_topk_cms,
         "curation_v2": Q.q_curation_v2,
         "normalize_text": Q.q_normalize_text,
+        "canonical_urls": Q.q_canonical_urls,
     }
     out = {}
     for name, fn in suite.items():

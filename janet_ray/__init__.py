@@ -55,6 +55,8 @@ _EXPORTS = {
     "cms_query": ("janet_ray.stages.cms", "cms_query"),
     "normalize_column": ("janet_ray.stages.textnorm", "normalize_column"),
     "lookup_url": ("janet_ray.pipelines.checkpoint", "lookup_url"),
+    "canonicalize_urls": ("janet_ray.stages.urlnorm", "canonicalize_urls"),
+    "canonical_url": ("janet_ray.stages.urlnorm", "canonical_url"),
     "word_frequencies": ("janet_ray.stages.bpe", "word_frequencies"),
     "drop_empty_blocks": ("janet_ray.stages.joins", "drop_empty_blocks"),
     "row_deadline": ("janet_ray.functions.deadline", "row_deadline"),

@@ -949,6 +949,39 @@ def _normalize_text_sql() -> str:
     return normalize_sql(source=f"({inner}) AS g")
 
 
+def q_canonical_urls(sf_dir: str):
+    """Canonical URL normalization (stages/urlnorm.py): injected messy
+    spellings — uppercase scheme/host, default port, fragment, empty query,
+    all doc_id-derived with the same concatenation in the oracle — so every
+    chain step does real work; `changed` is true for every row by
+    construction."""
+    from janet_ray.stages.urlnorm import canonicalize_urls
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def inject(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch["doc_id"], pa.string())
+        mod = pc.cast(pa.array(
+            batch["doc_id"].to_numpy(zero_copy_only=False) % 7), pa.string())
+        url = pc.binary_join_element_wise(
+            "HTTP://Host", mod, ".Example.com:80/Doc/", ids, "?#sec", ids, "")
+        return pa.table({"doc_id": batch["doc_id"], "url": url})
+
+    return canonicalize_urls(ds.map_batches(inject, batch_format="pyarrow",
+                                            zero_copy_batch=True))
+
+
+def _canonical_urls_sql() -> str:
+    from janet_ray.stages.urlnorm import canonical_url_sql
+
+    inner = ("SELECT doc_id, 'HTTP://Host' || CAST(doc_id % 7 AS VARCHAR) || "
+             "'.Example.com:80/Doc/' || CAST(doc_id AS VARCHAR) || "
+             "'?#sec' || CAST(doc_id AS VARCHAR) AS url FROM documents")
+    return (f"SELECT doc_id, url, {canonical_url_sql('url')} AS url_canon, "
+            f"{canonical_url_sql('url')} != url AS changed "
+            f"FROM ({inner}) AS g")
+
+
 def q_curation_v2(sf_dir: str):
     """Composed corpus-curation flow exercising the round-3 additions end to
     end in ONE lazy chain, COMPOSITION oracle-checked (the training_manifest
@@ -2405,6 +2438,7 @@ def build_queries() -> dict:
         "vocab_topk_cms": q_vocab_topk_cms,
         "curation_v2": q_curation_v2,
         "normalize_text": q_normalize_text,
+        "canonical_urls": q_canonical_urls,
     }
 
 
@@ -2478,4 +2512,5 @@ def build_oracles() -> dict[str, str]:
         "quality_classifier": _quality_classifier_sql(),
         "curation_v2": _curation_v2_sql(),
         "normalize_text": _normalize_text_sql(),
+        "canonical_urls": _canonical_urls_sql(),
     }
