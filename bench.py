@@ -178,6 +178,7 @@ def run_suite(sf_dir: str) -> dict[str, float]:
         "extract_links": Q.q_extract_links,
         "page_link_counts": Q.q_page_link_counts,
         "link_pagerank": Q.q_link_pagerank,
+        "link_hits": Q.q_link_hits,
         "anchor_corpus": Q.q_anchor_corpus,
         "crawl_frontier": Q.q_crawl_frontier,
         "host_stats": Q.q_host_stats,

@@ -40,6 +40,7 @@ _EXPORTS = {
     "kmeans_assign": ("janet_ray.stages.cluster", "kmeans_assign"),
     "extract_links": ("janet_ray.stages.links", "extract_links"),
     "pagerank": ("janet_ray.stages.graph", "pagerank"),
+    "hits": ("janet_ray.stages.graph", "hits"),
     "anchor_corpus": ("janet_ray.stages.links", "anchor_corpus"),
     "anti_join_values": ("janet_ray.stages.frontier", "anti_join_values"),
     "crawl_frontier": ("janet_ray.stages.frontier", "crawl_frontier"),

@@ -696,6 +696,32 @@ FROM documents
 """
 
 
+def q_link_hits(sf_dir: str):
+    """HITS hubs/authorities over the same extracted link graph as
+    link_pagerank (stages/graph.py hits): in this corpus every doc page is a
+    pure hub and every /lNNN target a pure authority — both directions of
+    the score are exercised. Rows-only by declaration; exact parity with a
+    single-process reference is pinned in tests/test_graph.py."""
+    from janet_ray.stages.graph import hits
+    from janet_ray.stages.links import extract_links
+
+    pages = _docs(sf_dir).map_batches(docsrc.html_pages_batch,
+                                      batch_format="pyarrow",
+                                      zero_copy_batch=True)
+    links = extract_links(pages, html_col="html", id_col="url")
+
+    def edges(batch: pa.Table) -> pa.Table:
+        src = pc.cast(pc.utf8_slice_codeunits(
+            batch["url"], 23, 30), pa.int64())
+        dst = pc.add(pc.cast(pc.utf8_slice_codeunits(
+            batch["href"], 2, 99), pa.int64()), 10_000_000)
+        return pa.table({"src": src, "dst": dst})
+
+    return hits(links.map_batches(edges, batch_format="pyarrow",
+                                  zero_copy_batch=True), iters=4,
+                n_parts=16).sort("node")
+
+
 def q_anchor_corpus(sf_dir: str):
     """Per-target anchor-text aggregation (stages/links.py anchor_corpus):
     injected deterministic links with REPEATED targets (25 internal + 13
@@ -2427,6 +2453,7 @@ def build_queries() -> dict:
         "extract_links": q_extract_links,
         "page_link_counts": q_page_link_counts,
         "link_pagerank": q_link_pagerank,
+        "link_hits": q_link_hits,
         "anchor_corpus": q_anchor_corpus,
         "crawl_frontier": q_crawl_frontier,
         "host_stats": q_host_stats,

@@ -293,3 +293,243 @@ def pagerank(edges, *, src_col: str = "src", dst_col: str = "dst",
                  p, n_nodes=nn, dangling_mass=dm, damping=d),
                  batch_format="pyarrow")), n_parts)
     return ranks
+
+
+# ------------------------------------------------------------------- HITS
+
+def _hits_local(src: np.ndarray, dst: np.ndarray, *, iters: int) -> pa.Table:
+    """Kleinberg HITS over one in-memory edge array: a = Σ_in h, h = Σ_out a,
+    both L2-normalized each iteration (ranks init 1)."""
+    nodes = np.unique(np.concatenate([src, dst]))
+    n = len(nodes)
+    if n == 0:
+        return pa.table({"node": pa.array([], pa.int64()),
+                         "hub": pa.array([], pa.float64()),
+                         "authority": pa.array([], pa.float64())})
+    s = np.searchsorted(nodes, src)
+    d = np.searchsorted(nodes, dst)
+    h = np.ones(n)
+    a = np.ones(n)
+    for _ in range(iters):
+        a = np.bincount(d, weights=h[s], minlength=n)
+        na = np.linalg.norm(a)
+        a = a / na if na else a
+        h = np.bincount(s, weights=a[d], minlength=n)
+        nh = np.linalg.norm(h)
+        h = h / nh if nh else h
+    return pa.table({"node": pa.array(nodes.astype(np.int64)),
+                     "hub": pa.array(h), "authority": pa.array(a)})
+
+
+def hits(edges, *, src_col: str = "src", dst_col: str = "dst",
+         iters: int = 5, n_parts: int = _N_PARTS,
+         local_edge_limit: int = 5_000_000):
+    """(node, hub, authority) after ``iters`` HITS iterations — the other
+    classic link-analysis scoring (Kleinberg 1999; spam/seed detection uses
+    both directions where PageRank gives one). Same pinned semantics as the
+    single-process reference in tests/test_graph.py.
+
+    Scale shape mirrors ``pagerank``: scale-adaptive single-worker fast path
+    under ``local_edge_limit``; above it, each iteration is TWO
+    cogroup-via-union shuffles of narrow rows (scores ∪ edges on the source
+    side emits per-edge authority contributions keyed by dst; the mirrored
+    pass emits hub contributions keyed by src) plus one O(blocks) driver
+    fold for each L2 norm. Block-count discipline via ``_bounded``."""
+    import ray
+
+    def to_pairs(batch: pa.Table) -> pa.Table:
+        return pa.table({"src": batch[src_col], "dst": batch[dst_col]})
+
+    pairs = _bounded(edges.map_batches(to_pairs, batch_format="pyarrow",
+                                       zero_copy_batch=True), n_parts)
+
+    if pairs.count() <= local_edge_limit:
+        @ray.remote
+        def _local(refs):
+            tbls = [t for t in ray.get(refs) if t.num_rows]
+            if not tbls:
+                return pa.table({"node": pa.array([], pa.int64()),
+                                 "hub": pa.array([], pa.float64()),
+                                 "authority": pa.array([], pa.float64())})
+            whole = pa.concat_tables(tbls, promote_options="default")
+            return _hits_local(
+                whole["src"].to_numpy(zero_copy_only=False).astype(np.int64),
+                whole["dst"].to_numpy(zero_copy_only=False).astype(np.int64),
+                iters=iters)
+
+        import ray.data
+
+        return ray.data.from_arrow(
+            ray.get(_local.remote(list(pairs.to_arrow_refs()))))
+
+    # distributed path: one materialized edge table per direction, narrow
+    # (part, key, other, w) rows; per iteration one shuffle per direction
+    def tag_dir(key_col: str, other_col: str):
+        def f(batch: pa.Table) -> pa.Table:
+            k = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            o = batch[other_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({
+                "part": pa.array((k % n_parts).astype(np.int32)),
+                "key": pa.array(k),
+                "other": pa.array(o),
+                "w": pa.array(np.full(len(k), np.nan)),
+            })
+
+        return f
+
+    by_src = _bounded(pairs.map_batches(tag_dir("src", "dst"),
+                                        batch_format="pyarrow",
+                                        zero_copy_batch=True), n_parts)
+    by_dst = _bounded(pairs.map_batches(tag_dir("dst", "src"),
+                                        batch_format="pyarrow",
+                                        zero_copy_batch=True), n_parts)
+
+    def node_scores(score_ds):
+        """score rows (node, val) → tagged (part, key=node, other=-1, w=val)"""
+        def f(batch: pa.Table) -> pa.Table:
+            k = batch["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({
+                "part": pa.array((k % n_parts).astype(np.int32)),
+                "key": pa.array(k),
+                "other": pa.array(np.full(len(k), -1, dtype=np.int64)),
+                "w": batch["val"],
+            })
+
+        return score_ds.map_batches(f, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+
+    def spread(part: pa.Table) -> pa.Table:
+        """Per key-partition: each key's score × its edge fan-out →
+        (node=other, val=score) contribution rows."""
+        empty = pa.table({"node": pa.array([], pa.int64()),
+                          "val": pa.array([], pa.float64())})
+        if part.num_rows == 0 or "key" not in part.column_names:
+            return empty
+        k = part["key"].to_numpy(zero_copy_only=False)
+        o = part["other"].to_numpy(zero_copy_only=False)
+        w = part["w"].to_numpy(zero_copy_only=False)
+        is_score = o == -1
+        order = np.argsort(k, kind="stable")
+        k, o, w, is_score = k[order], o[order], w[order], is_score[order]
+        # map each row's key to its score (scores may be absent for keys with
+        # no surviving mass — contribute 0)
+        sk = k[is_score]
+        sv = w[is_score]
+        ek, eo = k[~is_score], o[~is_score]
+        pos = np.searchsorted(sk, ek)
+        ok = (pos < len(sk))
+        pos = np.clip(pos, 0, max(len(sk) - 1, 0))
+        vals = np.where(ok & (sk[pos] == ek) if len(sk) else np.zeros(len(ek), bool),
+                        sv[pos] if len(sk) else 0.0, 0.0)
+        keep = vals != 0.0
+        return pa.table({"node": pa.array(eo[keep]),
+                         "val": pa.array(vals[keep])})
+
+    def group_sum(part: pa.Table) -> pa.Table:
+        empty = pa.table({"node": pa.array([], pa.int64()),
+                          "val": pa.array([], pa.float64())})
+        if part.num_rows == 0 or "node" not in part.column_names:
+            return empty
+        agg = (part.select(["node", "val"]).group_by("node")
+               .aggregate([("val", "sum")]))
+        return pa.table({"node": agg["node"], "val": agg["val_sum"]})
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        n = batch["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"part": pa.array((n % n_parts).astype(np.int32)),
+                         "node": batch["node"], "val": batch["val"]})
+
+    def l2_normalize(score_ds):
+        parts_sq = score_ds.map_batches(
+            lambda b: pa.table({"ss": pa.array([float(
+                np.square(b["val"].to_numpy(zero_copy_only=False)).sum())])}),
+            batch_format="pyarrow", zero_copy_batch=True).take_all()
+        norm = float(np.sqrt(sum(r["ss"] for r in parts_sq))) or 1.0
+        return score_ds.map_batches(
+            lambda b: pa.table({"node": b["node"],
+                                "val": pa.array(
+                                    b["val"].to_numpy(zero_copy_only=False)
+                                    / norm)}),
+            batch_format="pyarrow", zero_copy_batch=True)
+
+    def nodes_init():
+        def f(batch: pa.Table) -> pa.Table:
+            ns = np.unique(np.concatenate([
+                batch["src"].to_numpy(zero_copy_only=False).astype(np.int64),
+                batch["dst"].to_numpy(zero_copy_only=False).astype(np.int64)]))
+            return pa.table({"part": pa.array((ns % n_parts).astype(np.int32)),
+                             "node": pa.array(ns)})
+
+        def distinct(part: pa.Table) -> pa.Table:
+            if part.num_rows == 0 or "node" not in part.column_names:
+                return pa.table({"node": pa.array([], pa.int64()),
+                                 "val": pa.array([], pa.float64())})
+            ns = np.unique(part["node"].to_numpy(zero_copy_only=False))
+            return pa.table({"node": pa.array(ns),
+                             "val": pa.array(np.ones(len(ns)))})
+
+        return (pairs.map_batches(f, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+                .groupby("part").map_groups(distinct, batch_format="pyarrow")
+                .materialize())
+
+    h = nodes_init()
+    a = h
+    for _ in range(iters):
+        a = _bounded((node_scores(h).union(by_src)
+                      .groupby("part").map_groups(spread,
+                                                  batch_format="pyarrow")
+                      .map_batches(add_part, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+                      .groupby("part").map_groups(group_sum,
+                                                  batch_format="pyarrow")),
+                     n_parts)
+        a = _bounded(l2_normalize(a), n_parts)
+        h = _bounded((node_scores(a).union(by_dst)
+                      .groupby("part").map_groups(spread,
+                                                  batch_format="pyarrow")
+                      .map_batches(add_part, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+                      .groupby("part").map_groups(group_sum,
+                                                  batch_format="pyarrow")),
+                     n_parts)
+        h = _bounded(l2_normalize(h), n_parts)
+
+    # join h and a on node via one more coarse cogroup (nodes with zero
+    # score in one direction get 0.0 there)
+    def tag_score(tag: float):
+        def f(batch: pa.Table) -> pa.Table:
+            n = batch["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({
+                "part": pa.array((n % n_parts).astype(np.int32)),
+                "node": batch["node"], "val": batch["val"],
+                "t": pa.array(np.full(len(n), tag, dtype=np.int8)),
+            })
+
+        return f
+
+    def zip_scores(part: pa.Table) -> pa.Table:
+        empty = pa.table({"node": pa.array([], pa.int64()),
+                          "hub": pa.array([], pa.float64()),
+                          "authority": pa.array([], pa.float64())})
+        if part.num_rows == 0 or "t" not in part.column_names:
+            return empty
+        n = part["node"].to_numpy(zero_copy_only=False)
+        v = part["val"].to_numpy(zero_copy_only=False)
+        t = part["t"].to_numpy(zero_copy_only=False)
+        nodes = np.unique(n)
+        hub = np.zeros(len(nodes))
+        auth = np.zeros(len(nodes))
+        pos = np.searchsorted(nodes, n)
+        np.add.at(hub, pos[t == 0], v[t == 0])
+        np.add.at(auth, pos[t == 1], v[t == 1])
+        return pa.table({"node": pa.array(nodes),
+                         "hub": pa.array(hub),
+                         "authority": pa.array(auth)})
+
+    tagged = (h.map_batches(tag_score(0), batch_format="pyarrow",
+                            zero_copy_batch=True)
+              .union(a.map_batches(tag_score(1), batch_format="pyarrow",
+                                   zero_copy_batch=True)))
+    return tagged.groupby("part").map_groups(zip_scores,
+                                             batch_format="pyarrow")

@@ -89,3 +89,70 @@ def test_distributed_path_parity(ray_session):
     want = _reference_pagerank(edges, 3)
     assert got.keys() == want.keys()
     assert max(abs(got[k] - want[k]) for k in want) < 1e-9
+
+
+def _reference_hits(edges, iters):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    h = np.ones(n)
+    a = np.ones(n)
+    for _ in range(iters):
+        a = np.zeros(n)
+        for u, v in edges:
+            a[idx[v]] += h[idx[u]]
+        a /= (np.linalg.norm(a) or 1.0)
+        h = np.zeros(n)
+        for u, v in edges:
+            h[idx[u]] += a[idx[v]]
+        h /= (np.linalg.norm(h) or 1.0)
+    return {node: (h[idx[node]], a[idx[node]]) for node in nodes}
+
+
+def _run_hits(ray, edges, iters=5, **kw):
+    from janet_ray.stages.graph import hits
+
+    ds = ray.data.from_items([{"src": u, "dst": v} for u, v in edges])
+    out = hits(ds, iters=iters, **kw).to_pandas()
+    return {r.node: (r.hub, r.authority) for r in out.itertuples()}
+
+
+def test_hits_local_parity(ray_session):
+    import ray
+
+    rng = np.random.RandomState(5)
+    edges = list({(int(rng.randint(40)), int(rng.randint(40)))
+                  for _ in range(200)})
+    got = _run_hits(ray, edges, iters=4)
+    want = _reference_hits(edges, 4)
+    assert got.keys() == want.keys()
+    for k in want:
+        assert abs(got[k][0] - want[k][0]) < 1e-9
+        assert abs(got[k][1] - want[k][1]) < 1e-9
+
+
+def test_hits_distributed_parity(ray_session):
+    import ray
+
+    rng = np.random.RandomState(9)
+    edges = list({(int(rng.randint(25)), int(rng.randint(25)))
+                  for _ in range(100)})
+    got = _run_hits(ray, edges, iters=3, n_parts=4, local_edge_limit=0)
+    want = _reference_hits(edges, 3)
+    assert got.keys() == want.keys()
+    for k in want:
+        assert abs(got[k][0] - want[k][0]) < 1e-9
+        assert abs(got[k][1] - want[k][1]) < 1e-9
+
+
+def test_hits_star_semantics(ray_session):
+    import ray
+
+    # all spokes point at the hub: hub node is the pure AUTHORITY,
+    # spokes are the pure hubs
+    edges = [(i, 100) for i in range(1, 10)]
+    got = _run_hits(ray, edges, iters=5)
+    assert got[100][1] == max(v[1] for v in got.values())  # top authority
+    assert got[100][0] == 0.0                              # no out-links
+    for i in range(1, 10):
+        assert got[i][1] == 0.0
