@@ -183,6 +183,7 @@ def run_suite(sf_dir: str) -> dict[str, float]:
         "crawl_frontier": Q.q_crawl_frontier,
         "host_stats": Q.q_host_stats,
         "bpe_merges": Q.q_bpe_merges,
+        "duplicate_spans": Q.q_duplicate_spans,
         "paragraph_dedup": Q.q_paragraph_dedup,
         "quality_classifier": Q.q_quality_classifier,
         "events_distinct_users_hll": Q.q_events_distinct_users_hll,

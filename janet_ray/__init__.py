@@ -58,6 +58,7 @@ _EXPORTS = {
     "lookup_url": ("janet_ray.pipelines.checkpoint", "lookup_url"),
     "canonicalize_urls": ("janet_ray.stages.urlnorm", "canonicalize_urls"),
     "canonical_url": ("janet_ray.stages.urlnorm", "canonical_url"),
+    "shared_token_spans": ("janet_ray.stages.spans", "shared_token_spans"),
     "word_frequencies": ("janet_ray.stages.bpe", "word_frequencies"),
     "drop_empty_blocks": ("janet_ray.stages.joins", "drop_empty_blocks"),
     "row_deadline": ("janet_ray.functions.deadline", "row_deadline"),

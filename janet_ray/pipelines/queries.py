@@ -1052,6 +1052,24 @@ def _curation_v2_sql() -> str:
                                 source=f"({clf}) AS sc")
 
 
+def q_duplicate_spans(sf_dir: str):
+    """Substring-level dedup (stages/spans.py, the Lee et al. 2021
+    granularity): candidates from the exact n-gram Jaccard chain (winnowing
+    at w=1 — its coverage guarantee makes span recall exact for runs ≥
+    min_len), then per-pair maximal shared token runs ≥ 7 via the
+    vectorized diagonal-run kernel. Rows-only by declaration (maximal-run
+    extraction has no relational form); the kernel is pinned against a
+    brute-force reference in tests/test_spans.py."""
+    from janet_ray.stages.spans import shared_token_spans
+    from janet_ray.stages.winnow import winnow_neardup_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = winnow_neardup_pairs(ds, k=3, w=1, threshold=0.5)
+    return shared_token_spans(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]), pairs,
+        min_len=7)
+
+
 def q_bpe_merges(sf_dir: str):
     """Distributed BPE tokenizer training (stages/bpe.py): one corpus pass
     folds DISTINCT (word, freq) with combiner partials; each of the 20 merge
@@ -2458,6 +2476,7 @@ def build_queries() -> dict:
         "crawl_frontier": q_crawl_frontier,
         "host_stats": q_host_stats,
         "bpe_merges": q_bpe_merges,
+        "duplicate_spans": q_duplicate_spans,
         "paragraph_dedup": q_paragraph_dedup,
         "quality_classifier": q_quality_classifier,
         "events_distinct_users_hll": q_events_distinct_users_hll,

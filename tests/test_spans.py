@@ -1,0 +1,73 @@
+"""Exact shared token spans (stages/spans.py): maximal-run kernel vs a
+brute-force reference, coverage via winnow candidates, broadcast guard."""
+
+import numpy as np
+import pytest
+
+from janet_ray.stages.spans import maximal_shared_runs, shared_token_spans
+
+
+def _brute_force(a, b, min_len):
+    out = []
+    for i in range(len(a)):
+        for j in range(len(b)):
+            # run starting at (i, j) that is NOT a continuation
+            if a[i] != b[j]:
+                continue
+            if i > 0 and j > 0 and a[i - 1] == b[j - 1]:
+                continue
+            ln = 0
+            while i + ln < len(a) and j + ln < len(b) and a[i + ln] == b[j + ln]:
+                ln += 1
+            if ln >= min_len:
+                out.append((i, j, ln))
+    return sorted(out)
+
+
+def test_kernel_matches_brute_force_random():
+    rng = np.random.RandomState(3)
+    for _ in range(25):
+        a = [f"t{x}" for x in rng.randint(0, 6, rng.randint(1, 40))]
+        b = [f"t{x}" for x in rng.randint(0, 6, rng.randint(1, 40))]
+        for min_len in (1, 2, 3):
+            assert maximal_shared_runs(a, b, min_len) == \
+                _brute_force(a, b, min_len)
+
+
+def test_kernel_edges():
+    assert maximal_shared_runs([], ["x"], 1) == []
+    assert maximal_shared_runs(["x"], ["x"], 1) == [(0, 0, 1)]
+    assert maximal_shared_runs(["x"], ["x"], 2) == []
+    # repeated content: every diagonal alignment is a distinct maximal run
+    assert maximal_shared_runs(["a", "a"], ["a", "a"], 1) == \
+        [(0, 0, 2), (0, 1, 1), (1, 0, 1)]
+
+
+def test_end_to_end_with_winnow_candidates(ray_session):
+    import ray
+
+    from janet_ray.stages.winnow import winnow_neardup_pairs
+
+    shared = "common run of nine identical tokens right here now"
+    rows = [
+        {"doc_id": 1, "text": f"alpha beta {shared} tail one"},
+        {"doc_id": 2, "text": f"{shared} completely different ending words"},
+        {"doc_id": 3, "text": "nothing in common with the others at all"},
+    ]
+    ds = ray.data.from_items(rows)
+    pairs = winnow_neardup_pairs(ds, k=3, w=1, threshold=0.2)
+    out = shared_token_spans(ds, pairs, min_len=7).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r.id_a, r.id_b) == (1, 2)
+    assert r.length == 9          # the shared run's token count
+    assert r.a_start == 2 and r.b_start == 0
+
+
+def test_broadcast_guard(ray_session):
+    import ray
+
+    ds = ray.data.from_items([{"doc_id": 1, "text": "x"}])
+    pairs = ray.data.from_items([{"id_a": 1, "id_b": 2}])
+    with pytest.raises(ValueError, match="broadcast_limit"):
+        shared_token_spans(ds, pairs, broadcast_limit=1)
