@@ -184,6 +184,7 @@ def run_suite(sf_dir: str) -> dict[str, float]:
         "host_stats": Q.q_host_stats,
         "bpe_merges": Q.q_bpe_merges,
         "duplicate_spans": Q.q_duplicate_spans,
+        "substring_dedup": Q.q_substring_dedup,
         "paragraph_dedup": Q.q_paragraph_dedup,
         "quality_classifier": Q.q_quality_classifier,
         "events_distinct_users_hll": Q.q_events_distinct_users_hll,

@@ -59,6 +59,7 @@ _EXPORTS = {
     "canonicalize_urls": ("janet_ray.stages.urlnorm", "canonicalize_urls"),
     "canonical_url": ("janet_ray.stages.urlnorm", "canonical_url"),
     "shared_token_spans": ("janet_ray.stages.spans", "shared_token_spans"),
+    "cut_duplicate_spans": ("janet_ray.stages.spans", "cut_duplicate_spans"),
     "word_frequencies": ("janet_ray.stages.bpe", "word_frequencies"),
     "drop_empty_blocks": ("janet_ray.stages.joins", "drop_empty_blocks"),
     "row_deadline": ("janet_ray.functions.deadline", "row_deadline"),

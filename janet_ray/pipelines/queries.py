@@ -1070,6 +1070,25 @@ def q_duplicate_spans(sf_dir: str):
         min_len=7)
 
 
+def q_substring_dedup(sf_dir: str):
+    """Composed substring-level dedup END TO END (Lee et al. 2021 flow):
+    winnow candidates → exact maximal shared spans → cut rule (lower doc_id
+    keeps; the higher doc's tokens are removed, overlaps merged). Rows-only
+    by declaration; every kernel is reference-pinned in tests/test_spans.py
+    and the cut rule's keep-the-minimum-doc consistency is by construction
+    (each pair cuts only its higher side)."""
+    from janet_ray.stages.spans import cut_duplicate_spans, shared_token_spans
+    from janet_ray.stages.winnow import winnow_neardup_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = winnow_neardup_pairs(ds, k=3, w=1, threshold=0.5)
+    spans = shared_token_spans(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]), pairs,
+        min_len=7)
+    return cut_duplicate_spans(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]), spans)
+
+
 def q_bpe_merges(sf_dir: str):
     """Distributed BPE tokenizer training (stages/bpe.py): one corpus pass
     folds DISTINCT (word, freq) with combiner partials; each of the 20 merge
@@ -2477,6 +2496,7 @@ def build_queries() -> dict:
         "host_stats": q_host_stats,
         "bpe_merges": q_bpe_merges,
         "duplicate_spans": q_duplicate_spans,
+        "substring_dedup": q_substring_dedup,
         "paragraph_dedup": q_paragraph_dedup,
         "quality_classifier": q_quality_classifier,
         "events_distinct_users_hll": q_events_distinct_users_hll,

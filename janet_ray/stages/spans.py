@@ -138,3 +138,88 @@ def shared_token_spans(ds, pairs, *, text_col: str = "text",
 
     return pairs.map_batches(extract, batch_format="pyarrow",
                              zero_copy_batch=True)
+
+
+def _merge_intervals(starts: np.ndarray, ends: np.ndarray
+                     ) -> list[tuple[int, int]]:
+    """Union of [start, end) token intervals (vectorized sort + sweep)."""
+    if len(starts) == 0:
+        return []
+    order = np.argsort(starts, kind="stable")
+    s, e = starts[order], ends[order]
+    out = [(int(s[0]), int(e[0]))]
+    for i in range(1, len(s)):
+        if s[i] <= out[-1][1]:
+            out[-1] = (out[-1][0], max(out[-1][1], int(e[i])))
+        else:
+            out.append((int(s[i]), int(e[i])))
+    return out
+
+
+def cut_duplicate_spans(ds, spans, *, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        broadcast_limit: int = 5_000_000):
+    """The APPLY side of substring-level dedup (Lee et al. 2021 cut rule,
+    pinned): for every shared span, the occurrence in the LOWER doc_id is
+    kept and the higher doc's tokens [b_start, b_start+length) are cut;
+    overlapping cuts within a doc merge to their union; surviving tokens
+    re-join with single spaces (the engine tokenizer is lossy about
+    original whitespace — the cut output is a TOKEN product, exactly like
+    the reference pipeline's deduplicated training text).
+
+    Returns (doc_id, text, n_tokens_removed). Shape mirrors
+    paradedup's apply: the span rows (already ∝ duplicate rate) broadcast
+    once below ``broadcast_limit``; the corpus streams through one
+    stateless map and never shuffles."""
+    import ray
+
+    cut_rows = {"doc": [], "start": [], "end": []}
+    n_cuts = 0
+    for b in spans.iter_batches(batch_size=None, batch_format="pyarrow"):
+        if not b.num_rows:
+            continue
+        cut_rows["doc"].extend(b["id_b"].to_pylist())
+        st = b["b_start"].to_numpy(zero_copy_only=False)
+        cut_rows["start"].extend(st.tolist())
+        cut_rows["end"].extend(
+            (st + b["length"].to_numpy(zero_copy_only=False)).tolist())
+        n_cuts += b.num_rows
+    if n_cuts > broadcast_limit:
+        raise ValueError(
+            f"{n_cuts} cut intervals exceed broadcast_limit; pre-aggregate "
+            "the span set (higher min_len / threshold) before applying")
+    doc_a = np.asarray(cut_rows["doc"], dtype=np.int64)
+    st_a = np.asarray(cut_rows["start"], dtype=np.int64)
+    en_a = np.asarray(cut_rows["end"], dtype=np.int64)
+    order = np.lexsort((st_a, doc_a))
+    ref = ray.put({"doc": doc_a[order], "start": st_a[order],
+                   "end": en_a[order]})
+
+    def apply(batch: pa.Table) -> pa.Table:
+        cuts = ray.get(ref)
+        ids = batch[id_col].to_pylist()
+        texts = batch[text_col].to_pylist()
+        out_t, out_n = [], []
+        for i, t in zip(ids, texts):
+            lo = np.searchsorted(cuts["doc"], i, "left")
+            hi = np.searchsorted(cuts["doc"], i, "right")
+            if lo == hi:
+                out_t.append(" ".join(_tokens(t)))
+                out_n.append(0)
+                continue
+            toks = _tokens(t)
+            ivs = _merge_intervals(cuts["start"][lo:hi], cuts["end"][lo:hi])
+            keep = np.ones(len(toks), dtype=bool)
+            for s, e in ivs:
+                keep[s:min(e, len(toks))] = False
+            kept = [tk for tk, k in zip(toks, keep) if k]
+            out_t.append(" ".join(kept))
+            out_n.append(int((~keep).sum()))
+        return pa.table({
+            id_col: batch[id_col],
+            text_col: pa.array(out_t, pa.string()),
+            "n_tokens_removed": pa.array(out_n, pa.int64()),
+        })
+
+    return ds.map_batches(apply, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -71,3 +71,47 @@ def test_broadcast_guard(ray_session):
     pairs = ray.data.from_items([{"id_a": 1, "id_b": 2}])
     with pytest.raises(ValueError, match="broadcast_limit"):
         shared_token_spans(ds, pairs, broadcast_limit=1)
+
+
+def test_cut_duplicate_spans(ray_session):
+    import ray
+
+    from janet_ray.stages.spans import cut_duplicate_spans
+    from janet_ray.stages.winnow import winnow_neardup_pairs
+
+    shared = "one two three four five six seven eight nine"
+    rows = [
+        {"doc_id": 1, "text": f"keep {shared} alpha"},
+        {"doc_id": 2, "text": f"{shared} bravo charlie delta echo fox"},
+        {"doc_id": 3, "text": "totally unrelated text with no duplicates"},
+    ]
+    ds = ray.data.from_items(rows)
+    pairs = winnow_neardup_pairs(ds, k=3, w=1, threshold=0.2)
+    spans = shared_token_spans(ds, pairs, min_len=7)
+    out = (cut_duplicate_spans(ray.data.from_items(rows), spans)
+           .to_pandas().set_index("doc_id"))
+    # lower doc keeps the span; higher doc loses exactly its 9 tokens
+    assert out.loc[1, "text"] == f"keep {shared} alpha"
+    assert out.loc[1, "n_tokens_removed"] == 0
+    assert out.loc[2, "text"] == "bravo charlie delta echo fox"
+    assert out.loc[2, "n_tokens_removed"] == 9
+    # untouched docs round-trip (token join — text had single spaces already)
+    assert out.loc[3, "text"] == rows[2]["text"]
+    assert out.loc[3, "n_tokens_removed"] == 0
+
+
+def test_cut_merges_overlapping_intervals(ray_session):
+    import ray
+
+    from janet_ray.stages.spans import cut_duplicate_spans
+
+    # two overlapping cut intervals on doc 5: [1, 5) and [3, 7) -> union [1, 7)
+    spans = ray.data.from_items([
+        {"id_a": 1, "id_b": 5, "a_start": 0, "b_start": 1, "length": 4},
+        {"id_a": 2, "id_b": 5, "a_start": 0, "b_start": 3, "length": 4},
+    ])
+    docs = ray.data.from_items(
+        [{"doc_id": 5, "text": "t0 t1 t2 t3 t4 t5 t6 t7"}])
+    out = cut_duplicate_spans(docs, spans).to_pandas().iloc[0]
+    assert out["text"] == "t0 t7"
+    assert out["n_tokens_removed"] == 6
