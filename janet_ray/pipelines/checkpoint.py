@@ -197,11 +197,29 @@ def run_partitioned(
 
             n_rows = n_success = bytes_out = 0
             routes: dict[str, int] = {}
+            url_ranges: dict[str, list] = {}
             for f in sorted(glob.glob(os.path.join(mf.partition_dir(out_dir, pid), "*.parquet"))):
                 pf = pq.ParquetFile(f)
                 have = set(pf.schema_arrow.names)
                 n_rows += pf.metadata.num_rows
                 bytes_out += os.path.getsize(f)
+                if "url" in have and pf.metadata.num_rows:
+                    # file url range from footer stats (commit-time, so a
+                    # point lookup can prune files without opening footers)
+                    md = pf.metadata
+                    ci = next((i for i in range(md.num_columns)
+                               if md.schema.column(i).name == "url"), None)
+                    mins, maxs = [], []
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(ci).statistics
+                        if st is None or not st.has_min_max:
+                            mins, maxs = [], []
+                            break
+                        mins.append(st.min)
+                        maxs.append(st.max)
+                    if mins:
+                        url_ranges[os.path.basename(f)] = [min(mins),
+                                                           max(maxs)]
                 # route/success metrics only exist for the extraction pipeline;
                 # custom pipelines still get rows/bytes/time lineage
                 cols = [c for c in ("success", "route") if c in have]
@@ -215,6 +233,7 @@ def run_partitioned(
             m.status, m.n_rows, m.n_success, m.routes, m.bytes_out = (
                 "complete", n_rows, n_success, routes, bytes_out,
             )
+            m.url_ranges = url_ranges
             try:  # per-partition execution stats → lineage (best effort)
                 m.exec_stats = out.stats()[:4000]
             except Exception:
@@ -345,6 +364,29 @@ def lookup_url(out_dir: str, url: str, *, columns: list[str] | None = None):
     part_dirs = sorted(glob.glob(os.path.join(out_dir, "part-*")))
     files = [f for d in part_dirs
              for f in sorted(glob.glob(os.path.join(d, "*.parquet")))]
+    # manifest url-range pruning: commit-time footer stats recorded per file
+    # (mf.PartitionManifest.url_ranges) let us skip files without opening
+    # their footers — the O(1)-footers path; files not covered by any
+    # manifest range (older runs, custom pipelines) stay in the scan list
+    # and use the per-file footer fallback below.
+    ranged: dict[str, list] = {}
+    for mp in sorted(glob.glob(os.path.join(mf.manifest_dir(out_dir),
+                                            "part-*.json"))):
+        pid = int(os.path.basename(mp)[5:-5])
+        m = mf.load_manifest(out_dir, pid)
+        if m and getattr(m, "url_ranges", None):
+            pdir = os.path.basename(mf.partition_dir(out_dir, pid))
+            for base, rng in m.url_ranges.items():
+                ranged[os.path.join(pdir, base)] = rng
+
+    def _rel(f: str) -> str:
+        return os.path.join(os.path.basename(os.path.dirname(f)),
+                            os.path.basename(f))
+
+    if ranged:
+        files = [f for f in files
+                 if _rel(f) not in ranged
+                 or ranged[_rel(f)][0] <= url <= ranged[_rel(f)][1]]
     want = columns if columns is None else list(
         dict.fromkeys(list(columns) + ["url", "warc_ts", "route"]))
     parts = []

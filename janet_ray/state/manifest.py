@@ -42,6 +42,13 @@ class PartitionManifest:
     # truncated Ray Data stats for the partition's execution (observability;
     # optional so manifests from older runs still load)
     exec_stats: str = ""
+    # per-output-file url range {basename: [min, max]} recorded at commit
+    # time from parquet footer statistics — lets a point lookup
+    # (checkpoint.lookup_url) prune files WITHOUT opening their footers
+    # (O(1) footer reads at many-thousand-partition scale). Optional:
+    # manifests from older runs load with {} and lookups fall back to
+    # per-file footer pruning.
+    url_ranges: dict = field(default_factory=dict)
 
 
 def manifest_dir(out_dir: str) -> str:

@@ -168,3 +168,36 @@ def test_lookup_url_point_query(ray_session, tmp_path):
     assert lookup_url(out, "https://docs.example/d-9999999") is None
     proj = lookup_url(out, view.index[0], columns=["url", "filename"])
     assert proj.column_names == ["url", "filename"]
+
+
+def test_lookup_url_manifest_range_pruning(ray_session, tmp_path):
+    """Commit-time url ranges land in the partition manifests and the point
+    lookup prunes to the files whose range covers the url (the O(1)-footers
+    path); results stay identical to the footer-fallback path."""
+    from janet_ray.pipelines import checkpoint as cp
+    from janet_ray.state import manifest as mf
+    from janet_ray.synth import ensure_pages_dir
+
+    corpus = ensure_pages_dir(200, root=str(tmp_path / "c"), shard_rows=50)
+    out = str(tmp_path / "out")
+    cp.run_partitioned(f"{corpus}/pages", out, num_partitions=4)
+
+    # every complete partition manifest carries a range per output file
+    ranges = {}
+    for pid in range(4):
+        m = mf.load_manifest(out, pid)
+        assert m.status == "complete" and m.url_ranges
+        for base, (lo, hi) in m.url_ranges.items():
+            assert lo <= hi
+            ranges[(pid, base)] = (lo, hi)
+
+    view = cp.read_output(out).to_pandas().set_index("url")
+    url = view.index[57]
+    got = cp.lookup_url(out, url)
+    assert got["url"][0].as_py() == url
+    # the url's range covers a strict subset of the output files (pruning
+    # does real work; sorted output keeps ranges mostly disjoint)
+    covering = [k for k, (lo, hi) in ranges.items() if lo <= url <= hi]
+    assert 1 <= len(covering) < len(ranges)
+    # a url below every range short-circuits to no file reads and a miss
+    assert cp.lookup_url(out, "https://aaa") is None
