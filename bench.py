@@ -183,6 +183,7 @@ def run_suite(sf_dir: str) -> dict[str, float]:
         "crawl_frontier": Q.q_crawl_frontier,
         "host_stats": Q.q_host_stats,
         "bpe_merges": Q.q_bpe_merges,
+        "bpe_encode": Q.q_bpe_encode,
         "duplicate_spans": Q.q_duplicate_spans,
         "substring_dedup": Q.q_substring_dedup,
         "paragraph_dedup": Q.q_paragraph_dedup,

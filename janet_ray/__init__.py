@@ -61,6 +61,7 @@ _EXPORTS = {
     "shared_token_spans": ("janet_ray.stages.spans", "shared_token_spans"),
     "cut_duplicate_spans": ("janet_ray.stages.spans", "cut_duplicate_spans"),
     "word_frequencies": ("janet_ray.stages.bpe", "word_frequencies"),
+    "encode_corpus": ("janet_ray.stages.bpe", "encode_corpus"),
     "drop_empty_blocks": ("janet_ray.stages.joins", "drop_empty_blocks"),
     "row_deadline": ("janet_ray.functions.deadline", "row_deadline"),
     "retry_with_backoff": ("janet_ray.functions.retry", "retry_with_backoff"),

@@ -898,6 +898,24 @@ def q_link_pagerank(sf_dir: str):
     return ranks.sort("node")
 
 
+def q_bpe_encode(sf_dir: str):
+    """The ENCODE side of BPE (stages/bpe.py BpeEncoder): train 20 merges
+    on the corpus, then apply them corpus-wide in an actor-pool stage whose
+    per-actor state is the merge table + a distinct-word cache (cost
+    O(distinct words) per actor, not O(tokens)). Emits per-doc token and
+    subword counts plus the subword stream a packer consumes. Rows-only by
+    declaration; encode-vs-training-end-state parity is pinned in
+    tests/test_bpe.py."""
+    from janet_ray.stages.bpe import encode_corpus, train_bpe
+
+    merges_tbl = train_bpe(_read(sf_dir, "documents", columns=["text"]),
+                           n_merges=20)
+    merges = list(zip(merges_tbl["left"].to_pylist(),
+                      merges_tbl["right"].to_pylist()))
+    return encode_corpus(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]), merges)
+
+
 def q_paragraph_dedup(sf_dir: str):
     """CCNet-style paragraph-level exact dedup (stages/paradedup.py):
     injected multi-paragraph docs whose first/last paragraphs repeat across
@@ -2495,6 +2513,7 @@ def build_queries() -> dict:
         "crawl_frontier": q_crawl_frontier,
         "host_stats": q_host_stats,
         "bpe_merges": q_bpe_merges,
+        "bpe_encode": q_bpe_encode,
         "duplicate_spans": q_duplicate_spans,
         "substring_dedup": q_substring_dedup,
         "paragraph_dedup": q_paragraph_dedup,

@@ -339,3 +339,74 @@ def train_bpe(ds, *, n_merges: int, text_col: str = "text",
         "right": pa.array([m[2] for m in merges], pa.string()),
         "n": pa.array([m[3] for m in merges], pa.int64()),
     })
+
+
+def encode_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Apply a learned merge table to one word — chars + '</w>' then each
+    merge in RANK ORDER with the same left-to-right non-overlap rule as
+    training (so encoding the training corpus reproduces the training
+    end-state exactly; pinned by test)."""
+    syms = np.asarray(list(word) + [END_WORD], dtype=object)
+    offsets = np.asarray([0, len(syms)], dtype=np.int64)
+    for l, r in merges:
+        syms, offsets = _apply_merge(syms, offsets, l, r)
+        if len(syms) == 1:
+            break
+    return syms.tolist()
+
+
+class BpeEncoder:
+    """Stateful encode stage (actor-pool pattern): the merge table ships
+    once per actor via __init__; a per-instance word cache makes the cost
+    O(distinct words) per actor rather than O(tokens). Emits per-doc token
+    and subword counts plus the space-joined subword string (the training
+    product a packer consumes)."""
+
+    def __init__(self, merges: list[tuple[str, str]],
+                 text_col: str = "text", id_col: str = "doc_id"):
+        self._merges = list(merges)
+        self._cache: dict[str, list[str]] = {}
+        self._text_col = text_col
+        self._id_col = id_col
+
+    def _encode(self, word: str) -> list[str]:
+        got = self._cache.get(word)
+        if got is None:
+            got = encode_word(word, self._merges)
+            self._cache[word] = got
+        return got
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import re
+
+        tok_re = re.compile(r"[a-z0-9]+")
+        n_tok, n_sub, joined = [], [], []
+        for t in batch[self._text_col].to_pylist():
+            words = tok_re.findall((t or "").lower())
+            subs: list[str] = []
+            for w in words:
+                subs.extend(self._encode(w))
+            n_tok.append(len(words))
+            n_sub.append(len(subs))
+            joined.append(" ".join(subs))
+        return pa.table({
+            self._id_col: batch[self._id_col],
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "n_subwords": pa.array(n_sub, pa.int64()),
+            "subwords": pa.array(joined, pa.string()),
+        })
+
+
+def encode_corpus(ds, merges, *, text_col: str = "text",
+                  id_col: str = "doc_id", concurrency=None):
+    """(doc_id, n_tokens, n_subwords, subwords) per document — the ENCODE
+    side of BPE as an actor-pool map_batches stage (merge table + word
+    cache are per-actor warm state; the corpus streams through once)."""
+    merges_list = [(l, r) for l, r in merges]
+    kwargs = {"fn_constructor_args": (merges_list, text_col, id_col),
+              "batch_format": "pyarrow", "zero_copy_batch": True}
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
+    else:
+        kwargs["concurrency"] = (1, 4)
+    return ds.map_batches(BpeEncoder, **kwargs)

@@ -103,3 +103,53 @@ def test_train_bpe_exhausts_pairs(ray_session):
     want = bpe_reference({"ab": 2}, 50)
     assert list(zip(got["left"], got["right"])) == want
     assert len(got["rank"]) < 50
+
+
+def _reference_encode(word, merges):
+    syms = list(word) + [END_WORD]
+    for l, r in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                out.append(l + r)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def test_encode_word_matches_reference():
+    from janet_ray.stages.bpe import encode_word
+
+    wf = _wf(CORPUS)
+    merges = bpe_reference(dict(wf), 15)
+    for w in wf:
+        assert encode_word(w, merges) == _reference_encode(w, merges), w
+    # overlap rule inside encode too
+    m2 = [("a", "a")]
+    assert encode_word("aaaa", m2) == ["aa", "aa", END_WORD]
+
+
+def test_encode_corpus_end_to_end(ray_session):
+    import ray
+
+    from janet_ray.stages.bpe import encode_corpus, train_bpe
+
+    ds = ray.data.from_items([{"doc_id": i, "text": t}
+                              for i, t in enumerate(CORPUS)])
+    merges_tbl = train_bpe(ds, n_merges=10)
+    merges = list(zip(merges_tbl["left"].to_pylist(),
+                      merges_tbl["right"].to_pylist()))
+    out = (encode_corpus(ray.data.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(CORPUS)]), merges)
+        .to_pandas().set_index("doc_id"))
+    import re
+
+    for i, t in enumerate(CORPUS):
+        words = re.findall(r"[a-z0-9]+", t.lower())
+        subs = [s for w in words for s in _reference_encode(w, merges)]
+        assert out.loc[i, "n_tokens"] == len(words)
+        assert out.loc[i, "n_subwords"] == len(subs)
+        assert out.loc[i, "subwords"] == " ".join(subs)
