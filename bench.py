@@ -173,6 +173,7 @@ def run_suite(sf_dir: str) -> dict[str, float]:
         "ngram_jaccard": Q.q_ngram_jaccard,
         "quality_buckets": Q.q_quality_buckets,
         "ccnet_mix": Q.q_ccnet_mix,
+        "ccnet_lm_mix": Q.q_ccnet_lm_mix,
         "bloom_new_docs": Q.q_bloom_new_docs,
         "kmeans_clusters": Q.q_kmeans_clusters,
         "extract_links": Q.q_extract_links,

@@ -1122,6 +1122,41 @@ def q_bpe_merges(sf_dir: str):
     return train_bpe(ds, n_merges=20)
 
 
+def q_ccnet_lm_mix(sf_dir: str):
+    """The REAL CCNet criterion composed end to end: LM-surprise scores
+    (de-drivered bigram model, broadcast once) → tercile cutpoints from the
+    DDSketch (the unbounded-cardinality path — float scores have ~n_docs
+    distinct values, so the exact value-counts quantile kernel's contract
+    doesn't hold) → head/middle/tail buckets (LOW surprise = head) →
+    100/50/10% keep via the engine's content-addressed md5 sampling hash.
+    Rows-only by declaration (float scores + sketch cutpoints); every
+    component is individually reference-pinned."""
+    import numpy as np
+
+    from janet_ray.stages import lm_quality as lm
+    from janet_ray.stages.ddsketch import dd_build, dd_quantile
+
+    docs = _docs(sf_dir)
+    model = lm.build_bigram_model(docs, max_vocab=50_000)
+    scored = lm.score_surprise(_docs(sf_dir), model)
+    sk = dd_build(scored, "surprise", alpha=0.001)
+    cuts = np.asarray([dd_quantile(sk, q, alpha=0.001)
+                       for q in (1.0 / 3, 2.0 / 3)])
+
+    def assign_and_sample(batch: pa.Table) -> pa.Table:
+        v = batch["surprise"].to_numpy(zero_copy_only=False)
+        b = np.searchsorted(cuts, v, side="left").astype(np.int64)
+        h = np.array(_md5_u32(batch["doc_id"].to_pylist()),
+                     dtype=np.uint64) % 100
+        rate = np.array([_MIX_KEEP_PCT[0], _MIX_KEEP_PCT[1],
+                         _MIX_KEEP_PCT[2]], dtype=np.uint64)
+        out = batch.append_column("bucket", pa.array(b))
+        return out.filter(pa.array(h < rate[b]))
+
+    return scored.map_batches(assign_and_sample, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
 def q_kmeans_clusters(sf_dir: str):
     """Distributed k-means corpus clustering (stages/cluster.py): Lloyd
     iterations as streaming passes with per-batch (cell, vecsum, n) combiner
@@ -2490,6 +2525,7 @@ def build_queries() -> dict:
         "events_burst_count": q_events_burst_count,
         "lm_surprise": q_lm_surprise,
         "lm_surprise_cut": q_lm_surprise_cut,
+        "ccnet_lm_mix": q_ccnet_lm_mix,
         "orders_group_sample": q_orders_group_sample,
         "training_manifest": q_training_manifest,
         "search_index_lookup": q_search_index_lookup,
