@@ -48,6 +48,20 @@ import pyarrow as pa
 DAMPING = 0.85
 _N_PARTS = 64
 _DANGLING = np.int64(-1)
+# Node ids must be NON-NEGATIVE: the distributed kernels use -1 as the
+# dangling/marker sentinel key, so a legitimate node id -1 would fold its
+# contributions into the dangling mass (pagerank) or read edge rows as
+# score rows (hits). Enforced at the pair-ingest map — a silent mis-score
+# is worse than a loud contract error. (The engine's ids — doc_ids and the
+# 10M-offset link-target range — are non-negative by construction.)
+
+
+def _check_nonneg(*arrays: np.ndarray) -> None:
+    for a in arrays:
+        if len(a) and a.min() < 0:
+            raise ValueError(
+                "graph node ids must be non-negative (-1 is the internal "
+                "dangling/marker sentinel); remap ids before calling")
 
 
 def _tag_table(key: np.ndarray, tag: int, val: np.ndarray,
@@ -167,10 +181,10 @@ def pagerank(edges, *, src_col: str = "src", dst_col: str = "dst",
     cogroup-via-union loop runs, shuffling only narrow rows."""
 
     def to_pairs(batch: pa.Table) -> pa.Table:
-        return pa.table({
-            "src": batch[src_col],
-            "dst": batch[dst_col],
-        })
+        s = batch[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        _check_nonneg(s, d)
+        return pa.table({"src": pa.array(s), "dst": pa.array(d)})
 
     pairs = _bounded(edges.map_batches(to_pairs, batch_format="pyarrow",
                                        zero_copy_batch=True), n_parts)
@@ -338,7 +352,10 @@ def hits(edges, *, src_col: str = "src", dst_col: str = "dst",
     import ray
 
     def to_pairs(batch: pa.Table) -> pa.Table:
-        return pa.table({"src": batch[src_col], "dst": batch[dst_col]})
+        s = batch[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        _check_nonneg(s, d)
+        return pa.table({"src": pa.array(s), "dst": pa.array(d)})
 
     pairs = _bounded(edges.map_batches(to_pairs, batch_format="pyarrow",
                                        zero_copy_batch=True), n_parts)

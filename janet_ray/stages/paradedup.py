@@ -30,11 +30,12 @@ dedup decision shuffles only narrow rows:
      per-partition — the corpus moves once, which a rewritten-corpus
      product pays anyway.
 
-Hash-collision note: the decision key is the 64-bit prefix of
-md5(paragraph); a collision would drop a non-duplicate paragraph. At
-10^12 paragraphs the expected collision count under 2^-64 is ~0.03 —
-the standard CCNet trade; the oracle groups by the paragraph text itself,
-so a collision would surface as a gate failure rather than hide."""
+Hash-collision note: the decision key is the top 63 bits of the md5
+64-bit prefix (one bit is shifted off to stay int64-positive); a
+collision would drop a non-duplicate paragraph. At 10^12 paragraphs the
+expected collision count under 2^-63 is ~0.05 — the standard CCNet
+trade; the oracle groups by the paragraph text itself, so a collision
+would surface as a gate failure rather than hide."""
 
 from __future__ import annotations
 
@@ -147,22 +148,37 @@ def paragraph_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
     # large drop set → cogroup-via-union on a coarse doc hash; the corpus
     # text moves through ONE shuffle (the rewrite pass a dedup product
     # pays anyway)
+    def _doc_part(col: pa.ChunkedArray) -> pa.Array:
+        """Coarse partition key for ANY id type (int ids take the fast
+        modulo; strings/other take crc32 of str — the broadcast path is
+        id-type-agnostic and this path must match, not crash, when the
+        drop volume tips the dispatch)."""
+        import zlib
+
+        vals = col.to_numpy(zero_copy_only=False)
+        if np.issubdtype(vals.dtype, np.integer):
+            return pa.array((vals.astype(np.int64) % n_parts)
+                            .astype(np.int32))
+        return pa.array(np.asarray(
+            [zlib.crc32(str(v).encode()) % n_parts for v in col.to_pylist()],
+            dtype=np.int32))
+
     def tag_corpus(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = batch.num_rows
         return pa.table({
-            "part": pa.array((ids % n_parts).astype(np.int32)),
+            "part": _doc_part(batch[id_col]),
             "doc_id": batch[id_col],
-            "idx": pa.array(np.full(len(ids), -1, dtype=np.int64)),
+            "idx": pa.array(np.full(n, -1, dtype=np.int64)),
             "text": batch[text_col],
         })
 
     def tag_drops(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = batch.num_rows
         return pa.table({
-            "part": pa.array((ids % n_parts).astype(np.int32)),
+            "part": _doc_part(batch["doc_id"]),
             "doc_id": batch["doc_id"],
             "idx": batch["idx"],
-            "text": pa.array([None] * len(ids), pa.string()),
+            "text": pa.array([None] * n, pa.string()),
         })
 
     unioned = (ds.map_batches(tag_corpus, batch_format="pyarrow",

@@ -85,16 +85,22 @@ def shared_token_spans(ds, pairs, *, text_col: str = "text",
     coverage guarantee makes recall exact)."""
     import ray
 
+    # materialize: the pair stream is consumed twice (candidate-id fold +
+    # the extraction map) — without this the whole upstream candidate chain
+    # (two corpus shuffles) would re-execute from lineage
+    pairs = pairs.materialize()
     cand_ids = set()
     for b in pairs.iter_batches(batch_size=None, batch_format="pyarrow"):
         if b.num_rows:
             cand_ids.update(b["id_a"].to_pylist())
             cand_ids.update(b["id_b"].to_pylist())
-    if len(cand_ids) > broadcast_limit:
-        raise ValueError(
-            f"{len(cand_ids)} candidate docs exceed broadcast_limit="
-            f"{broadcast_limit}; tighten the candidate chain's threshold/df "
-            "knobs before span extraction")
+        if len(cand_ids) > broadcast_limit:
+            # fail BEFORE accumulating the whole set — the guard must bound
+            # driver memory, not report an OOM post-mortem
+            raise ValueError(
+                f"candidate docs exceed broadcast_limit={broadcast_limit}; "
+                "tighten the candidate chain's threshold/df knobs before "
+                "span extraction")
     ids_ref = ray.put(cand_ids)
 
     def collect(batch: pa.Table) -> pa.Table:
@@ -108,11 +114,13 @@ def shared_token_spans(ds, pairs, *, text_col: str = "text",
             "toks": pa.array(toks, pa.list_(pa.string())),
         })
 
-    tok_tbl = pa.concat_tables(list(
-        ds.map_batches(collect, batch_format="pyarrow", zero_copy_batch=True)
-        .iter_batches(batch_size=None, batch_format="pyarrow")))
-    tok_map = {i: t for i, t in zip(tok_tbl["doc_id"].to_pylist(),
-                                    tok_tbl["toks"].to_pylist())}
+    tok_map: dict = {}
+    if cand_ids:  # zero candidates → empty map (concat of zero tables raises)
+        for b in ds.map_batches(collect, batch_format="pyarrow",
+                                zero_copy_batch=True).iter_batches(
+                batch_size=None, batch_format="pyarrow"):
+            for i, t in zip(b["doc_id"].to_pylist(), b["toks"].to_pylist()):
+                tok_map[i] = t
     map_ref = ray.put(tok_map)
 
     def extract(batch: pa.Table) -> pa.Table:
@@ -178,16 +186,19 @@ def cut_duplicate_spans(ds, spans, *, text_col: str = "text",
     for b in spans.iter_batches(batch_size=None, batch_format="pyarrow"):
         if not b.num_rows:
             continue
+        n_cuts += b.num_rows
+        if n_cuts > broadcast_limit:
+            # fail BEFORE accumulating everything — the guard bounds driver
+            # memory rather than reporting an OOM post-mortem
+            raise ValueError(
+                f"cut intervals exceed broadcast_limit={broadcast_limit}; "
+                "pre-aggregate the span set (higher min_len / threshold) "
+                "before applying")
         cut_rows["doc"].extend(b["id_b"].to_pylist())
         st = b["b_start"].to_numpy(zero_copy_only=False)
         cut_rows["start"].extend(st.tolist())
         cut_rows["end"].extend(
             (st + b["length"].to_numpy(zero_copy_only=False)).tolist())
-        n_cuts += b.num_rows
-    if n_cuts > broadcast_limit:
-        raise ValueError(
-            f"{n_cuts} cut intervals exceed broadcast_limit; pre-aggregate "
-            "the span set (higher min_len / threshold) before applying")
     doc_a = np.asarray(cut_rows["doc"], dtype=np.int64)
     st_a = np.asarray(cut_rows["start"], dtype=np.int64)
     en_a = np.asarray(cut_rows["end"], dtype=np.int64)

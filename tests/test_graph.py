@@ -156,3 +156,16 @@ def test_hits_star_semantics(ray_session):
     assert got[100][0] == 0.0                              # no out-links
     for i in range(1, 10):
         assert got[i][1] == 0.0
+
+
+def test_negative_node_ids_rejected(ray_session):
+    import pytest
+    import ray
+
+    from janet_ray.stages.graph import hits, pagerank
+
+    ds = ray.data.from_items([{"src": 1, "dst": -1}])
+    with pytest.raises(Exception, match="non-negative"):
+        pagerank(ds, iters=1).to_pandas()
+    with pytest.raises(Exception, match="non-negative"):
+        hits(ds, iters=1).to_pandas()

@@ -83,3 +83,17 @@ def test_empty_paragraphs_are_paragraphs(ray_session):
     got = _run(ray, rows)
     assert got[1] == ("a\n\nb", 0)
     assert got[2] == ("c\nd", 1)
+
+
+def test_union_path_string_ids(ray_session):
+    import ray
+
+    # the cogroup path must support non-integer ids like the broadcast path
+    rows = [{"doc_id": "u-a", "text": "p\nq"}, {"doc_id": "u-b", "text": "p\nr"}]
+    got_b = paragraph_dedup(ray.data.from_items(rows)).to_pandas()
+    got_u = paragraph_dedup(ray.data.from_items(rows),
+                            broadcast_limit=0).to_pandas()
+    b = {r.doc_id: (r.text, r.n_dropped) for r in got_b.itertuples()}
+    u = {r.doc_id: (r.text, r.n_dropped) for r in got_u.itertuples()}
+    assert b == u
+    assert b["u-a"] == ("p\nq", 0) and b["u-b"] == ("r", 1)

@@ -115,3 +115,14 @@ def test_cut_merges_overlapping_intervals(ray_session):
     out = cut_duplicate_spans(docs, spans).to_pandas().iloc[0]
     assert out["text"] == "t0 t7"
     assert out["n_tokens_removed"] == 6
+
+
+def test_no_candidate_pairs_yields_empty(ray_session):
+    import ray
+
+    ds = ray.data.from_items([{"doc_id": 1, "text": "totally unique alpha"},
+                              {"doc_id": 2, "text": "different words beta"}])
+    pairs = ray.data.from_items([{"id_a": 1, "id_b": 2}]).filter(
+        lambda r: False)  # empty pair set
+    out = shared_token_spans(ds, pairs, min_len=3).to_pandas()
+    assert len(out) == 0
