@@ -27,7 +27,6 @@ per-token md5 is the same O(tokens) hashing loop as the winnow/LM stages.
 
 from __future__ import annotations
 
-import hashlib
 import re
 
 import numpy as np
@@ -47,7 +46,10 @@ def default_weights(n_buckets: int = DEFAULT_N_BUCKETS) -> np.ndarray:
 
 
 def _bucket(token: str, n_buckets: int) -> int:
-    return int(hashlib.md5(token.encode()).hexdigest()[:8], 16) % n_buckets
+    # the engine's content-addressed md5-u32 (single definition in winnow)
+    from janet_ray.stages.winnow import _md5_u32
+
+    return _md5_u32(token) % n_buckets
 
 
 def score_text(text: str, weights: np.ndarray) -> int:

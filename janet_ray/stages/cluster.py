@@ -118,6 +118,10 @@ def distributed_kmeans(ds, *, vec_col: str = "embedding",
         ref = ray.put(C)
 
         def partial(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:  # empty upstream block → zero partials
+                return pa.table({"cell": pa.array([], pa.int32()),
+                                 "vsum": pa.array([], pa.list_(pa.float64())),
+                                 "n": pa.array([], pa.int64())})
             cen = ray.get(ref)
             M = _normalize(_as_matrix(batch[vec_col])).astype(np.float64)
             a = np.argmax(M @ cen.T, axis=1)

@@ -13,15 +13,18 @@ invariant).
 Pinned semantics:
 
   * d rows of w counters; row hashes = d independent splitmix64 streams of
-    the key's md5-u32 (string keys share the engine's content-addressed
-    hash, so any SQL-side replay of candidate selection agrees on keys);
+    the key's md5 64-BIT prefix (not the engine's 32-bit md5-u32: a 32-bit
+    base hash makes distinct keys collide identically in ALL d rows near
+    10^5 distinct keys — the birthday bound — which breaks the ε·N
+    guarantee exactly at the unbounded-key-stream scale this sketch
+    targets; 64 bits pushes the first hard collision past 10^9 keys);
   * update: counters[r][h_r(x) % w] += 1 for each row r;
   * point query: min over rows — an OVERESTIMATE, never an underestimate
     (the guarantee property tests pin): err ≤ ε·N with prob ≥ 1−δ for
     w = ⌈e/ε⌉, d = ⌈ln(1/δ)⌉.
 
-Top-k protocol (`cms_topk_check`): the sketch answers point queries; the
-candidate set comes from elsewhere (a per-batch local-top-k union — the
+Top-k protocol (see `queries.q_vocab_topk_cms`): the sketch answers point
+queries; the candidate set comes from elsewhere (a per-batch local-top-k union — the
 classic "candidates are cheap, exact global counts are the shuffle"
 observation). Estimates for candidates are exact-N-bounded overestimates;
 at web scale this replaces vocab_topk's global shuffle with one streaming
@@ -49,10 +52,11 @@ def cms_params(eps: float = DEFAULT_EPS,
 
 
 def _key_u64(keys: list) -> np.ndarray:
-    """md5-u32 of the stringified key (the engine's content-addressed hash),
-    widened to u64 for the splitmix row streams."""
+    """md5 64-bit prefix of the stringified key — the base hash must carry
+    ≥64 bits or distinct keys collide identically across ALL d rows (see
+    module docstring)."""
     return np.asarray(
-        [int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16)
+        [int(hashlib.md5(str(k).encode()).hexdigest()[:16], 16)
          for k in keys], dtype=np.uint64)
 
 

@@ -86,7 +86,9 @@ def dd_build(ds, col: str, *, alpha: float = DEFAULT_ALPHA) -> dict[int, int]:
             acc = {}
         tbl = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
         vals = tbl[col].to_numpy(zero_copy_only=False).astype(np.float64)
-        vals = vals[~np.isnan(vals)]
+        # drop NaN AND ±inf: an infinite value's ceil(log) wraps through the
+        # int64 cast into the mirrored-store key range, corrupting bin order
+        vals = vals[np.isfinite(vals)]
         for b, n in _bins(vals, gamma).items():
             acc[b] = acc.get(b, 0) + n
         return acc

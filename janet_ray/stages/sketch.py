@@ -71,7 +71,13 @@ def hll_build(ds, col: str, *, p: int = DEFAULT_P) -> np.ndarray:
         if regs is None:
             regs = np.zeros(m, dtype=np.uint8)
         tbl = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
-        keys = tbl[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        # drop nulls explicitly: a null int64 column round-trips through
+        # numpy as NaN and the int64 cast would mint a phantom distinct
+        # value (INT64_MIN); COUNT(DISTINCT) never counts the null group
+        import pyarrow.compute as _pc
+
+        keys = _pc.drop_null(tbl[col]).to_numpy(
+            zero_copy_only=False).astype(np.int64)
         if keys.size:
             idx, rank = _ranks(keys, p)
             np.maximum.at(regs, idx, rank)

@@ -69,14 +69,16 @@ def normalize_column(ds, *, text_col: str = "text", id_col: str = "doc_id",
 
 def normalize_sql(*, source: str = "documents", text_expr: str = "text",
                   id_col: str = "doc_id", out_col: str = "text_norm") -> str:
-    """DuckDB replay: same patterns, same order, nfc_normalize last."""
+    """DuckDB replay: same patterns, same order, nfc_normalize last; NULL
+    text coalesces to '' exactly like the batch kernel (out='',
+    changed=False)."""
+    t = f"COALESCE({text_expr}, '')"
+    norm = (f"nfc_normalize(regexp_replace(regexp_replace({t}, "
+            f"'{NEWLINE_PATTERN}', chr(10), 'g'), "
+            f"'{CONTROL_PATTERN}', '', 'g'))")
     return f"""
 SELECT {id_col},
-       nfc_normalize(regexp_replace(regexp_replace({text_expr},
-           '{NEWLINE_PATTERN}', chr(10), 'g'),
-           '{CONTROL_PATTERN}', '', 'g')) AS {out_col},
-       nfc_normalize(regexp_replace(regexp_replace({text_expr},
-           '{NEWLINE_PATTERN}', chr(10), 'g'),
-           '{CONTROL_PATTERN}', '', 'g')) != {text_expr} AS changed
+       {norm} AS {out_col},
+       {norm} != {t} AS changed
 FROM {source}
 """

@@ -59,3 +59,19 @@ def test_empty(ray_session):
     sk = cms_build(ds, "k")
     assert sk.sum() == 0
     assert cms_query(sk, []).size == 0
+
+
+def test_base_hash_is_64_bit():
+    # these two tokens collide on the 32-bit md5 prefix; a 32-bit base hash
+    # would alias them in EVERY row and min-over-rows could never separate
+    # them (the review's reproduced guarantee break)
+    import hashlib
+
+    a, b = "tok94533", "tok129055"
+    assert hashlib.md5(a.encode()).hexdigest()[:8] == \
+        hashlib.md5(b.encode()).hexdigest()[:8]
+    ka, kb = _key_u64([a]), _key_u64([b])
+    assert ka[0] != kb[0]
+    d, w = cms_params(0.001, 0.01)
+    sk = _local_build([a] * 100, d, w)
+    assert cms_query(sk, [b])[0] < 100  # no longer fully aliased

@@ -79,3 +79,14 @@ def test_empty(ray_session):
     assert np.isnan(dd_quantile({}, 0.5))
     assert dd_quantiles(ds, "v", [0.5]) and np.isnan(
         dd_quantiles(ds, "v", [0.5])[0])
+
+
+def test_nonfinite_values_dropped(ray_session):
+    import ray
+
+    vals = [1.0, float("inf"), 2.0, float("-inf"), float("nan"), 3.0]
+    ds = ray.data.from_items([{"v": v} for v in vals])
+    sk = dd_build(ds, "v")
+    assert sum(sk.values()) == 3  # only the finite values count
+    assert dd_quantile(sk, 0.0) == pytest.approx(1.0, rel=0.02)
+    assert dd_quantile(sk, 1.0) == pytest.approx(3.0, rel=0.02)

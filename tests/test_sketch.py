@@ -49,3 +49,13 @@ def test_empty_dataset(ray_session):
 
     ds = ray.data.from_items([{"k": 1}]).filter(lambda r: False)
     assert hll_distinct(ds, "k") == 0
+
+
+def test_null_keys_ignored(ray_session):
+    import pyarrow as pa
+    import ray
+
+    t = pa.table({"k": pa.array([1, 2, None, 2, None], pa.int64())})
+    ds = ray.data.from_arrow(t)
+    # nulls must not mint a phantom distinct value
+    assert hll_distinct(ds, "k", p=12) == 2
