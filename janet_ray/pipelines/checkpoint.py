@@ -133,7 +133,12 @@ def run_partitioned(
     ``stage_checkpoint``: persist the routed intermediate per partition
     (``_routed_for_partition``) so an extract-stage failure resumes
     mid-partition without re-reading/re-sniffing input. Default pipeline only
-    (a custom ``pipeline`` owns its own stages).
+    (a custom ``pipeline`` owns its own stages). CONTRACT: stage checkpoints
+    are keyed by partition input only — like the reference's Inngest
+    ``step.run`` memoization, they do NOT detect changes to the routing
+    config (``custom_sniffers``) between runs; if you change sniffers after
+    a partial run, delete the out_dir's ``_stage/`` directory first or the
+    checkpointed partitions keep their old routes.
 
     ``pipeline``: ``Dataset -> Dataset`` builder; defaults to the flagship
     extraction pipeline. Any analysis pipeline (dedup, textstats, …) gets the
@@ -387,14 +392,19 @@ def lookup_url(out_dir: str, url: str, *, columns: list[str] | None = None):
         files = [f for f in files
                  if _rel(f) not in ranged
                  or ranged[_rel(f)][0] <= url <= ranged[_rel(f)][1]]
-    want = columns if columns is None else list(
-        dict.fromkeys(list(columns) + ["url", "warc_ts", "route"]))
     parts = []
     for f in files:
         pf = pq.ParquetFile(f)
         names = pf.schema_arrow.names
         if "url" not in names:
             continue
+        # tolerate custom-pipeline schemas (read_output's same contract):
+        # only request columns the file actually has; the winner sort below
+        # degrades to whatever dedupe keys exist
+        want = columns if columns is None else [
+            c for c in dict.fromkeys(list(columns)
+                                     + ["url", "warc_ts", "route"])
+            if c in names]
         ci = None
         md = pf.metadata
         for i in range(md.num_columns):
@@ -415,9 +425,15 @@ def lookup_url(out_dir: str, url: str, *, columns: list[str] | None = None):
     if not parts:
         return None
     whole = pa.concat_tables(parts, promote_options="default")
-    idx = pc.sort_indices(whole, sort_keys=[("warc_ts", "descending"),
-                                            ("route", "ascending")])
-    winner = whole.take(idx[:1])
+    # dedupe_last_wins winner rule over whichever of its keys exist (a
+    # custom-pipeline output may lack warc_ts/route; then file order decides
+    # — matching read_output's graceful degradation for such schemas)
+    keys = [(k, d) for k, d in (("warc_ts", "descending"),
+                                ("route", "ascending"))
+            if k in whole.column_names]
+    if keys:
+        whole = whole.take(pc.sort_indices(whole, sort_keys=keys))
+    winner = whole.slice(0, 1)
     if columns is not None:
         winner = winner.select(list(columns))
     return winner

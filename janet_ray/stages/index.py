@@ -141,11 +141,15 @@ def build_inverted_index(
     input pass — so BM25 length normalization stays exact under any cut."""
     os.makedirs(index_dir, exist_ok=True)
 
+    # built once, not per batch — a realistic stopword head is thousands of
+    # terms and the map stage sees many batches
+    stop_set = (pa.array(sorted(stop_terms), pa.string())
+                if stop_terms else None)
+
     def partials(batch: pa.Table) -> pa.Table:
         t = _postings_partials(batch, text_col=text_col, id_col=id_col)
-        if stop_terms:
-            t = t.filter(pc.invert(pc.is_in(
-                t["term"], value_set=pa.array(sorted(stop_terms), pa.string()))))
+        if stop_set is not None:
+            t = t.filter(pc.invert(pc.is_in(t["term"], value_set=stop_set)))
         return with_part(t, ["term"], n_parts=num_buckets)
 
     # N is only needed up-front for the df cut's threshold; the stats fold
@@ -266,16 +270,30 @@ def build_index_segments(
             # resume guard (the PartitionPlanChanged analogue): the contiguous
             # chunking is only append-stable if new shards sort AFTER the old
             # ones — a file inserted mid-list shifts every group and would
-            # silently mis-cover the corpus. The recorded lineage catches it.
+            # silently mis-cover the corpus. The recorded lineage catches it,
+            # and ALSO pins num_buckets: a resume with a different bucket
+            # count would leave old segments whose bucket files the lookup's
+            # crc32 % num_buckets arithmetic can never find — postings would
+            # silently vanish rather than error.
             if os.path.exists(lineage):
                 with open(lineage) as f:
                     recorded = json.load(f)
-                if recorded != basenames:
+                rec_files = (recorded["files"] if isinstance(recorded, dict)
+                             else recorded)
+                rec_nb = (recorded.get("num_buckets")
+                          if isinstance(recorded, dict) else None)
+                if rec_files != basenames:
                     raise RuntimeError(
-                        f"segment {sid} was built over {recorded[:2]}… but the "
+                        f"segment {sid} was built over {rec_files[:2]}… but the "
                         f"current shard list assigns {basenames[:2]}…; index "
                         "segment groups are append-only (new shards must sort "
                         "after existing ones) — rebuild into a fresh index_dir.")
+                if rec_nb is not None and rec_nb != num_buckets:
+                    raise RuntimeError(
+                        f"segment {sid} was built with num_buckets={rec_nb} "
+                        f"but this run uses {num_buckets}; bucket arithmetic "
+                        "is baked into every committed segment — rebuild into "
+                        "a fresh index_dir.")
             continue  # committed segment — resume skips it
         tmp = os.path.join(index_dir, f"_tmp-segment-{sid:05d}")
         if os.path.isdir(tmp):
@@ -286,7 +304,7 @@ def build_index_segments(
         build_inverted_index(ds, tmp, text_col=text_col, id_col=id_col,
                              num_buckets=num_buckets, **build_kwargs)
         with open(os.path.join(tmp, "_segment_inputs.json"), "w") as f:
-            json.dump(basenames, f)
+            json.dump({"files": basenames, "num_buckets": num_buckets}, f)
         os.replace(tmp, seg)  # atomic: a segment is absent or complete
 
     # merged corpus meta: docs/tokens/postings sum; all segments share
@@ -350,8 +368,10 @@ def index_lookup_multi(index_dir: str, terms: list[str], *, k: int = 10) -> pa.T
     """OR-semantics ranked retrieval: score = Σ tf over the query terms (each
     term read from its own bucket), top-k by (score desc, doc_id asc)."""
     meta = index_meta(index_dir)
-    parts = [_read_term_postings(index_dir, t.lower(), meta["num_buckets"])
-             for t in dict.fromkeys(terms)]  # dedupe terms, keep order
+    # lowercase BEFORE dedupe: "Dog" and "dog" are the same term and must
+    # not be read (and scored) twice
+    parts = [_read_term_postings(index_dir, t, meta["num_buckets"])
+             for t in dict.fromkeys(t.lower() for t in terms)]
     allp = pa.concat_tables(parts).select(["doc_id", "tf"])
     if allp.num_rows == 0:
         return pa.table({"doc_id": pa.array([], pa.int64()),
@@ -377,8 +397,8 @@ def index_lookup_bm25(index_dir: str, terms: list[str], *, k: int = 10,
     meta = index_meta(index_dir)
     n, avgdl = meta["n_docs"], meta["avgdl"] or 1.0
     scores: dict[int, float] = {}
-    for term in dict.fromkeys(terms):
-        t = _read_term_postings(index_dir, term.lower(), meta["num_buckets"])
+    for term in dict.fromkeys(t.lower() for t in terms):
+        t = _read_term_postings(index_dir, term, meta["num_buckets"])
         df = t.num_rows
         if not df:
             continue

@@ -105,11 +105,14 @@ def anchor_corpus(links, *, href_col: str = "href",
 
     def partial(batch: pa.Table) -> pa.Table:
         t = pa.table({"href": batch[href_col], "anchor": batch[anchor_col]})
+        # count_all, not count(anchor): n_refs is the number of REFERRING
+        # LINKS, and a null anchor (possible from non-extract_links sources)
+        # is still a referring link
         agg = t.group_by("href").aggregate(
-            [("anchor", "count"), ("anchor", "min")])
+            [([], "count_all"), ("anchor", "min")])
         return pa.table({
             "href": agg["href"],
-            "n": agg["anchor_count"].cast(pa.int64()),
+            "n": agg["count_all"].cast(pa.int64()),
             "a_min": agg["anchor_min"],
         })
 

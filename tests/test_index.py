@@ -336,3 +336,30 @@ def test_merge_segments_compacts_to_flat(ray_session, tmp_path):
     assert inv.segment_dirs(segd)
     with pytest.raises(FileExistsError):
         inv.merge_segments(segd, out)
+
+
+def test_multi_term_case_folds_before_dedupe(ray_session, tmp_path):
+    """'Dog' and 'dog' are one term: multi-term lookups must not read and
+    score its postings twice."""
+    texts = ["dog park", "dog dog walk", "cat nap"]
+    d = str(tmp_path / "idx")
+    inv.build_inverted_index(_docs_ds(texts), d, num_buckets=4)
+    once = inv.index_lookup_multi(d, ["dog"], k=10).to_pylist()
+    twice = inv.index_lookup_multi(d, ["Dog", "dog"], k=10).to_pylist()
+    assert once == twice
+    b1 = inv.index_lookup_bm25(d, ["dog"], k=10).to_pylist()
+    b2 = inv.index_lookup_bm25(d, ["DOG", "dog"], k=10).to_pylist()
+    assert [(r["doc_id"], pytest.approx(r["score"])) for r in b1] == \
+        [(r["doc_id"], r["score"]) for r in b2]
+
+
+def test_segment_resume_rejects_bucket_change(ray_session, tmp_path):
+    """Resuming a segmented build with a different num_buckets must raise —
+    old segments' bucket files would be invisible to the new arithmetic."""
+    texts = [f"doc {i} words here" for i in range(20)]
+    inp = str(tmp_path / "shards")
+    _write_shards(inp, texts, shard_rows=5)
+    d = str(tmp_path / "segd")
+    inv.build_index_segments(inp, d, files_per_segment=2, num_buckets=8)
+    with pytest.raises(RuntimeError, match="num_buckets"):
+        inv.build_index_segments(inp, d, files_per_segment=2, num_buckets=4)

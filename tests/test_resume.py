@@ -201,3 +201,35 @@ def test_lookup_url_manifest_range_pruning(ray_session, tmp_path):
     assert 1 <= len(covering) < len(ranges)
     # a url below every range short-circuits to no file reads and a miss
     assert cp.lookup_url(out, "https://aaa") is None
+
+
+def test_lookup_url_custom_schema(ray_session, tmp_path):
+    """lookup_url must tolerate custom-pipeline outputs lacking
+    warc_ts/route (read_output's same graceful-degradation contract)."""
+    import pyarrow as pa
+
+    from janet_ray.pipelines.checkpoint import lookup_url, run_partitioned
+    from janet_ray.synth import ensure_pages_dir
+
+    corpus = ensure_pages_dir(100, root=str(tmp_path / "c"), shard_rows=50)
+    out = str(tmp_path / "out")
+
+    def proj(ds):
+        return ds.map_batches(
+            lambda b: pa.table({"url": b["url"],
+                                "n_bytes": pc_len(b["html"])}),
+            batch_format="pyarrow", zero_copy_batch=True)
+
+    import pyarrow.compute as _pc
+
+    def pc_len(col):
+        return _pc.binary_length(col)
+
+    run_partitioned(f"{corpus}/pages", out, num_partitions=2, pipeline=proj)
+    import pandas as pd
+
+    urls = pd.read_parquet(f"{corpus}/golden.parquet")["url"]
+    got = lookup_url(out, urls.iloc[3])
+    assert got is not None and got["url"][0].as_py() == urls.iloc[3]
+    proj_only = lookup_url(out, urls.iloc[3], columns=["n_bytes"])
+    assert proj_only.column_names == ["n_bytes"]
