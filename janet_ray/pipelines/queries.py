@@ -505,8 +505,9 @@ def q_winnow_neardup(sf_dir: str):
     """Exact fingerprint-set-Jaccard near-dup pairs over winnowing fingerprints
     (stages/winnow.py winnow_neardup_pairs): fp-bucket self-join with a
     document-frequency skew cut, in-partition pair pre-aggregation, one coarse
-    pair shuffle, two hash joins for the set sizes. The SQL oracle replays the
-    whole chain exactly from the same constants."""
+    pair-keyed fold — JOIN-FREE (each posting carries its doc's exact set
+    size; two shuffles total). The SQL oracle replays the whole chain exactly
+    from the same constants."""
     from janet_ray.stages.winnow import winnow_neardup_pairs
 
     return winnow_neardup_pairs(_read(sf_dir, "documents",
@@ -806,8 +807,10 @@ def _crawl_frontier_sql() -> str:
              "CAST(doc_id AS VARCHAR) || '\">out</a>' AS html "
              "FROM documents")
     return f"""
-SELECT CASE WHEN href LIKE 'http%' THEN href
-            ELSE 'https://docs.example' || href END AS url
+SELECT CASE WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*:') THEN href
+            WHEN href LIKE '//%' THEN 'https:' || href
+            WHEN href LIKE '/%' THEN 'https://docs.example' || href
+            ELSE href END AS url
 FROM ({links_sql(source=f'({inner}) AS g')}) AS l
 EXCEPT
 SELECT 'https://docs.example/d-' || lpad(CAST(doc_id AS VARCHAR), 7, '0')

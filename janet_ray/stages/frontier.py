@@ -7,50 +7,50 @@ urls at corpus scale).
 
 `anti_join_values` is a distributed shuffle anti-join by value — the scale
 path where neither side fits a broadcast (`joins.broadcast_semi_join` is
-the small-side variant). Shape: both sides are tagged and co-partitioned by
-a deterministic coarse hash of the key (crc32 — stable across processes,
-unlike Python's salted `hash()`), ONE union shuffle of (part, key, tag)
-rows, then a per-partition vectorized sorted-membership kernel emits the
-distinct left keys with no right match. Payloads never move; the shuffle
-carries exactly one string column per row. Output is distinct by
-construction (np.unique per partition; partitions are disjoint by hash).
+the small-side variant). Shape: both sides cast their key to STRING (the
+pinned comparison domain — document it, don't crash on int keys) and
+co-partition via the ENGINE-WIDE stable partitioner
+(`functions/partitioning.with_part` — one crc32 implementation shared by
+every grouped reducer, never a private copy), ONE union shuffle of
+(part, key, tag) rows, then a per-partition Arrow-native set difference
+(`pc.unique` + `pc.is_in` — C++ kernels, no per-row Python objects).
+Payloads never move; output is distinct by construction (partitions are
+disjoint by hash).
 
-URL resolution is pinned to the two cases the synthetic corpus (and the
-SQL twin) exercise: absolute http(s) hrefs pass through; root-relative
-hrefs are prefixed with the page origin. The oracle replays the same CASE."""
+URL resolution is pinned to four RE2-expressible rules the SQL twin
+replays: (1) an href with a URI scheme (``^[A-Za-z][A-Za-z0-9+.-]*:`` —
+http, https, mailto, …) passes through; (2) a protocol-relative ``//h/p``
+href gets the origin's scheme; (3) a root-relative ``/p`` href gets the
+origin prefixed; (4) anything else (document-relative paths, bare
+fragments) passes through UNTOUCHED — resolving those needs the page's
+own directory, which is the caller's context, not this operator's."""
 
 from __future__ import annotations
-
-import zlib
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-_N_PARTS = 64
+from janet_ray.functions.partitioning import N_PARTS_DEFAULT, with_part
 
-
-def _part_of(strs: list, n_parts: int) -> np.ndarray:
-    return np.asarray(
-        [zlib.crc32(s.encode("utf-8")) % n_parts for s in strs],
-        dtype=np.int32)
+SCHEME_PATTERN = r"^[A-Za-z][A-Za-z0-9+.-]*:"
 
 
 def anti_join_values(left, right, *, key_col: str,
                      right_key_col: str | None = None,
-                     n_parts: int = _N_PARTS):
+                     n_parts: int = N_PARTS_DEFAULT):
     """DISTINCT ``left[key_col]`` values that never occur in
     ``right[right_key_col or key_col]``. One union shuffle; per-partition
-    set difference."""
+    Arrow set difference. Values are compared in the STRING domain (the
+    output column is string; non-string key columns are cast — a pinned
+    contract, not a crash)."""
 
     def tag(tag_val: int, col: str):
         def f(batch: pa.Table) -> pa.Table:
-            keys = [k for k in batch[col].to_pylist() if k is not None]
-            return pa.table({
-                "part": pa.array(_part_of(keys, n_parts)),
-                "key": pa.array(keys, pa.string()),
-                "tag": pa.array(np.full(len(keys), tag_val, dtype=np.int8)),
-            })
+            keys = pc.cast(pc.drop_null(batch[col]), pa.string())
+            t = with_part(pa.table({"key": keys}), ["key"], n_parts=n_parts)
+            return t.append_column(
+                "tag", pa.array(np.full(len(keys), tag_val, dtype=np.int8)))
 
         return f
 
@@ -64,36 +64,44 @@ def anti_join_values(left, right, *, key_col: str,
         empty = pa.table({key_col: pa.array([], pa.string())})
         if part.num_rows == 0 or "key" not in part.column_names:
             return empty
-        keys = np.asarray(part["key"].to_pylist(), dtype=object)
-        tags = part["tag"].to_numpy(zero_copy_only=False)
-        new = np.unique(keys[tags == 1])
-        seen = np.unique(keys[tags == 0])
-        keep = new[~np.isin(new, seen)]
-        return pa.table({key_col: pa.array(keep.tolist(), pa.string())})
+        is_new = pc.equal(part["tag"], pa.scalar(1, pa.int8()))
+        new = pc.unique(part.filter(is_new)["key"].combine_chunks())
+        seen = pc.unique(part.filter(pc.invert(is_new))["key"]
+                         .combine_chunks())
+        keep = new.filter(pc.invert(pc.is_in(new, value_set=seen)))
+        return pa.table({key_col: keep})
 
     return tagged.groupby("part").map_groups(diff, batch_format="pyarrow")
 
 
 def resolve_hrefs(links, *, origin: str, href_col: str = "href",
                   out_col: str = "url"):
-    """Absolute URL per link row: http(s) hrefs pass through, root-relative
-    hrefs get the page origin prefixed (the only two shapes the corpus
-    contract emits; anything else passes through untouched like a browser
-    would resolve it against an opaque base)."""
+    """Absolute URL per link row under the four pinned rules (module
+    docstring): scheme'd hrefs pass, ``//`` gets the origin's scheme,
+    ``/`` gets the origin, anything else passes untouched."""
+    scheme = origin.split("://", 1)[0] if "://" in origin else "https"
 
     def f(batch: pa.Table) -> pa.Table:
         href = batch[href_col]
-        absolute = pc.starts_with(href, "http")
+        has_scheme = pc.match_substring_regex(href, SCHEME_PATTERN)
+        proto_rel = pc.starts_with(href, "//")
+        root_rel = pc.starts_with(href, "/")
         resolved = pc.if_else(
-            absolute, href,
-            pc.binary_join_element_wise(origin, href, ""))
+            has_scheme, href,
+            pc.if_else(
+                proto_rel,
+                pc.binary_join_element_wise(scheme + ":", href, ""),
+                pc.if_else(
+                    root_rel,
+                    pc.binary_join_element_wise(origin, href, ""),
+                    href)))
         return batch.append_column(out_col, resolved)
 
     return links.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def crawl_frontier(links, crawled, *, origin: str, href_col: str = "href",
-                   url_col: str = "url", n_parts: int = _N_PARTS):
+                   url_col: str = "url", n_parts: int = N_PARTS_DEFAULT):
     """Distinct resolved link targets not yet crawled — the next crawl
     round's seed list."""
     resolved = resolve_hrefs(links, origin=origin, href_col=href_col,

@@ -79,3 +79,31 @@ def test_anchor_corpus_exact(ray_session):
     assert list(out["href"]) == ["/t1", "/t2"]
     assert list(out["n_refs"]) == [3, 1]
     assert list(out["top_anchor"]) == ["alpha", "solo"]
+
+
+def test_anti_join_int_keys_string_domain(ray_session):
+    import ray
+
+    # non-string keys are compared in the pinned string domain, not crashed
+    left = _ds(ray, [{"k": 1}, {"k": 2}, {"k": 3}])
+    right = _ds(ray, [{"k": 2}])
+    out = anti_join_values(left, right, key_col="k").to_pandas()
+    assert sorted(out["k"]) == ["1", "3"]
+
+
+def test_resolve_hrefs_pinned_rules(ray_session):
+    import ray
+
+    links = _ds(ray, [{"href": "/root/rel"}, {"href": "//cdn.x/lib.js"},
+                      {"href": "mailto:a@b.c"}, {"href": "page.html"},
+                      {"href": "http-errors.html"}, {"href": "#frag"},
+                      {"href": "https://abs/x"}])
+    out = resolve_hrefs(links, origin="https://base").to_pandas()
+    got = dict(zip(out["href"], out["url"]))
+    assert got["/root/rel"] == "https://base/root/rel"
+    assert got["//cdn.x/lib.js"] == "https://cdn.x/lib.js"
+    assert got["mailto:a@b.c"] == "mailto:a@b.c"       # scheme'd: untouched
+    assert got["page.html"] == "page.html"             # doc-relative: untouched
+    assert got["http-errors.html"] == "http-errors.html"  # no scheme colon
+    assert got["#frag"] == "#frag"
+    assert got["https://abs/x"] == "https://abs/x"
