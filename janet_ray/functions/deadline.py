@@ -178,9 +178,13 @@ class row_deadline:
                 entry = _wd_armed.pop(self._ident, None)
                 if entry is None and self._gen in _wd_fired:
                     _wd_fired.discard(self._gen)
-                    if exc_type is None:
-                        # fired but not yet delivered — the row finished at the
-                        # wire; cancel so the exception can't hit a later row
+                    if exc_type is None or not issubclass(
+                            exc_type, RowDeadlineExceeded):
+                        # fired but not yet delivered — the row finished (or
+                        # raised its OWN exception) at the wire; cancel the
+                        # pending async exc so it can't land at an arbitrary
+                        # later bytecode in this thread (a later row, or code
+                        # outside any deadline)
                         _async_cancel(self._ident)
         self.armed = False
         return False

@@ -57,17 +57,10 @@ def _tokens(text: str) -> list[str]:
 
 # Per-worker-process deserialization cache for broadcast objects: ``ray.get``
 # on a plasma ObjectRef re-deserializes Python dicts/sets on EVERY call, so a
-# per-batch get would pay O(model size) per batch. One-entry cache (a stage
-# broadcasts exactly one object; a new ref evicts the old).
-_BCAST_CACHE: dict = {}
-
-
-def _get_broadcast(ref):
-    key = ref.hex()
-    if key not in _BCAST_CACHE:
-        _BCAST_CACHE.clear()
-        _BCAST_CACHE[key] = ray.get(ref)
-    return _BCAST_CACHE[key]
+# per-batch get would pay O(model size) per batch. The engine-wide bounded
+# multi-slot cache lives in functions/broadcast.py (multi-slot so two refs
+# used by one stage can't thrash each other).
+from janet_ray.functions.broadcast import get_broadcast as _get_broadcast  # noqa: E402
 
 
 def doc_bigrams(text: str, vocab: set | None = None) -> list[tuple[str, str]]:

@@ -75,7 +75,11 @@ def _explode(batch: pa.Table, *, id_col: str, text_col: str, sep: str,
 def _drop_rows(part: pa.Table) -> pa.Table:
     """(doc_id, idx) occurrences to DROP: everything but the first
     (doc_id, idx) of each hash run."""
-    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+    # empty block's doc_id typed from the part when present — int64 pinning
+    # would mix schemas on string-id corpora (same fix as rewrite_part)
+    id_type = (part["doc_id"].type if "doc_id" in part.column_names
+               else pa.int64())
+    empty = pa.table({"doc_id": pa.array([], id_type),
                       "idx": pa.array([], pa.int64())})
     if part.num_rows == 0 or "h" not in part.column_names:
         return empty
@@ -187,7 +191,12 @@ def paragraph_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
                                         zero_copy_batch=True)))
 
     def rewrite_part(part: pa.Table) -> pa.Table:
-        empty = pa.table({id_col: pa.array([], pa.int64()),
+        # type the empty block's id column from the incoming part when it
+        # carries one — pinning int64 here would emit mixed output schemas
+        # on a string-id corpus whenever a key-range group is empty
+        id_type = (part["doc_id"].type if "doc_id" in part.column_names
+                   else pa.int64())
+        empty = pa.table({id_col: pa.array([], id_type),
                           text_col: pa.array([], pa.string()),
                           "n_dropped": pa.array([], pa.int64())})
         if part.num_rows == 0 or "idx" not in part.column_names:

@@ -104,7 +104,12 @@ def shared_token_spans(ds, pairs, *, text_col: str = "text",
     ids_ref = ray.put(cand_ids)
 
     def collect(batch: pa.Table) -> pa.Table:
-        want = ray.get(ids_ref)
+        # cached per-worker deserialization — ray.get on a Python set/dict
+        # is NOT zero-copy, so a raw per-batch get would re-deserialize the
+        # whole candidate map every batch (ADVICE r03)
+        from janet_ray.functions.broadcast import get_broadcast
+
+        want = get_broadcast(ids_ref)
         ids = batch[id_col].to_pylist()
         keep = [i for i, v in enumerate(ids) if v in want]
         t = batch.take(pa.array(keep, pa.int64()))
@@ -124,7 +129,9 @@ def shared_token_spans(ds, pairs, *, text_col: str = "text",
     map_ref = ray.put(tok_map)
 
     def extract(batch: pa.Table) -> pa.Table:
-        toks = ray.get(map_ref)
+        from janet_ray.functions.broadcast import get_broadcast
+
+        toks = get_broadcast(map_ref)
         ia_o, ib_o, as_o, bs_o, ln_o = [], [], [], [], []
         for ia, ib in zip(batch["id_a"].to_pylist(),
                           batch["id_b"].to_pylist()):
@@ -207,7 +214,9 @@ def cut_duplicate_spans(ds, spans, *, text_col: str = "text",
                    "end": en_a[order]})
 
     def apply(batch: pa.Table) -> pa.Table:
-        cuts = ray.get(ref)
+        from janet_ray.functions.broadcast import get_broadcast
+
+        cuts = get_broadcast(ref)
         ids = batch[id_col].to_pylist()
         texts = batch[text_col].to_pylist()
         out_t, out_n = [], []

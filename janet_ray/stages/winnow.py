@@ -17,6 +17,16 @@ Implementation notes:
     replay the whole operator exactly (``winnow_sql``). A multiplicative
     Rabin-Karp rolling hash would save the per-gram md5 at the cost of SQL
     replayability; the selection SEMANTICS (window minima) are identical.
+  * **32-bit collision bias (production note)**: window-MIN selection biases
+    kept fingerprints toward SMALL hash values, so once the corpus's distinct
+    gram count passes the 32-bit birthday bound (~65k distinct grams start
+    colliding; web corpora carry billions) cross-document collisions add
+    shared fingerprints two documents never shared — an OVERestimate of the
+    'exact' Jaccard numerator (unlike the max_df cut, whose documented bias
+    is conservative). For production scale pass ``hash_bits=64`` (md5 64-bit
+    prefix masked to int63, the same widening cms.py applied): first hard
+    collision moves past 10^9 distinct grams. The 32-bit default stays
+    because it is the SQL-replayable oracle configuration.
   * window minima are vectorized: ``sliding_window_view(hashes, w).min(1)``
     — no Python loop over windows; the per-gram hashing loop is O(tokens),
     the same shape as the LM bigram counter.
@@ -54,14 +64,24 @@ def _md5_u32(s: str) -> int:
     return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
 
 
-def doc_fingerprints(text: str, *, k: int = DEFAULT_K, w: int = DEFAULT_W
-                     ) -> list[int]:
-    """Sorted distinct winnowing fingerprints of one document."""
+def _md5_u63(s: str) -> int:
+    # 64-bit md5 prefix masked to int63 so it rides pa.int64 columns
+    # non-negative (fp % n_parts partition keys stay valid)
+    return int(hashlib.md5(s.encode()).hexdigest()[:16], 16) & ((1 << 63) - 1)
+
+
+def doc_fingerprints(text: str, *, k: int = DEFAULT_K, w: int = DEFAULT_W,
+                     hash_bits: int = 32) -> list[int]:
+    """Sorted distinct winnowing fingerprints of one document.
+
+    hash_bits=32 is the SQL-oracle configuration; 64 is the production-scale
+    variant (see module docstring's collision-bias note)."""
     toks = _tokens(text or "")
     n = len(toks) - k + 1
     if n <= 0:
         return []
-    hs = np.fromiter((_md5_u32(" ".join(toks[i:i + k])) for i in range(n)),
+    h = _md5_u32 if hash_bits == 32 else _md5_u63
+    hs = np.fromiter((h(" ".join(toks[i:i + k])) for i in range(n)),
                      dtype=np.int64, count=n)
     if n >= w:
         mins = np.lib.stride_tricks.sliding_window_view(hs, w).min(axis=1)
@@ -72,7 +92,8 @@ def doc_fingerprints(text: str, *, k: int = DEFAULT_K, w: int = DEFAULT_W
 
 def winnow_fingerprints(ds, *, text_col: str = "text", id_col: str = "doc_id",
                         k: int = DEFAULT_K, w: int = DEFAULT_W,
-                        n_parts: int = 0, with_size: bool = False):
+                        n_parts: int = 0, with_size: bool = False,
+                        hash_bits: int = 32):
     """Exploded DISTINCT (doc_id, fp) fingerprint rows for the corpus —
     embarrassingly parallel per-batch map, no shuffle. With ``n_parts > 0`` the
     rows carry the fp-hash shuffle partition key (``part = fp % n_parts``) so a
@@ -89,7 +110,7 @@ def winnow_fingerprints(ds, *, text_col: str = "text", id_col: str = "doc_id",
         ns_out: list[int] = []
         for did, t in zip(batch[id_col].to_pylist(),
                           batch[text_col].to_pylist()):
-            fps = doc_fingerprints(t or "", k=k, w=w)
+            fps = doc_fingerprints(t or "", k=k, w=w, hash_bits=hash_bits)
             # extend, not per-posting appends: two C-level calls per doc in
             # the hot explode stage instead of two interpreter calls per fp
             fps_out.extend(fps)
@@ -215,7 +236,8 @@ def _pair_sum(part: pa.Table) -> pa.Table:
 def winnow_neardup_pairs(ds, *, threshold: float = DEFAULT_THRESHOLD,
                          max_df: int = DEFAULT_MAX_DF,
                          k: int = DEFAULT_K, w: int = DEFAULT_W,
-                         text_col: str = "text", id_col: str = "doc_id"):
+                         text_col: str = "text", id_col: str = "doc_id",
+                         hash_bits: int = 32):
     """Near-duplicate (id_a < id_b, jaccard) pairs by EXACT fingerprint-set
     Jaccard over winnowing fingerprints — the content-defined alternative to
     MinHash (which estimates Jaccard; winnowing computes it exactly over the
@@ -249,7 +271,8 @@ def winnow_neardup_pairs(ds, *, threshold: float = DEFAULT_THRESHOLD,
 
     SQL-replayable end to end (winnow_pairs_sql) from the same constants."""
     fps = winnow_fingerprints(ds, text_col=text_col, id_col=id_col, k=k, w=w,
-                              n_parts=_N_FP_PARTS, with_size=True)
+                              n_parts=_N_FP_PARTS, with_size=True,
+                              hash_bits=hash_bits)
 
     partials = fps.groupby("part").map_groups(
         lambda g: _pair_partials(g, max_df), batch_format="pyarrow")

@@ -114,6 +114,39 @@ def test_row_deadline_thread_no_leak_into_next_row():
     assert errors == []
 
 
+def test_row_deadline_fired_cancelled_when_body_raises_own_exception(monkeypatch):
+    """If the row body raises its OWN exception in the same instant the
+    watchdog fires, the pending (undelivered) async RowDeadlineExceeded must
+    be cancelled — otherwise it lands at an arbitrary later bytecode in the
+    thread (ADVICE r03). Deterministic: stub delivery so 'fired' never turns
+    into 'delivered', then check __exit__ cancels on a foreign exception."""
+    import threading
+
+    from janet_ray.functions import deadline as dl
+
+    cancelled = []
+    monkeypatch.setattr(dl, "_async_raise", lambda ident: None)
+    monkeypatch.setattr(dl, "_async_cancel", lambda ident: cancelled.append(ident))
+
+    result = {}
+
+    def worker():
+        try:
+            with dl.row_deadline(0.01):
+                time.sleep(0.1)  # let the watchdog fire (delivery stubbed out)
+                raise ValueError("row's own error")
+        except ValueError:
+            result["own_exc"] = True
+
+    t = threading.Thread(target=worker)
+    t.start()
+    t.join(timeout=10.0)
+    assert not t.is_alive()
+    assert result.get("own_exc"), "body's own exception must propagate"
+    assert cancelled, ("pending async deadline exception must be cancelled "
+                       "when the body raises a non-deadline exception")
+
+
 class HangingEngine(ocr_mod.OcrEngine):
     """Wedges forever on decode — the synthetic pathological document."""
 

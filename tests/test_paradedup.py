@@ -97,3 +97,23 @@ def test_union_path_string_ids(ray_session):
     u = {r.doc_id: (r.text, r.n_dropped) for r in got_u.itertuples()}
     assert b == u
     assert b["u-a"] == ("p\nq", 0) and b["u-b"] == ("r", 1)
+
+
+def test_empty_group_blocks_typed_from_part_schema():
+    """Empty key-range groups must emit doc_id typed like the incoming part
+    (ADVICE r03): an int64-pinned empty block on a string-id corpus mixes
+    output schemas and breaks downstream concat."""
+    import pyarrow as pa
+
+    from janet_ray.stages.paradedup import _drop_rows
+
+    str_part = pa.table({"part": pa.array([], pa.int32()),
+                         "h": pa.array([], pa.int64()),
+                         "doc_id": pa.array([], pa.string()),
+                         "idx": pa.array([], pa.int64())})
+    out = _drop_rows(str_part)
+    assert out.num_rows == 0
+    assert out["doc_id"].type == pa.string()
+    # schema-less empty block (no doc_id at all) falls back to int64
+    out = _drop_rows(pa.table({}))
+    assert out["doc_id"].type == pa.int64()

@@ -173,3 +173,28 @@ def test_distributed_matches_local(ray_session):
     got = {(r.doc_id, r.fp) for r in out.itertuples()}
     want = {(i, fp) for i, t in enumerate(texts) for fp in doc_fingerprints(t)}
     assert got == want
+
+
+def test_hash_bits_64_variant(ray_session):
+    """Production hash_bits=64 (ADVICE r03): same selection semantics and
+    pair results as 32-bit on a collision-free corpus, values int63-safe."""
+    import ray
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    fp32 = doc_fingerprints(text)
+    fp64 = doc_fingerprints(text, hash_bits=64)
+    assert fp32 != fp64  # different hash family actually engaged
+    assert len(fp64) >= 1 and all(0 <= f < 2 ** 63 for f in fp64)
+    # deterministic: same doc → same set
+    assert doc_fingerprints(text, hash_bits=64) == fp64
+    # end-to-end: near-dup pairs identical across hash widths on a small
+    # (collision-free either way) corpus — semantics independent of the hash
+    texts = [text, text + " extra tail words here", "completely different "
+             "content with nothing shared at all in any window of tokens"]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+    p32 = winnow_neardup_pairs(ds, threshold=0.1).to_pandas()
+    p64 = winnow_neardup_pairs(ds, threshold=0.1, hash_bits=64).to_pandas()
+    assert sorted(zip(p32.id_a, p32.id_b)) == sorted(zip(p64.id_a, p64.id_b))
