@@ -164,6 +164,7 @@ def run_suite(sf_dir: str) -> dict[str, float]:
         # round-3 operators
         "search_index_lookup": Q.q_search_index_lookup,
         "search_index_bm25": Q.q_search_index_bm25,
+        "index_lookup_phrase": Q.q_index_lookup_phrase,
         "pack_sequences": Q.q_pack_sequences,
         "winnow_fingerprints": Q.q_winnow_fingerprints,
         "winnow_neardup": Q.q_winnow_neardup,
@@ -196,16 +197,24 @@ def run_suite(sf_dir: str) -> dict[str, float]:
         "normalize_text": Q.q_normalize_text,
         "canonical_urls": Q.q_canonical_urls,
     }
-    out = {}
-    for name, fn in suite.items():
-        t0 = time.time()
-        res = fn(sf_dir)
-        if hasattr(res, "iter_batches"):
-            # consume fully without driver materialization of wide columns
-            for _ in res.iter_batches(batch_size=4096, batch_format="pyarrow"):
-                pass
-        # else: already a (small) materialized DataFrame — the query executed
-        out[name] = round(time.time() - t0, 3)
+    # min-of-2 INTERLEAVED passes (VERDICT r03 #4): single-shot numbers on
+    # this shared VM scatter ±10–40% with co-tenant load (a 22% phantom
+    # headline regression got recorded in r03 while the code got faster);
+    # the per-query minimum of two full passes is the least-contended
+    # estimate, the same discipline the --scaling harness already applies.
+    out: dict[str, float] = {}
+    for _ in range(2):
+        for name, fn in suite.items():
+            t0 = time.time()
+            res = fn(sf_dir)
+            if hasattr(res, "iter_batches"):
+                # consume fully without driver materialization of wide columns
+                for _ in res.iter_batches(batch_size=4096,
+                                          batch_format="pyarrow"):
+                    pass
+            # else: already a (small) materialized DataFrame — the query ran
+            wall = round(time.time() - t0, 3)
+            out[name] = min(out.get(name, wall), wall)
     return out
 
 
@@ -267,7 +276,9 @@ def main() -> None:
         ray.shutdown()
         return
 
-    headline = run_headline(sf_dir)
+    # headline min-of-2, same co-tenant-noise discipline as the suite
+    headline = min((run_headline(sf_dir) for _ in range(2)),
+                   key=lambda h: h["wall_s"])
     queries = run_suite(sf_dir)
     print(json.dumps({
         "metric": "extracted docs/sec (HTML+PDF+OCR mixed), headline pipeline wall sec",
@@ -277,6 +288,7 @@ def main() -> None:
         "sf": _sf(sf_dir),
         "num_cpus": num_cpus,
         "headline": headline,
+        "passes": 2,
     }))
     ray.shutdown()
 

