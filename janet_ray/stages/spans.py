@@ -19,12 +19,15 @@ Two stages, both bounded:
      b_start, length) is MAXIMAL (not extendable either direction) and
      spans are emitted in (a_start, b_start) order.
 
-The pair texts ship via the minhash-verify broadcast pattern: only the
-candidate docs' token arrays are collected (never the corpus), keyed by
-id, `ray.put` once; the pair stream maps statelessly against it. Above
-``broadcast_limit`` distinct candidate docs the caller should pre-filter
-(threshold/df knobs on the candidate chain) — the guard raises rather
-than silently ships a corpus.
+Below ``broadcast_limit`` distinct candidate docs, the pair texts ship via
+the minhash-verify broadcast pattern: only the candidate docs' token
+arrays are collected (never the corpus), keyed by id, `ray.put` once; the
+pair stream maps statelessly against it. ABOVE the limit the extraction
+switches to the sorted-gram run-merge path (``_spans_sorted_gram``): gram
+explode → gram-bucket shuffle → candidate-pair match points → pair-bucket
+shuffle → diagonal run stitching — nothing O(docs × tokens) ever
+broadcasts, so web-scale candidate sets stream instead of raising (the
+r03 ceiling). Both paths are parity-pinned.
 
 Not SQL-expressible (maximal-run extraction has no relational form);
 pinned by a brute-force reference parity test; the registered query is
@@ -75,32 +78,67 @@ def maximal_shared_runs(a: list[str], b: list[str],
     return out
 
 
+def _collect_pair_arrays(pairs) -> tuple[np.ndarray, np.ndarray]:
+    """(id_a, id_b) int64 arrays of a materialized pair Dataset — O(pairs)
+    driver memory (two int64 per pair; the pair list is the operator's input
+    and is ∝ duplicate rate, the same boundedness contract
+    cut_duplicate_spans states for its interval set)."""
+    ia, ib = [], []
+    for b in pairs.iter_batches(batch_size=None, batch_format="pyarrow"):
+        if b.num_rows:
+            ia.append(b["id_a"].to_numpy(zero_copy_only=False))
+            ib.append(b["id_b"].to_numpy(zero_copy_only=False))
+    if not ia:
+        return (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64))
+    return (np.concatenate(ia).astype(np.int64),
+            np.concatenate(ib).astype(np.int64))
+
+
 def shared_token_spans(ds, pairs, *, text_col: str = "text",
                        id_col: str = "doc_id", min_len: int = 7,
                        max_tokens: int = 4096,
-                       broadcast_limit: int = 500_000):
+                       broadcast_limit: int = 50_000,
+                       method: str = "auto"):
     """(id_a, id_b, a_start, b_start, length) exact shared-span rows for
     every candidate pair. ``pairs`` is any Dataset with id_a/id_b columns
     (typically ``winnow_neardup_pairs`` output — with k+w−1 ≤ min_len its
-    coverage guarantee makes recall exact)."""
+    coverage guarantee makes recall exact).
+
+    Two extraction paths, parity-pinned in tests/test_spans.py:
+
+    * ``broadcast`` — the exact per-pair diagonal-run kernel over a
+      broadcast token map. Memory is O(candidate docs × max_tokens)
+      strings per worker, so it's the SMALL-candidate-set path.
+    * ``sorted_gram`` — the scale path (VERDICT r03 #5): explode each
+      candidate doc's min_len-grams with positions, ONE shuffle on the
+      gram hash, emit candidate-pair match points per gram run, ONE
+      shuffle on the pair key, stitch consecutive same-diagonal points
+      into maximal runs. Nothing O(docs × tokens) is ever broadcast —
+      only the pair-key array (two int64 per pair) ships to workers —
+      so web-scale boilerplate finishes instead of hitting a ceiling.
+
+    ``method="auto"`` picks broadcast below ``broadcast_limit`` distinct
+    candidate docs and sorted_gram above — the raise is gone. The default
+    limit is sized for the broadcast path's real cost (a 50k-doc ×
+    max_tokens token map is ~GB-order per worker; it was a hard-raise
+    ceiling of 500k when no fallback existed)."""
     import ray
 
-    # materialize: the pair stream is consumed twice (candidate-id fold +
-    # the extraction map) — without this the whole upstream candidate chain
-    # (two corpus shuffles) would re-execute from lineage
+    # materialize: the pair stream is consumed more than once (pair-array
+    # fold + the extraction map) — without this the whole upstream candidate
+    # chain (two corpus shuffles) would re-execute from lineage
     pairs = pairs.materialize()
-    cand_ids = set()
-    for b in pairs.iter_batches(batch_size=None, batch_format="pyarrow"):
-        if b.num_rows:
-            cand_ids.update(b["id_a"].to_pylist())
-            cand_ids.update(b["id_b"].to_pylist())
-        if len(cand_ids) > broadcast_limit:
-            # fail BEFORE accumulating the whole set — the guard must bound
-            # driver memory, not report an OOM post-mortem
-            raise ValueError(
-                f"candidate docs exceed broadcast_limit={broadcast_limit}; "
-                "tighten the candidate chain's threshold/df knobs before "
-                "span extraction")
+    ida, idb = _collect_pair_arrays(pairs)
+    uids = np.unique(np.concatenate([ida, idb]))
+    if method == "auto":
+        method = "broadcast" if len(uids) <= broadcast_limit else "sorted_gram"
+    if method == "sorted_gram":
+        return _spans_sorted_gram(ds, ida, idb, uids, text_col=text_col,
+                                  id_col=id_col, min_len=min_len,
+                                  max_tokens=max_tokens)
+    if method != "broadcast":
+        raise ValueError(f"unknown span extraction method {method!r}")
+    cand_ids = set(uids.tolist())
     ids_ref = ray.put(cand_ids)
 
     def collect(batch: pa.Table) -> pa.Table:
@@ -153,6 +191,177 @@ def shared_token_spans(ds, pairs, *, text_col: str = "text",
 
     return pairs.map_batches(extract, batch_format="pyarrow",
                              zero_copy_batch=True)
+
+
+_N_SPAN_PARTS = 64  # coarse shuffle width, the engine-wide partition rule
+
+
+def _gram_hashes(toks: list[str], k: int) -> np.ndarray:
+    """63-bit md5 hashes of the token sequence's k-grams (winnow's
+    production hash family — 32 bits would collide under web-scale distinct
+    gram counts and fabricate match points)."""
+    from janet_ray.stages.winnow import _md5_u63
+
+    n = len(toks) - k + 1
+    if n <= 0:
+        return np.zeros(0, dtype=np.int64)
+    return np.fromiter((_md5_u63(" ".join(toks[i:i + k])) for i in range(n)),
+                       dtype=np.int64, count=n)
+
+
+def _spans_sorted_gram(ds, ida: np.ndarray, idb: np.ndarray,
+                       uids: np.ndarray, *, text_col: str, id_col: str,
+                       min_len: int, max_tokens: int,
+                       n_parts: int = _N_SPAN_PARTS):
+    """Sorted-gram run-merge span extraction (the distributed shape of
+    Lee'21's suffix-array pass, done with the engine's gram-hash explode):
+
+      1. corpus pass: keep candidate docs only (sorted-array membership),
+         explode (gram_hash, doc_id, pos) for every min_len-gram of the
+         truncated token sequence, fused gram-bucket shuffle key;
+      2. per gram bucket: sort by gram, length-classed vectorized pair
+         emission within each gram run (the winnow _pair_partials pattern),
+         keep only occurrence pairs whose (id_a, id_b) is in the candidate
+         pair set (searchsorted over the broadcast packed pair keys — dense
+         doc indexes make the pack collision-free in int64), emit match
+         points (ppart, id_a, id_b, diag, pos_a);
+      3. per pair partition: lexsort (id_a, id_b, diag, pos_a) and stitch
+         consecutive-pos_a runs — a maximal shared token run of length L
+         contributes exactly L−k+1 consecutive match points on one
+         diagonal, so the stitched span is (a_start, b_start, L), identical
+         to the diagonal-run kernel's output (modulo 63-bit gram-hash
+         collisions, which the parity tests pin as absent at fixture scale
+         and which at corpus scale perturb, never crash).
+
+    A gram occurring o_a × o_b times within a candidate pair still emits
+    o_a·o_b match points — the same quadratic the equality-matrix kernel
+    pays for that pair, but spread across gram buckets instead of
+    concentrated in one worker's 2-D allocation."""
+    import ray
+    import ray.data
+
+    from janet_ray.functions.broadcast import get_broadcast
+
+    k = min_len
+    n_docs = len(uids)
+    empty_spans = pa.table({
+        "id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+        "a_start": pa.array([], pa.int64()),
+        "b_start": pa.array([], pa.int64()),
+        "length": pa.array([], pa.int64())})
+    if n_docs == 0 or len(ida) == 0:
+        return ray.data.from_arrow(empty_spans)
+    # packed candidate pair keys over DENSE doc indexes: dense_a·n + dense_b
+    # is collision-free while n_docs² < 2^63 (3·10⁹ docs) — raw int64 ids
+    # couldn't pack without 128 bits
+    da = np.searchsorted(uids, ida)
+    db = np.searchsorted(uids, idb)
+    pair_keys = np.unique(da.astype(np.int64) * n_docs + db)
+    uids_ref = ray.put(uids)
+    keys_ref = ray.put(pair_keys)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        want = get_broadcast(uids_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos_in = np.searchsorted(want, ids)
+        pos_in[pos_in >= len(want)] = 0
+        keep = np.nonzero(want[pos_in] == ids)[0] if len(want) else []
+        t = batch.take(pa.array(keep, pa.int64()))
+        g_out, d_out, p_out = [], [], []
+        for did, txt in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            hs = _gram_hashes(_tokens(txt)[:max_tokens], k)
+            if not hs.size:
+                continue
+            g_out.append(hs)
+            d_out.append(np.full(hs.size, did, dtype=np.int64))
+            p_out.append(np.arange(hs.size, dtype=np.int64))
+        if not g_out:
+            return pa.table({"part": pa.array([], pa.int32()),
+                             "g": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64())})
+        g = np.concatenate(g_out)
+        return pa.table({"part": pa.array((g % n_parts).astype(np.int32)),
+                         "g": pa.array(g),
+                         "doc_id": pa.array(np.concatenate(d_out)),
+                         "pos": pa.array(np.concatenate(p_out))})
+
+    def match_points(part: pa.Table) -> pa.Table:
+        empty = pa.table({"ppart": pa.array([], pa.int32()),
+                          "id_a": pa.array([], pa.int64()),
+                          "id_b": pa.array([], pa.int64()),
+                          "diag": pa.array([], pa.int64()),
+                          "pos_a": pa.array([], pa.int64())})
+        if part.num_rows == 0 or "g" not in part.column_names:
+            return empty
+        want = get_broadcast(uids_ref)
+        keys = get_broadcast(keys_ref)
+        g = part["g"].to_numpy(zero_copy_only=False)
+        d = part["doc_id"].to_numpy(zero_copy_only=False)
+        p = part["pos"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((p, d, g))
+        g, d, p = g[order], d[order], p[order]
+        bounds = np.concatenate([[0], np.nonzero(np.diff(g))[0] + 1, [len(g)]])
+        starts, lens = bounds[:-1], np.diff(bounds)
+        a_o, b_o, pa_o, pb_o = [], [], [], []
+        for m in np.unique(lens):
+            if m < 2:
+                continue
+            s_m = starts[lens == m]
+            idx = s_m[:, None] + np.arange(m)
+            docs, poss = d[idx], p[idx]
+            iu, ju = np.triu_indices(int(m), 1)
+            aa, bb = docs[:, iu].ravel(), docs[:, ju].ravel()
+            qa, qb = poss[:, iu].ravel(), poss[:, ju].ravel()
+            # within a run docs ascend (lexsort), so aa <= bb; drop same-doc
+            # points and pairs outside the candidate set
+            da_ = np.searchsorted(want, aa)
+            db_ = np.searchsorted(want, bb)
+            pk = da_.astype(np.int64) * n_docs + db_
+            at = np.searchsorted(keys, pk)
+            at[at >= len(keys)] = 0
+            ok = (aa != bb) & (keys[at] == pk) if len(keys) else \
+                np.zeros(len(aa), dtype=bool)
+            a_o.append(aa[ok]); b_o.append(bb[ok])
+            pa_o.append(qa[ok]); pb_o.append(qb[ok])
+        if not a_o:
+            return empty
+        aa = np.concatenate(a_o); bb = np.concatenate(b_o)
+        qa = np.concatenate(pa_o); qb = np.concatenate(pb_o)
+        ppart = ((aa * 2654435761 + bb) % n_parts).astype(np.int32)
+        return pa.table({"ppart": pa.array(ppart),
+                         "id_a": pa.array(aa), "id_b": pa.array(bb),
+                         "diag": pa.array(qa - qb), "pos_a": pa.array(qa)})
+
+    def stitch(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0 or "diag" not in part.column_names:
+            return empty_spans
+        a = part["id_a"].to_numpy(zero_copy_only=False)
+        b = part["id_b"].to_numpy(zero_copy_only=False)
+        dg = part["diag"].to_numpy(zero_copy_only=False)
+        q = part["pos_a"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((q, dg, b, a))
+        a, b, dg, q = a[order], b[order], dg[order], q[order]
+        n = len(a)
+        brk = np.ones(n, dtype=bool)
+        brk[1:] = ((a[1:] != a[:-1]) | (b[1:] != b[:-1])
+                   | (dg[1:] != dg[:-1]) | (q[1:] != q[:-1] + 1))
+        run_starts = np.nonzero(brk)[0]
+        run_ends = np.concatenate([run_starts[1:], [n]])
+        m = run_ends - run_starts
+        a_start = q[run_starts]
+        return pa.table({
+            "id_a": pa.array(a[run_starts]),
+            "id_b": pa.array(b[run_starts]),
+            "a_start": pa.array(a_start),
+            "b_start": pa.array(a_start - dg[run_starts]),
+            "length": pa.array(m + k - 1),
+        })
+
+    return (ds.map_batches(explode, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("part").map_groups(match_points, batch_format="pyarrow")
+            .groupby("ppart").map_groups(stitch, batch_format="pyarrow"))
 
 
 def _merge_intervals(starts: np.ndarray, ends: np.ndarray

@@ -64,13 +64,78 @@ def test_end_to_end_with_winnow_candidates(ray_session):
     assert r.a_start == 2 and r.b_start == 0
 
 
-def test_broadcast_guard(ray_session):
+def test_over_limit_dispatches_to_sorted_gram(ray_session):
+    """Above broadcast_limit the auto path must RUN (sorted-gram), not raise
+    (the r03 'weak' ceiling is gone)."""
     import ray
 
-    ds = ray.data.from_items([{"doc_id": 1, "text": "x"}])
+    shared = "shared run of nine identical tokens goes right here"
+    ds = ray.data.from_items([
+        {"doc_id": 1, "text": f"prefix {shared}"},
+        {"doc_id": 2, "text": f"{shared} suffix words"},
+    ])
     pairs = ray.data.from_items([{"id_a": 1, "id_b": 2}])
-    with pytest.raises(ValueError, match="broadcast_limit"):
-        shared_token_spans(ds, pairs, broadcast_limit=1)
+    out = shared_token_spans(ds, pairs, min_len=7,
+                             broadcast_limit=1).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r.id_a, r.id_b, r.length) == (1, 2, 9)
+    assert r.a_start == 1 and r.b_start == 0
+
+
+def _span_set(df):
+    return {(r.id_a, r.id_b, r.a_start, r.b_start, r.length)
+            for r in df.itertuples()}
+
+
+def test_sorted_gram_parity_with_broadcast_kernel(ray_session):
+    """The scale path must produce EXACTLY the broadcast kernel's spans —
+    random corpora with planted shared runs, repeated tokens (multiple
+    maximal runs per pair, several diagonals), and all-pairs candidates."""
+    import ray
+
+    rng = np.random.RandomState(11)
+    vocab = [f"w{i}" for i in range(12)]
+    shared_a = " ".join(rng.choice(vocab, 9))
+    shared_b = " ".join(rng.choice(vocab, 7))
+    texts = []
+    for i in range(12):
+        toks = list(rng.choice(vocab, rng.randint(5, 30)))
+        if i % 3 == 0:
+            toks[2:2] = shared_a.split()
+        if i % 4 == 0:
+            toks.extend(shared_b.split())
+        texts.append(" ".join(toks))
+    texts.append("a a a a a a a a a a")  # degenerate repeats
+    texts.append("b b a a a a a a a a a a b")
+    ds = ray.data.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(texts)])
+    n = len(texts)
+    pairs = ray.data.from_items(
+        [{"id_a": i, "id_b": j} for i in range(n) for j in range(i + 1, n)])
+    for min_len in (4, 7):
+        bc = shared_token_spans(ds, pairs, min_len=min_len,
+                                method="broadcast").to_pandas()
+        sg = shared_token_spans(ds, pairs, min_len=min_len,
+                                method="sorted_gram").to_pandas()
+        assert _span_set(bc) == _span_set(sg), min_len
+        assert len(bc) > 0  # the parity is over a non-trivial span set
+
+
+def test_sorted_gram_respects_candidate_pair_set(ray_session):
+    """Docs sharing a run but NOT in the candidate pair set emit nothing."""
+    import ray
+
+    shared = "one two three four five six seven"
+    ds = ray.data.from_items([
+        {"doc_id": 1, "text": f"{shared} x"},
+        {"doc_id": 2, "text": f"{shared} y"},
+        {"doc_id": 3, "text": f"{shared} z"},
+    ])
+    pairs = ray.data.from_items([{"id_a": 1, "id_b": 3}])
+    out = shared_token_spans(ds, pairs, min_len=7,
+                             method="sorted_gram").to_pandas()
+    assert _span_set(out) == {(1, 3, 0, 0, 7)}
 
 
 def test_cut_duplicate_spans(ray_session):
