@@ -165,6 +165,8 @@ def run_suite(sf_dir: str) -> dict[str, float]:
         "search_index_lookup": Q.q_search_index_lookup,
         "search_index_bm25": Q.q_search_index_bm25,
         "index_lookup_phrase": Q.q_index_lookup_phrase,
+        "host_quota": Q.q_host_quota,
+        "pmi_collocations": Q.q_pmi_collocations,
         "pack_sequences": Q.q_pack_sequences,
         "winnow_fingerprints": Q.q_winnow_fingerprints,
         "winnow_neardup": Q.q_winnow_neardup,

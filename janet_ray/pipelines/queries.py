@@ -917,6 +917,68 @@ FROM documents GROUP BY host
 """
 
 
+_QUOTA = 7
+
+
+def q_host_quota(sf_dir: str):
+    """Domain-level quota sampling — the per-host document cap a CC-style
+    curation pipeline applies right after host_stats (bound any single
+    site's influence on the training mix): at most N docs per host, chosen
+    by the engine's content-addressed md5 rank so reruns/resumes keep the
+    SAME documents. Map-side top-quota combiner bounds hot-host shuffle
+    volume to quota × n_batches (stages/quota.py); selection arithmetic is
+    replayed exactly by the oracle's row_number window."""
+    from janet_ray.stages.quota import quota_sample
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def add_host(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "host": pa.array([f"h{i % _HOST_MOD}.example" for i in ids],
+                             pa.string()),
+            "doc_id": batch["doc_id"],
+        })
+
+    pages = ds.map_batches(add_host, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return quota_sample(pages, key_col="host", quota=_QUOTA)
+
+
+def _host_quota_sql() -> str:
+    return f"""
+SELECT host, doc_id FROM (
+  SELECT host, doc_id,
+         row_number() OVER (
+           PARTITION BY host
+           ORDER BY {_md5_u32_sql('doc_id')}, doc_id) AS rk
+  FROM (SELECT 'h' || CAST(doc_id % {_HOST_MOD} AS VARCHAR) || '.example'
+               AS host, doc_id
+        FROM documents)
+) WHERE rk <= {_QUOTA}
+"""
+
+
+def q_pmi_collocations(sf_dir: str):
+    """Corpus-wide PMI collocation extraction (Church & Hanks 1990) — top
+    multiword units by pointwise-mutual-information ratio, the corpus-
+    analysis primitive that surfaces named entities / boilerplate phrases /
+    tokenizer-merge candidates. Token stream never shuffles (per-batch
+    partials → one groupby each); min_count cuts before the count-attach
+    joins; the ln is dropped (monotone) so the float score is an IEEE-exact
+    int→double chain the DuckDB oracle reproduces bit-for-bit — a value-
+    hash-STRICT oracle for a float-scored operator."""
+    from janet_ray.stages.collocations import pmi_collocations
+
+    return pmi_collocations(_docs(sf_dir), top_k=50, min_count=5)
+
+
+def _pmi_collocations_sql() -> str:
+    from janet_ray.stages.collocations import pmi_sql
+
+    return pmi_sql(top_k=50, min_count=5)
+
+
 def q_link_pagerank(sf_dir: str):
     """Composed link-graph centrality — the RefinedWeb/Common-Crawl ranking
     flow end to end: real outlink extraction over the synthetic HTML pages
@@ -2540,6 +2602,8 @@ def build_queries() -> dict:
         "minhash_neardup": q_minhash_neardup,
         # -- new in round 4 ----------------------------------------- 9..
         "index_lookup_phrase": q_index_lookup_phrase,
+        "host_quota": q_host_quota,
+        "pmi_collocations": q_pmi_collocations,
         # -- round-3 queries without driver evidence yet -------------
         "lm_surprise": q_lm_surprise,
         "lm_surprise_cut": q_lm_surprise_cut,
@@ -2679,6 +2743,8 @@ def build_oracles() -> dict[str, str]:
         "training_manifest": _training_manifest_sql(),
         "search_index_lookup": _INDEX_LOOKUP_SQL,
         "index_lookup_phrase": _index_phrase_sql(),
+        "host_quota": _host_quota_sql(),
+        "pmi_collocations": _pmi_collocations_sql(),
         "pack_sequences": _pack_sql(),
         "winnow_fingerprints": _winnow_sql(),
         "winnow_neardup": _winnow_pairs_sql(),
