@@ -167,6 +167,7 @@ def run_suite(sf_dir: str) -> dict[str, float]:
         "index_lookup_phrase": Q.q_index_lookup_phrase,
         "host_quota": Q.q_host_quota,
         "pmi_collocations": Q.q_pmi_collocations,
+        "substring_dedup_global": Q.q_substring_dedup_global,
         "pack_sequences": Q.q_pack_sequences,
         "winnow_fingerprints": Q.q_winnow_fingerprints,
         "winnow_neardup": Q.q_winnow_neardup,

@@ -1218,6 +1218,27 @@ def q_substring_dedup(sf_dir: str):
         _read(sf_dir, "documents", columns=["doc_id", "text"]), spans)
 
 
+def q_substring_dedup_global(sf_dir: str):
+    """GLOBAL substring dedup (the canonical Lee'21 'keep the first
+    occurrence, cut the rest' rule) — candidate-pair-free and LINEAR: gram
+    explode → one gram-bucket shuffle of int rows → every non-first gram
+    occurrence emits its cut interval → one stateless rewrite map. The
+    10¹²-doc default of the substring family (the pair-based composition
+    above serves the pair-analysis use case). The SQL oracle replays the
+    whole chain by gram TEXT — hash-free, so an engine hash collision would
+    FAIL the gate, not hide."""
+    from janet_ray.stages.spans import substring_dedup_global
+
+    return substring_dedup_global(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]), min_len=7)
+
+
+def _substring_dedup_global_sql() -> str:
+    from janet_ray.stages.spans import substring_dedup_global_sql
+
+    return substring_dedup_global_sql(min_len=7)
+
+
 def q_bpe_merges(sf_dir: str):
     """Distributed BPE tokenizer training (stages/bpe.py): one corpus pass
     folds DISTINCT (word, freq) with combiner partials; each of the 20 merge
@@ -2604,6 +2625,7 @@ def build_queries() -> dict:
         "index_lookup_phrase": q_index_lookup_phrase,
         "host_quota": q_host_quota,
         "pmi_collocations": q_pmi_collocations,
+        "substring_dedup_global": q_substring_dedup_global,
         # -- round-3 queries without driver evidence yet -------------
         "lm_surprise": q_lm_surprise,
         "lm_surprise_cut": q_lm_surprise_cut,
@@ -2745,6 +2767,7 @@ def build_oracles() -> dict[str, str]:
         "index_lookup_phrase": _index_phrase_sql(),
         "host_quota": _host_quota_sql(),
         "pmi_collocations": _pmi_collocations_sql(),
+        "substring_dedup_global": _substring_dedup_global_sql(),
         "pack_sequences": _pack_sql(),
         "winnow_fingerprints": _winnow_sql(),
         "winnow_neardup": _winnow_pairs_sql(),

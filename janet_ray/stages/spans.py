@@ -395,12 +395,24 @@ def cut_duplicate_spans(ds, spans, *, text_col: str = "text",
     paradedup's apply: the span rows (already ∝ duplicate rate) broadcast
     once below ``broadcast_limit``; the corpus streams through one
     stateless map and never shuffles."""
+    return _apply_cuts(ds, spans, doc_field="id_b", start_field="b_start",
+                       len_field="length", text_col=text_col, id_col=id_col,
+                       broadcast_limit=broadcast_limit)
+
+
+def _apply_cuts(ds, cuts, *, doc_field: str, start_field: str,
+                len_field: str | None, end_field: str | None = None,
+                text_col: str = "text", id_col: str = "doc_id",
+                broadcast_limit: int = 5_000_000):
+    """Shared cut-apply kernel: fold a (doc, start, length|end) interval
+    Dataset, broadcast it sorted, stream the corpus through one stateless
+    map that merges each doc's intervals and drops the covered tokens."""
     import ray
 
     cut_rows = {"doc": [], "start": [], "end": []}
     n_cuts = 0
-    for b in spans.iter_batches(batch_size=None, batch_format="pyarrow"):
-        if not b.num_rows:
+    for b in cuts.iter_batches(batch_size=None, batch_format="pyarrow"):
+        if not b.num_rows or doc_field not in b.column_names:
             continue
         n_cuts += b.num_rows
         if n_cuts > broadcast_limit:
@@ -410,11 +422,15 @@ def cut_duplicate_spans(ds, spans, *, text_col: str = "text",
                 f"cut intervals exceed broadcast_limit={broadcast_limit}; "
                 "pre-aggregate the span set (higher min_len / threshold) "
                 "before applying")
-        cut_rows["doc"].extend(b["id_b"].to_pylist())
-        st = b["b_start"].to_numpy(zero_copy_only=False)
+        cut_rows["doc"].extend(b[doc_field].to_pylist())
+        st = b[start_field].to_numpy(zero_copy_only=False)
         cut_rows["start"].extend(st.tolist())
-        cut_rows["end"].extend(
-            (st + b["length"].to_numpy(zero_copy_only=False)).tolist())
+        if end_field is not None:
+            cut_rows["end"].extend(
+                b[end_field].to_numpy(zero_copy_only=False).tolist())
+        else:
+            cut_rows["end"].extend(
+                (st + b[len_field].to_numpy(zero_copy_only=False)).tolist())
     doc_a = np.asarray(cut_rows["doc"], dtype=np.int64)
     st_a = np.asarray(cut_rows["start"], dtype=np.int64)
     en_a = np.asarray(cut_rows["end"], dtype=np.int64)
@@ -452,3 +468,145 @@ def cut_duplicate_spans(ds, spans, *, text_col: str = "text",
 
     return ds.map_batches(apply, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def global_duplicate_cuts(ds, *, text_col: str = "text",
+                          id_col: str = "doc_id", min_len: int = 7,
+                          max_tokens: int = 4096,
+                          n_parts: int = _N_SPAN_PARTS):
+    """(doc_id, start, end) token intervals whose min_len-gram duplicates an
+    EARLIER occurrence anywhere in the corpus — the canonical Lee'21 global
+    rule ("keep the first occurrence, cut the rest"), candidate-pair-free
+    and LINEAR in corpus size:
+
+      1. explode (gram_hash, doc_id, pos) over every doc (the sorted-gram
+         explode, no candidate filter), fused gram-bucket shuffle key;
+      2. per gram bucket: sort (gram, doc, pos); the FIRST occurrence of
+         each gram run survives, every other occurrence emits its
+         [pos, pos+min_len) interval. Cut volume is ∝ duplicated tokens —
+         a gram occurring o times emits o−1 intervals, never o² pairs (the
+         shape that makes this the 10¹²-doc default while the pairwise
+         extractors serve the candidate-pair analysis use case).
+
+    First-occurrence order is (doc_id, pos) ascending — pinned, and replayed
+    exactly by the SQL twin (which groups by gram TEXT, so a 63-bit hash
+    collision would FAIL the gate rather than hide)."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        g_out, d_out, p_out = [], [], []
+        for did, txt in zip(batch[id_col].to_pylist(),
+                            batch[text_col].to_pylist()):
+            hs = _gram_hashes(_tokens(txt)[:max_tokens], min_len)
+            if not hs.size:
+                continue
+            g_out.append(hs)
+            d_out.append(np.full(hs.size, did, dtype=np.int64))
+            p_out.append(np.arange(hs.size, dtype=np.int64))
+        if not g_out:
+            return pa.table({"part": pa.array([], pa.int32()),
+                             "g": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64())})
+        g = np.concatenate(g_out)
+        return pa.table({"part": pa.array((g % n_parts).astype(np.int32)),
+                         "g": pa.array(g),
+                         "doc_id": pa.array(np.concatenate(d_out)),
+                         "pos": pa.array(np.concatenate(p_out))})
+
+    def non_first(part: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "start": pa.array([], pa.int64()),
+                          "end": pa.array([], pa.int64())})
+        if part.num_rows == 0 or "g" not in part.column_names:
+            return empty
+        g = part["g"].to_numpy(zero_copy_only=False)
+        d = part["doc_id"].to_numpy(zero_copy_only=False)
+        p = part["pos"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((p, d, g))
+        g, d, p = g[order], d[order], p[order]
+        first = np.ones(len(g), dtype=bool)
+        first[1:] = g[1:] != g[:-1]
+        cut = ~first
+        if not cut.any():
+            return empty
+        return pa.table({"doc_id": pa.array(d[cut]),
+                         "start": pa.array(p[cut]),
+                         "end": pa.array(p[cut] + min_len)})
+
+    return (ds.map_batches(explode, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("part").map_groups(non_first, batch_format="pyarrow"))
+
+
+def substring_dedup_global(ds, *, text_col: str = "text",
+                           id_col: str = "doc_id", min_len: int = 7,
+                           max_tokens: int = 4096,
+                           broadcast_limit: int = 5_000_000):
+    """Corpus rewrite under the global first-occurrence substring rule:
+    (doc_id, text, n_tokens_removed) with every duplicated-gram interval cut
+    (overlaps merged). The corpus pays one explode pass + one gram-bucket
+    shuffle of int rows + one stateless rewrite map.
+
+    ``ds`` is consumed twice (cut detection + rewrite) — pass a
+    materialized or re-readable Dataset (a parquet read re-executes
+    cheaply; a long transform chain should be materialized by the
+    caller)."""
+    cuts = global_duplicate_cuts(ds, text_col=text_col, id_col=id_col,
+                                 min_len=min_len, max_tokens=max_tokens)
+    return _apply_cuts(ds, cuts, doc_field="doc_id", start_field="start",
+                       len_field=None, end_field="end", text_col=text_col,
+                       id_col=id_col, broadcast_limit=broadcast_limit)
+
+
+def substring_dedup_global_sql(*, source: str = "documents",
+                               text_expr: str = "text",
+                               id_col: str = "doc_id", min_len: int = 7,
+                               max_tokens: int = 4096) -> str:
+    """DuckDB replay of substring_dedup_global: grams by TEXT (hash-free),
+    first occurrence by (doc_id, pos) window rank, cut token indexes
+    exploded per interval, kept tokens re-joined in order."""
+    k = int(min_len)
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id,
+         regexp_extract_all(lower({text_expr}), '[a-z0-9]+') AS t
+  FROM {source}
+),
+tk AS (
+  SELECT doc_id, t[1:LEAST(len(t), {int(max_tokens)})] AS tt, t FROM toks
+),
+grams AS (
+  SELECT doc_id, i - 1 AS pos,
+         list_aggregate(tt[i:i + {k} - 1], 'string_agg', ' ') AS gram
+  FROM tk, UNNEST(generate_series(1, len(tt) - {k} + 1)) AS g(i)
+),
+ranked AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rk
+  FROM grams
+),
+cutpos AS (
+  SELECT DISTINCT doc_id, pos + j AS cut
+  FROM ranked, UNNEST(generate_series(0, {k - 1})) AS s(j)
+  WHERE rk > 1
+),
+toklist AS (
+  SELECT doc_id, i - 1 AS pos, t[i] AS w
+  FROM tk, UNNEST(generate_series(1, len(t))) AS g(i)
+),
+kept AS (
+  SELECT tl.doc_id, tl.pos, tl.w
+  FROM toklist tl LEFT JOIN cutpos c
+    ON c.doc_id = tl.doc_id AND c.cut = tl.pos
+  WHERE c.doc_id IS NULL
+),
+agg AS (
+  SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(a.text, '') AS text,
+       CAST(len(d.t) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_tokens_removed
+FROM tk d LEFT JOIN agg a USING (doc_id)
+"""

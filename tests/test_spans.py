@@ -191,3 +191,80 @@ def test_no_candidate_pairs_yields_empty(ray_session):
         lambda r: False)  # empty pair set
     out = shared_token_spans(ds, pairs, min_len=3).to_pandas()
     assert len(out) == 0
+
+
+def _brute_global(texts, min_len, max_tokens=4096):
+    """Reference for substring_dedup_global: cut every token covered by a
+    k-gram whose (doc, pos)-earliest occurrence is elsewhere."""
+    import re
+
+    tok = re.compile(r"[a-z0-9]+")
+    toks = {i: tok.findall(t.lower()) for i, t in enumerate(texts)}
+    first = {}
+    occs = []
+    for i in sorted(toks):
+        tt = toks[i][:max_tokens]
+        for p in range(len(tt) - min_len + 1):
+            g = " ".join(tt[p:p + min_len])
+            if g not in first:
+                first[g] = (i, p)
+            else:
+                occs.append((i, p))
+    cut = {}
+    for i, p in occs:
+        cut.setdefault(i, set()).update(range(p, p + min_len))
+    out = {}
+    for i in sorted(toks):
+        kept = [w for j, w in enumerate(toks[i]) if j not in cut.get(i, set())]
+        out[i] = (" ".join(kept), len(toks[i]) - len(kept))
+    return out
+
+
+def test_global_substring_dedup_matches_bruteforce(ray_session):
+    import ray
+
+    from janet_ray.stages.spans import substring_dedup_global
+
+    shared = "common boilerplate of nine identical tokens right here now"
+    rng = np.random.RandomState(5)
+    vocab = [f"v{i}" for i in range(15)]
+    texts = []
+    for i in range(10):
+        toks = list(rng.choice(vocab, rng.randint(6, 25)))
+        if i % 2 == 0:
+            toks[1:1] = shared.split()
+        texts.append(" ".join(toks))
+    texts.append("a a a a a a a a a a")   # self-duplicating grams
+    texts.append(shared + " " + shared)    # intra-doc duplicate
+    ds = ray.data.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(texts)])
+    for min_len in (4, 7):
+        got = substring_dedup_global(ds, min_len=min_len).to_pandas()
+        got_map = {r.doc_id: (r.text, r.n_tokens_removed)
+                   for r in got.itertuples()}
+        assert got_map == _brute_global(texts, min_len), min_len
+
+
+def test_global_substring_dedup_matches_sql_twin(ray_session):
+    import duckdb
+    import pandas as pd
+    import ray
+
+    from janet_ray.stages.spans import (substring_dedup_global,
+                                        substring_dedup_global_sql)
+
+    texts = ["the quick brown fox jumps over the lazy dog today",
+             "prefix the quick brown fox jumps over the lazy dog",
+             "the quick brown fox jumps over the lazy dog again yes",
+             "nothing shared here at all in any seven gram window"]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    ds = ray.data.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(texts)])
+    got = substring_dedup_global(ds, min_len=7).to_pandas()
+    con = duckdb.connect()
+    con.register("documents", df)
+    want = con.execute(substring_dedup_global_sql(min_len=7)).df()
+    pd.testing.assert_frame_equal(
+        got.sort_values("doc_id").reset_index(drop=True),
+        want.sort_values("doc_id").reset_index(drop=True),
+        check_dtype=True, check_exact=True)
