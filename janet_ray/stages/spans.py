@@ -393,8 +393,11 @@ def cut_duplicate_spans(ds, spans, *, text_col: str = "text",
 
     Returns (doc_id, text, n_tokens_removed). Shape mirrors
     paradedup's apply: the span rows (already ∝ duplicate rate) broadcast
-    once below ``broadcast_limit``; the corpus streams through one
-    stateless map and never shuffles."""
+    once below ``broadcast_limit`` and the corpus streams through one
+    stateless map with no shuffle; ABOVE the limit the apply switches to
+    the cogroup-via-union path (one coarse doc-hash shuffle, nothing
+    O(intervals) on the driver) instead of raising — both paths
+    parity-pinned."""
     return _apply_cuts(ds, spans, doc_field="id_b", start_field="b_start",
                        len_field="length", text_col=text_col, id_col=id_col,
                        broadcast_limit=broadcast_limit)
@@ -404,24 +407,27 @@ def _apply_cuts(ds, cuts, *, doc_field: str, start_field: str,
                 len_field: str | None, end_field: str | None = None,
                 text_col: str = "text", id_col: str = "doc_id",
                 broadcast_limit: int = 5_000_000):
-    """Shared cut-apply kernel: fold a (doc, start, length|end) interval
-    Dataset, broadcast it sorted, stream the corpus through one stateless
-    map that merges each doc's intervals and drops the covered tokens."""
+    """Shared cut-apply kernel. Below ``broadcast_limit`` intervals: fold the
+    (doc, start, length|end) Dataset, broadcast it sorted, stream the corpus
+    through one stateless map that merges each doc's intervals and drops the
+    covered tokens. ABOVE the limit: cogroup-via-union on a coarse doc hash
+    (the paradedup rewrite shape) — the corpus text moves through ONE
+    shuffle, cut rows ride as sentinel-tagged union rows, and nothing
+    O(intervals) is ever held on the driver or broadcast. The count probe
+    below is metadata-cheap (the cuts chain executes once either way)."""
     import ray
 
+    cuts = cuts.materialize()  # consumed twice on either path (count + rows)
+    n_cuts = cuts.count()
+    if n_cuts > broadcast_limit:
+        return _apply_cuts_union(ds, cuts, doc_field=doc_field,
+                                 start_field=start_field,
+                                 len_field=len_field, end_field=end_field,
+                                 text_col=text_col, id_col=id_col)
     cut_rows = {"doc": [], "start": [], "end": []}
-    n_cuts = 0
     for b in cuts.iter_batches(batch_size=None, batch_format="pyarrow"):
         if not b.num_rows or doc_field not in b.column_names:
             continue
-        n_cuts += b.num_rows
-        if n_cuts > broadcast_limit:
-            # fail BEFORE accumulating everything — the guard bounds driver
-            # memory rather than reporting an OOM post-mortem
-            raise ValueError(
-                f"cut intervals exceed broadcast_limit={broadcast_limit}; "
-                "pre-aggregate the span set (higher min_len / threshold) "
-                "before applying")
         cut_rows["doc"].extend(b[doc_field].to_pylist())
         st = b[start_field].to_numpy(zero_copy_only=False)
         cut_rows["start"].extend(st.tolist())
@@ -468,6 +474,95 @@ def _apply_cuts(ds, cuts, *, doc_field: str, start_field: str,
 
     return ds.map_batches(apply, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def _apply_cuts_union(ds, cuts, *, doc_field: str, start_field: str,
+                      len_field: str | None, end_field: str | None,
+                      text_col: str, id_col: str,
+                      n_parts: int = 64):
+    """Large-interval-set cut apply: cogroup-via-union on a coarse doc hash.
+    Corpus rows carry (start=-1) as the sentinel; cut rows carry their
+    interval and a NULL text. One shuffle total (the rewrite pass any dedup
+    product pays); per-partition rewrite is the same merge-intervals kernel
+    as the broadcast path (parity-pinned in tests)."""
+
+    def tag_corpus(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = batch.num_rows
+        return pa.table({
+            "part": pa.array((ids % n_parts).astype(np.int32)),
+            "doc_id": pa.array(ids),
+            "start": pa.array(np.full(n, -1, dtype=np.int64)),
+            "end": pa.array(np.full(n, -1, dtype=np.int64)),
+            "text": batch[text_col],
+        })
+
+    def tag_cuts(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or doc_field not in batch.column_names:
+            return pa.table({"part": pa.array([], pa.int32()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "start": pa.array([], pa.int64()),
+                             "end": pa.array([], pa.int64()),
+                             "text": pa.array([], pa.string())})
+        ids = batch[doc_field].to_numpy(zero_copy_only=False).astype(np.int64)
+        st = batch[start_field].to_numpy(zero_copy_only=False).astype(np.int64)
+        if end_field is not None:
+            en = batch[end_field].to_numpy(zero_copy_only=False).astype(np.int64)
+        else:
+            en = st + batch[len_field].to_numpy(
+                zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "part": pa.array((ids % n_parts).astype(np.int32)),
+            "doc_id": pa.array(ids),
+            "start": pa.array(st),
+            "end": pa.array(en),
+            "text": pa.array([None] * batch.num_rows, pa.string()),
+        })
+
+    unioned = (ds.map_batches(tag_corpus, batch_format="pyarrow",
+                              zero_copy_batch=True)
+               .union(cuts.map_batches(tag_cuts, batch_format="pyarrow",
+                                       zero_copy_batch=True)))
+
+    def rewrite(part: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          text_col: pa.array([], pa.string()),
+                          "n_tokens_removed": pa.array([], pa.int64())})
+        if part.num_rows == 0 or "start" not in part.column_names:
+            return empty
+        st = part["start"].to_numpy(zero_copy_only=False)
+        docs = part.filter(pa.array(st == -1))
+        dr = part.filter(pa.array(st != -1))
+        cd = dr["doc_id"].to_numpy(zero_copy_only=False)
+        cs = dr["start"].to_numpy(zero_copy_only=False)
+        ce = dr["end"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((cs, cd))
+        cd, cs, ce = cd[order], cs[order], ce[order]
+        out_t, out_n = [], []
+        ids = docs["doc_id"].to_numpy(zero_copy_only=False)
+        for i, t in zip(ids, docs["text"].to_pylist()):
+            lo = np.searchsorted(cd, i, "left")
+            hi = np.searchsorted(cd, i, "right")
+            toks = _tokens(t)
+            if lo == hi:
+                out_t.append(" ".join(toks))
+                out_n.append(0)
+                continue
+            ivs = _merge_intervals(cs[lo:hi], ce[lo:hi])
+            keep = np.ones(len(toks), dtype=bool)
+            for s, e in ivs:
+                keep[s:min(e, len(toks))] = False
+            kept = [tk for tk, k in zip(toks, keep) if k]
+            out_t.append(" ".join(kept))
+            out_n.append(int((~keep).sum()))
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            text_col: pa.array(out_t, pa.string()),
+            "n_tokens_removed": pa.array(out_n, pa.int64()),
+        })
+
+    return unioned.groupby("part").map_groups(rewrite,
+                                              batch_format="pyarrow")
 
 
 def global_duplicate_cuts(ds, *, text_col: str = "text",

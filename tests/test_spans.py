@@ -268,3 +268,46 @@ def test_global_substring_dedup_matches_sql_twin(ray_session):
         got.sort_values("doc_id").reset_index(drop=True),
         want.sort_values("doc_id").reset_index(drop=True),
         check_dtype=True, check_exact=True)
+
+
+def test_cut_apply_union_path_matches_broadcast(ray_session):
+    """Above the interval broadcast_limit the apply must switch to the
+    cogroup-via-union path and produce identical output (not raise)."""
+    import ray
+
+    from janet_ray.stages.spans import cut_duplicate_spans
+
+    spans = ray.data.from_items([
+        {"id_a": 1, "id_b": 5, "a_start": 0, "b_start": 1, "length": 4},
+        {"id_a": 2, "id_b": 5, "a_start": 0, "b_start": 3, "length": 4},
+        {"id_a": 1, "id_b": 6, "a_start": 0, "b_start": 0, "length": 2},
+    ])
+    docs = ray.data.from_items([
+        {"doc_id": 5, "text": "t0 t1 t2 t3 t4 t5 t6 t7"},
+        {"doc_id": 6, "text": "x0 x1 x2 x3"},
+        {"doc_id": 7, "text": "untouched words here"},
+    ])
+    bc = cut_duplicate_spans(docs, spans).to_pandas()
+    un = cut_duplicate_spans(docs, spans, broadcast_limit=0).to_pandas()
+    key = lambda df: sorted(
+        zip(df.doc_id, df.text, df.n_tokens_removed))
+    assert key(bc) == key(un)
+    got = {r.doc_id: (r.text, r.n_tokens_removed) for r in un.itertuples()}
+    assert got[5] == ("t0 t7", 6)
+    assert got[6] == ("x2 x3", 2)
+    assert got[7] == ("untouched words here", 0)
+
+
+def test_global_dedup_union_apply_matches_broadcast(ray_session):
+    import ray
+
+    from janet_ray.stages.spans import substring_dedup_global
+
+    shared = "nine identical tokens in a row right here now"
+    texts = [f"doc{i} " + shared + f" tail{i}" for i in range(6)]
+    ds = ray.data.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(texts)])
+    bc = substring_dedup_global(ds, min_len=7).to_pandas()
+    un = substring_dedup_global(ds, min_len=7, broadcast_limit=0).to_pandas()
+    key = lambda df: sorted(zip(df.doc_id, df.text, df.n_tokens_removed))
+    assert key(bc) == key(un)
