@@ -168,6 +168,7 @@ def run_suite(sf_dir: str) -> dict[str, float]:
         "host_quota": Q.q_host_quota,
         "pmi_collocations": Q.q_pmi_collocations,
         "substring_dedup_global": Q.q_substring_dedup_global,
+        "curation_v3": Q.q_curation_v3,
         "pack_sequences": Q.q_pack_sequences,
         "winnow_fingerprints": Q.q_winnow_fingerprints,
         "winnow_neardup": Q.q_winnow_neardup,

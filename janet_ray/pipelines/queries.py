@@ -1181,6 +1181,60 @@ def _curation_v2_sql() -> str:
                                 source=f"({clf}) AS sc")
 
 
+def q_curation_v3(sf_dir: str):
+    """Composed corpus-curation flow exercising the ROUND-4 additions end to
+    end, COMPOSITION oracle-checked (the curation_v2 pattern): per-host
+    quota sampling (≤7 docs/host, content-addressed selection) → GLOBAL
+    substring dedup (Lee'21 first-occurrence cut) over the survivors →
+    hashed linear quality classifier over the DEDUPED text → exact global
+    score terciles. Every stage's SQL twin nests into the next. The quota
+    output is materialized once (the dedup consumes it twice: cut detection
+    + rewrite) — a REDUCED dataset, never the raw corpus."""
+    from janet_ray.stages.bucketing import quantile_buckets
+    from janet_ray.stages.classifier import classify
+    from janet_ray.stages.quota import quota_sample
+    from janet_ray.stages.spans import substring_dedup_global
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def add_host(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "host": pa.array([f"h{i % _HOST_MOD}.example" for i in ids],
+                             pa.string()),
+            "doc_id": batch["doc_id"],
+            "text": batch["text"],
+        })
+
+    survivors = quota_sample(
+        ds.map_batches(add_host, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        key_col="host", quota=_QUOTA).materialize()
+    deduped = substring_dedup_global(survivors, min_len=7)
+    scored = classify(deduped)
+    return quantile_buckets(scored, col="score")
+
+
+def _curation_v3_sql() -> str:
+    from janet_ray.stages.bucketing import quantile_buckets_sql
+    from janet_ray.stages.classifier import classifier_sql
+    from janet_ray.stages.spans import substring_dedup_global_sql
+
+    quota = f"""
+SELECT doc_id, text FROM (
+  SELECT doc_id, text,
+         row_number() OVER (
+           PARTITION BY 'h' || CAST(doc_id % {_HOST_MOD} AS VARCHAR)
+                        || '.example'
+           ORDER BY {_md5_u32_sql('doc_id')}, doc_id) AS rk
+  FROM documents
+) WHERE rk <= {_QUOTA}"""
+    dedup = substring_dedup_global_sql(source=f"({quota}) AS qt", min_len=7)
+    clf = classifier_sql(source=f"({dedup}) AS dd", text_expr="text")
+    return quantile_buckets_sql(col_expr="score", out_col="score",
+                                source=f"({clf}) AS sc")
+
+
 def q_duplicate_spans(sf_dir: str):
     """Substring-level dedup (stages/spans.py, the Lee et al. 2021
     granularity): candidates from the exact n-gram Jaccard chain (winnowing
@@ -2626,6 +2680,7 @@ def build_queries() -> dict:
         "host_quota": q_host_quota,
         "pmi_collocations": q_pmi_collocations,
         "substring_dedup_global": q_substring_dedup_global,
+        "curation_v3": q_curation_v3,
         # -- round-3 queries without driver evidence yet -------------
         "lm_surprise": q_lm_surprise,
         "lm_surprise_cut": q_lm_surprise_cut,
@@ -2768,6 +2823,7 @@ def build_oracles() -> dict[str, str]:
         "host_quota": _host_quota_sql(),
         "pmi_collocations": _pmi_collocations_sql(),
         "substring_dedup_global": _substring_dedup_global_sql(),
+        "curation_v3": _curation_v3_sql(),
         "pack_sequences": _pack_sql(),
         "winnow_fingerprints": _winnow_sql(),
         "winnow_neardup": _winnow_pairs_sql(),
