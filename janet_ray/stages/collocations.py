@@ -42,18 +42,15 @@ def _token_lists(batch: pa.Table, text_col: str):
         pattern=TOKEN_SPLIT_PATTERN)
 
 
-def _unigram_partials(batch: pa.Table, *, text_col: str) -> pa.Table:
-    flat = pc.list_flatten(_token_lists(batch, text_col))
-    flat = flat.filter(pc.not_equal(flat, pa.scalar("", pa.string())))
-    vc = flat.value_counts()
-    return pa.table({"w": vc.field("values"),
-                     "n": pc.cast(vc.field("counts"), pa.int64())})
-
-
-def _bigram_partials(batch: pa.Table, *, text_col: str) -> pa.Table:
-    """(w1, w2, n) counts of within-document adjacent token pairs — fully
-    vectorized: flatten with parents, pair token i with token i+1 when both
+def _count_partials(batch: pa.Table, *, text_col: str) -> pa.Table:
+    """ONE tokenize pass emitting both unigram and bigram per-batch counts:
+    (kind 0 = unigram with w2='', kind 1 = within-document adjacent pair).
+    Fully vectorized — flatten with parents, pair token i with i+1 when both
     belong to the same document."""
+    empty = pa.table({"kind": pa.array([], pa.int8()),
+                      "w1": pa.array([], pa.string()),
+                      "w2": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64())})
     toks = _token_lists(batch, text_col)
     flat = pc.list_flatten(toks)
     parents = pc.list_parent_indices(toks)
@@ -61,16 +58,29 @@ def _bigram_partials(batch: pa.Table, *, text_col: str) -> pa.Table:
     par = parents.to_numpy(zero_copy_only=False)
     keep = words != ""
     words, par = words[keep], par[keep]
+    if len(words) == 0:
+        return empty
+    flat_kept = pa.array(words, pa.string())
+    vc = flat_kept.value_counts()
+    uni = pa.table({
+        "kind": pa.array(np.zeros(len(vc), dtype=np.int8)),
+        "w1": vc.field("values"),
+        "w2": pa.array([""] * len(vc), pa.string()),
+        "n": pc.cast(vc.field("counts"), pa.int64()),
+    })
     if len(words) < 2:
-        return pa.table({"w1": pa.array([], pa.string()),
-                         "w2": pa.array([], pa.string()),
-                         "n": pa.array([], pa.int64())})
+        return uni
     same_doc = par[1:] == par[:-1]
     t = pa.table({"w1": pa.array(words[:-1][same_doc], pa.string()),
                   "w2": pa.array(words[1:][same_doc], pa.string())})
     g = t.group_by(["w1", "w2"]).aggregate([([], "count_all")])
-    return pa.table({"w1": g["w1"], "w2": g["w2"],
-                     "n": pc.cast(g["count_all"], pa.int64())})
+    big = pa.table({
+        "kind": pa.array(np.ones(g.num_rows, dtype=np.int8)),
+        "w1": g["w1"],
+        "w2": g["w2"],
+        "n": pc.cast(g["count_all"], pa.int64()),
+    })
+    return pa.concat_tables([uni, big])
 
 
 def pmi_collocations(ds, *, text_col: str = "text",
@@ -84,19 +94,26 @@ def pmi_collocations(ds, *, text_col: str = "text",
 
     from janet_ray.stages.joins import drop_empty_blocks
 
-    uni = (ds.map_batches(
-        lambda b: _unigram_partials(b, text_col=text_col),
-        batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("w").aggregate(Sum("n", alias_name="c")))
-    big = (ds.map_batches(
-        lambda b: _bigram_partials(b, text_col=text_col),
-        batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["w1", "w2"]).aggregate(Sum("n", alias_name="c_ab")))
+    # ONE corpus pass (tokenize once) emits both partial kinds; the partials
+    # are materialized so the two downstream groupbys don't re-execute the
+    # corpus read from lineage — partials volume is per-batch DISTINCT
+    # unigrams + bigrams (vocab-shaped), never the token stream
+    partials = ds.map_batches(
+        lambda b: _count_partials(b, text_col=text_col),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+    uni_raw = (partials.filter(expr="kind == 0")
+               .map_batches(lambda b: pa.table({"w": b["w1"], "n": b["n"]}),
+                            batch_format="pyarrow")
+               .groupby("w").aggregate(Sum("n", alias_name="c")))
+    big_raw = (partials.filter(expr="kind == 1")
+               .map_batches(lambda b: b.select(["w1", "w2", "n"]),
+                            batch_format="pyarrow")
+               .groupby(["w1", "w2"]).aggregate(Sum("n", alias_name="c_ab")))
 
     # corpus totals: O(blocks) folds over the (already aggregated) count
     # tables — aggregate-small, never the token stream
-    uni = uni.materialize()
-    big = big.materialize()
+    uni = uni_raw.materialize()
+    big = big_raw.materialize()
     tu = int(uni.sum("c") or 0)  # Dataset.sum is None on an empty dataset
     tb = int(big.sum("c_ab") or 0)
     if not tb:
