@@ -1235,13 +1235,31 @@ SELECT doc_id, text FROM (
                                 source=f"({clf}) AS sc")
 
 
+def _duplicate_spans_sql() -> str:
+    from janet_ray.stages.spans import shared_spans_sql
+    from janet_ray.stages.winnow import winnow_pairs_sql
+
+    return shared_spans_sql(
+        pairs_sql=winnow_pairs_sql(k=3, w=1, threshold=0.5), min_len=7)
+
+
+def _substring_dedup_sql() -> str:
+    from janet_ray.stages.spans import substring_dedup_sql
+    from janet_ray.stages.winnow import winnow_pairs_sql
+
+    return substring_dedup_sql(
+        pairs_sql=winnow_pairs_sql(k=3, w=1, threshold=0.5), min_len=7)
+
+
 def q_duplicate_spans(sf_dir: str):
     """Substring-level dedup (stages/spans.py, the Lee et al. 2021
     granularity): candidates from the exact n-gram Jaccard chain (winnowing
     at w=1 — its coverage guarantee makes span recall exact for runs ≥
     min_len), then per-pair maximal shared token runs ≥ 7 via the
-    vectorized diagonal-run kernel. Rows-only by declaration (maximal-run
-    extraction has no relational form); the kernel is pinned against a
+    vectorized diagonal-run kernel. SQL-oracle-checked as of r04: the
+    sorted-gram formulation is relational (gram-text self-join over the
+    winnow-replayed candidate pairs + gaps-and-islands diagonal stitch,
+    spans.shared_spans_sql); the kernel is additionally pinned against a
     brute-force reference in tests/test_spans.py."""
     from janet_ray.stages.spans import shared_token_spans
     from janet_ray.stages.winnow import winnow_neardup_pairs
@@ -1256,10 +1274,11 @@ def q_duplicate_spans(sf_dir: str):
 def q_substring_dedup(sf_dir: str):
     """Composed substring-level dedup END TO END (Lee et al. 2021 flow):
     winnow candidates → exact maximal shared spans → cut rule (lower doc_id
-    keeps; the higher doc's tokens are removed, overlaps merged). Rows-only
-    by declaration; every kernel is reference-pinned in tests/test_spans.py
-    and the cut rule's keep-the-minimum-doc consistency is by construction
-    (each pair cuts only its higher side)."""
+    keeps; the higher doc's tokens are removed, overlaps merged).
+    SQL-oracle-checked as of r04 (spans.substring_dedup_sql replays the
+    whole composition); every kernel is also reference-pinned in
+    tests/test_spans.py and the cut rule's keep-the-minimum-doc consistency
+    is by construction (each pair cuts only its higher side)."""
     from janet_ray.stages.spans import cut_duplicate_spans, shared_token_spans
     from janet_ray.stages.winnow import winnow_neardup_pairs
 
@@ -2823,6 +2842,8 @@ def build_oracles() -> dict[str, str]:
         "host_quota": _host_quota_sql(),
         "pmi_collocations": _pmi_collocations_sql(),
         "substring_dedup_global": _substring_dedup_global_sql(),
+        "duplicate_spans": _duplicate_spans_sql(),
+        "substring_dedup": _substring_dedup_sql(),
         "curation_v3": _curation_v3_sql(),
         "pack_sequences": _pack_sql(),
         "winnow_fingerprints": _winnow_sql(),

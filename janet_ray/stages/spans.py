@@ -29,9 +29,12 @@ shuffle → diagonal run stitching — nothing O(docs × tokens) ever
 broadcasts, so web-scale candidate sets stream instead of raising (the
 r03 ceiling). Both paths are parity-pinned.
 
-Not SQL-expressible (maximal-run extraction has no relational form);
-pinned by a brute-force reference parity test; the registered query is
-rows-only by declaration."""
+SQL-expressible after all (r04): the sorted-gram formulation is relational
+— ``shared_spans_sql`` replays match points as a gram-text self-join over
+the candidate pairs and stitches maximal diagonal runs with the
+gaps-and-islands window trick; ``substring_dedup_sql`` replays the cut
+composition on top. The kernels are additionally pinned by brute-force
+parity tests."""
 
 from __future__ import annotations
 
@@ -704,4 +707,93 @@ SELECT d.doc_id,
        COALESCE(a.text, '') AS text,
        CAST(len(d.t) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_tokens_removed
 FROM tk d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def shared_spans_sql(*, pairs_sql: str, source: str = "documents",
+                     text_expr: str = "text", id_col: str = "doc_id",
+                     min_len: int = 7, max_tokens: int = 4096) -> str:
+    """DuckDB replay of shared_token_spans — the sorted-gram formulation IS
+    relational (what the r03 'no relational form' note missed): match points
+    are a gram-text self-join restricted to the candidate pairs, and maximal
+    diagonal runs are a gaps-and-islands stitch (pos − row_number per
+    (pair, diagonal) group). A maximal shared token run of length L ≥ k
+    contributes exactly L−k+1 consecutive match points on one diagonal, so
+    each island is one span with length = count + k − 1 — identical to both
+    engine kernels. ``pairs_sql`` must yield (id_a, id_b) rows (e.g.
+    winnow_pairs_sql with the same knobs the Ray chain used)."""
+    k = int(min_len)
+    return f"""
+WITH pairs AS ({pairs_sql}),
+toks AS (
+  SELECT {id_col} AS doc_id,
+         regexp_extract_all(lower({text_expr}), '[a-z0-9]+') AS t
+  FROM {source}
+),
+tk AS (SELECT doc_id, t[1:LEAST(len(t), {int(max_tokens)})] AS t FROM toks),
+grams AS (
+  SELECT doc_id, i - 1 AS pos,
+         list_aggregate(t[i:i + {k} - 1], 'string_agg', ' ') AS gram
+  FROM tk, UNNEST(generate_series(1, len(t) - {k} + 1)) AS g(i)
+),
+mp AS (
+  SELECT p.id_a, p.id_b, ga.pos AS pa, gb.pos AS pb
+  FROM pairs p
+  JOIN grams ga ON ga.doc_id = p.id_a
+  JOIN grams gb ON gb.doc_id = p.id_b AND gb.gram = ga.gram
+),
+island AS (
+  SELECT id_a, id_b, pa - pb AS diag, pa,
+         pa - row_number() OVER (
+           PARTITION BY id_a, id_b, pa - pb ORDER BY pa) AS grp
+  FROM mp
+)
+SELECT id_a, id_b,
+       CAST(MIN(pa) AS BIGINT) AS a_start,
+       CAST(MIN(pa) - diag AS BIGINT) AS b_start,
+       CAST(count(*) + {k} - 1 AS BIGINT) AS length
+FROM island GROUP BY id_a, id_b, diag, grp
+"""
+
+
+def substring_dedup_sql(*, pairs_sql: str, source: str = "documents",
+                        text_expr: str = "text", id_col: str = "doc_id",
+                        min_len: int = 7, max_tokens: int = 4096) -> str:
+    """DuckDB replay of the pair-based cut composition (spans → cut rule):
+    every span's HIGHER doc loses tokens [b_start, b_start+length); overlaps
+    union via DISTINCT cut positions; kept tokens re-join in order. Covers
+    the whole ``{source}`` corpus (untouched docs pass through re-joined)."""
+    spans = shared_spans_sql(pairs_sql=pairs_sql, source=source,
+                             text_expr=text_expr, id_col=id_col,
+                             min_len=min_len, max_tokens=max_tokens)
+    return f"""
+WITH spans AS ({spans}),
+cutpos AS (
+  SELECT DISTINCT id_b AS doc_id, b_start + j AS cut
+  FROM spans, UNNEST(generate_series(0, length - 1)) AS s(j)
+),
+toks2 AS (
+  SELECT {id_col} AS doc_id,
+         regexp_extract_all(lower({text_expr}), '[a-z0-9]+') AS t
+  FROM {source}
+),
+toklist AS (
+  SELECT doc_id, i - 1 AS pos, t[i] AS w
+  FROM toks2, UNNEST(generate_series(1, len(t))) AS g(i)
+),
+kept AS (
+  SELECT tl.doc_id, tl.pos, tl.w
+  FROM toklist tl LEFT JOIN cutpos c
+    ON c.doc_id = tl.doc_id AND c.cut = tl.pos
+  WHERE c.doc_id IS NULL
+),
+agg AS (
+  SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(a.text, '') AS text,
+       CAST(len(d.t) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_tokens_removed
+FROM toks2 d LEFT JOIN agg a USING (doc_id)
 """
