@@ -1235,6 +1235,12 @@ SELECT doc_id, text FROM (
                                 source=f"({clf}) AS sc")
 
 
+def _simhash_sql_oracle() -> str:
+    from janet_ray.stages.dedup import simhash_pairs_sql
+
+    return simhash_pairs_sql(max_hamming=8)
+
+
 def _duplicate_spans_sql() -> str:
     from janet_ray.stages.spans import shared_spans_sql
     from janet_ray.stages.winnow import winnow_pairs_sql
@@ -1483,8 +1489,12 @@ def q_minhash_neardup(sf_dir: str):
 
 
 def q_simhash_neardup(sf_dir: str):
-    """Hamming-banded SimHash near-dups — bit-level hash not SQL-expressible;
-    rows-only check (pair-level properties asserted in tests/test_dedup.py)."""
+    """Hamming-banded SimHash near-dups. SQL-oracle-checked as of r04: the
+    simhash word hash moved to md5-u64 (the engine's SQL-renderable
+    content-address family), so the whole chain — tf bit-votes, strict->0
+    tie rule, pigeonhole banding (lossless for d ≤ max_hamming), popcount
+    verify — replays as dedup.simhash_pairs_sql; pair-level properties are
+    additionally asserted in tests/test_dedup.py."""
     return dedup.simhash_neardup_pairs(_docs(sf_dir), max_hamming=8)
 
 
@@ -2843,6 +2853,7 @@ def build_oracles() -> dict[str, str]:
         "pmi_collocations": _pmi_collocations_sql(),
         "substring_dedup_global": _substring_dedup_global_sql(),
         "duplicate_spans": _duplicate_spans_sql(),
+        "simhash_neardup": _simhash_sql_oracle(),
         "substring_dedup": _substring_dedup_sql(),
         "curation_v3": _curation_v3_sql(),
         "pack_sequences": _pack_sql(),

@@ -409,10 +409,33 @@ def exact_dedup(ds: "ray.data.Dataset", *, id_col: str = "doc_id",
 
 # ---------------------------------------------------------------- simhash
 
+_SIMHASH_WORD_CACHE: dict = {}
+_SIMHASH_WORD_CACHE_MAX = 1 << 20
+
+
+def _simhash_word_hash(w: str) -> int:
+    """md5 64-bit prefix — the engine's SQL-renderable content-address
+    family (r04: lets the whole simhash chain replay in DuckDB; blake2b,
+    the minhash shingle hash, has no SQL twin). Memoized per worker."""
+    h = _SIMHASH_WORD_CACHE.get(w)
+    if h is None:
+        if len(_SIMHASH_WORD_CACHE) >= _SIMHASH_WORD_CACHE_MAX:
+            _SIMHASH_WORD_CACHE.clear()
+        h = int(hashlib.md5(w.encode()).hexdigest()[:16], 16)
+        _SIMHASH_WORD_CACHE[w] = h
+    return h
+
+
 def simhash64(text: str) -> int:
     """64-bit SimHash over word tokens (Charikar 2002): weighted bit-vote of
-    per-word hashes, weight = term frequency. Vectorized numpy."""
-    wh = word_hashes(text)
+    per-word hashes (md5-u64 — SQL-replayable), weight = term frequency.
+    Vectorized numpy. Ties (vote == 0) leave the bit UNSET (strict > 0),
+    the rule the SQL twin mirrors."""
+    words = _WORD_RE.findall(text.lower())
+    if not words:
+        return 0
+    wh = np.fromiter((_simhash_word_hash(w) for w in words),
+                     dtype=np.uint64, count=len(words))
     if wh.size == 0:
         return 0
     vals, counts = np.unique(wh, return_counts=True)
@@ -733,3 +756,49 @@ def embedding_neardup_ivf(ds: "ray.data.Dataset", *, threshold: float = 0.95,
                          "id_b": pa.array(b_all, pa.int64())})
 
     return assigned.groupby("cell").map_groups(cell_pairs, batch_format="pyarrow")
+
+
+def simhash_pairs_sql(*, source: str = "documents", text_expr: str = "text",
+                      id_col: str = "doc_id", max_hamming: int = 3) -> str:
+    """DuckDB replay of simhash_neardup_pairs end to end (r04 — possible
+    since the simhash word hash is md5-u64): per-(doc, word) tf → 64
+    bit-votes (strict > 0 sets the bit, the engine tie rule) → bit_count of
+    the pair XOR ≤ max_hamming over all (id_a < id_b) pairs. The pigeonhole
+    banding is lossless for distances ≤ max_hamming, so the engine's
+    bucketed output equals this all-pairs form (the engine's mega-bucket
+    star fallback is the one documented approximation — it does not trigger
+    at oracle scale, and a triggered miss would FAIL this gate, not hide).
+    O(n²) pair scan — oracle-scale only, never the engine path."""
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id,
+         unnest(regexp_extract_all(lower({text_expr}), '[a-z0-9]+')) AS w
+  FROM {source}
+),
+wcnt AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+         FROM toks GROUP BY doc_id, w),
+wh AS (SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 16)) AS UBIGINT) AS h,
+              c FROM wcnt),
+votes AS (
+  SELECT doc_id, g.bit,
+         SUM(CASE WHEN (h >> g.bit) & 1 = 1 THEN c ELSE -c END) AS v
+  FROM wh, UNNEST(generate_series(0, 63)) AS g(bit)
+  GROUP BY doc_id, g.bit
+),
+sh0 AS (
+  SELECT doc_id,
+         CAST(COALESCE(SUM(CASE WHEN v > 0
+                                THEN CAST(1 AS HUGEINT) << bit
+                                ELSE CAST(0 AS HUGEINT) END),
+                       0) AS UBIGINT) AS sh
+  FROM votes GROUP BY doc_id
+),
+all_sh AS (
+  SELECT d.{id_col} AS doc_id, COALESCE(s.sh, CAST(0 AS UBIGINT)) AS sh
+  FROM {source} d LEFT JOIN sh0 s ON s.doc_id = d.{id_col}
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+FROM all_sh a JOIN all_sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= {int(max_hamming)}
+"""
