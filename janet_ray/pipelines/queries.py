@@ -1381,13 +1381,23 @@ def q_kmeans_clusters(sf_dir: str):
     return kmeans_assign(ds, centroids)
 
 
+_BLOOM_N_EXPECTED = 65536  # FIXED filter geometry: (m, k) must be a pure
+# function of constants so the SQL twin replays the exact same bit chain at
+# any sf (a count-derived n_expected would resize the filter per corpus);
+# 65536 keys at 1% is comfortably above every test sf, and a production run
+# sizes its own filter explicitly
+
+
 def q_bloom_new_docs(sf_dir: str):
     """Incremental-ingest dedup via a Bloom filter (stages/bloom.py):
     documents with doc_id % 3 == 0 play the already-ingested corpus; the
     rest are admitted only if their exact-dedup fingerprint is definitely
-    unseen. Rows-only by declaration — false positives are hash artifacts a
-    SQL oracle cannot express; the no-false-negative and FP-rate contracts
-    are property-tested (tests/test_bloom.py)."""
+    unseen. SQL-oracle-checked as of r04 — BIT-EXACTLY, false positives
+    included: bloom.bloom_new_sql replays the md5-prefix key, the
+    splitmix64 double-hash probe chain (mod-2^64 multiplies emulated in
+    HUGEINT), and the fixed (m, k) geometry, so a hash artifact shows up
+    identically on both sides. The no-false-negative and FP-rate contracts
+    are additionally property-tested (tests/test_bloom.py)."""
     from janet_ray.stages.bloom import bloom_filter_new
     from janet_ray.stages.textstats import fingerprint
 
@@ -1407,7 +1417,13 @@ def q_bloom_new_docs(sf_dir: str):
                          f, batch_format="pyarrow", zero_copy_batch=True)
 
     return bloom_filter_new(side(False), side(True), col="fp",
-                            n_expected=max(1024, side(True).count()))
+                            n_expected=_BLOOM_N_EXPECTED)
+
+
+def _bloom_new_sql() -> str:
+    from janet_ray.stages.bloom import bloom_new_sql
+
+    return bloom_new_sql(n_expected=_BLOOM_N_EXPECTED)
 
 
 # CCNet's per-bucket keep rates (Wenzek et al. §4.3 keeps the better-
@@ -2854,6 +2870,7 @@ def build_oracles() -> dict[str, str]:
         "substring_dedup_global": _substring_dedup_global_sql(),
         "duplicate_spans": _duplicate_spans_sql(),
         "simhash_neardup": _simhash_sql_oracle(),
+        "bloom_new_docs": _bloom_new_sql(),
         "substring_dedup": _substring_dedup_sql(),
         "curation_v3": _curation_v3_sql(),
         "pack_sequences": _pack_sql(),

@@ -136,3 +136,87 @@ def bloom_filter_new(ds, seen, *, col: str = "fp", n_expected: int,
 
     return ds.map_batches(keep_new, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------- SQL twin
+
+_M64 = 1 << 64
+_MASK32 = (1 << 32) - 1
+
+
+def _sql_mul64(a: str, b: str) -> str:
+    """(a * b) mod 2^64 over UBIGINT column refs — DuckDB raises on UBIGINT
+    overflow, so the product is assembled from 32-bit halves in HUGEINT
+    (schoolbook low-word: lo·lo + ((lo·hi + hi·lo mod 2^32) << 32))."""
+    lo_a, hi_a = f"(({a}) & {_MASK32})", f"(({a}) >> 32)"
+    lo_b, hi_b = f"(({b}) & {_MASK32})", f"(({b}) >> 32)"
+    cross = (f"((CAST({hi_a} AS HUGEINT) * CAST({lo_b} AS HUGEINT) "
+             f"+ CAST({lo_a} AS HUGEINT) * CAST({hi_b} AS HUGEINT)) "
+             f"% {_MASK32 + 1})")
+    return (f"CAST((CAST({lo_a} AS HUGEINT) * CAST({lo_b} AS HUGEINT) "
+            f"+ {cross} * {_MASK32 + 1}) % {_M64} AS UBIGINT)")
+
+
+def _sql_splitmix_ctes(prefix: str, x_col: str) -> tuple[str, str]:
+    """Chained-CTE steps computing splitmix64(x_col); returns (cte_sql_block,
+    final_column). Each step is one column derivation — no expression
+    blowup."""
+    g = int(_GOLDEN)
+    b = 0xBF58476D1CE4E5B9
+    c = 0x94D049BB133111EB
+    p = prefix
+    block = f""",
+{p}a AS (SELECT *, CAST((CAST({x_col} AS HUGEINT) + {g}) % {_M64} AS UBIGINT)
+                  AS {p}_x FROM {p}_in),
+{p}b AS (SELECT *, xor({p}_x, {p}_x >> 30) AS {p}_u FROM {p}a),
+{p}c AS (SELECT *, {_sql_mul64(f'{p}_u', f'CAST({b} AS UBIGINT)')} AS {p}_v
+         FROM {p}b),
+{p}d AS (SELECT *, xor({p}_v, {p}_v >> 27) AS {p}_w FROM {p}c),
+{p}e AS (SELECT *, {_sql_mul64(f'{p}_w', f'CAST({c} AS UBIGINT)')} AS {p}_y
+         FROM {p}d),
+{p}f AS (SELECT *, xor({p}_y, {p}_y >> 31) AS {p}_out FROM {p}e)"""
+    return block, f"{p}_out"
+
+
+def bloom_new_sql(*, n_expected: int, fp_rate: float = 0.01,
+                  source: str = "documents", seen_mod: int = 3) -> str:
+    """DuckDB replay of the q_bloom_new_docs flow BIT-EXACTLY — false
+    positives included: same md5-prefix key, same splitmix64 double-hash
+    probe chain (mod-2^64 multiplies emulated in HUGEINT), same (m, k)
+    geometry. A doc is admitted iff at least one of its k probe bits was
+    never set by any seen key — hash artifacts replay identically, so this
+    is a value oracle for an operator whose output *depends* on them."""
+    m, k = bloom_params(n_expected, fp_rate)
+    g = int(_GOLDEN)
+    from janet_ray.stages.textstats import fingerprint_sql
+
+    fp = f"CAST(('0x' || substr({fingerprint_sql('text')}, 1, 15)) AS BIGINT)"
+    sm1, h1 = _sql_splitmix_ctes("s1", "xk")
+    sm2, h2 = _sql_splitmix_ctes("s2", "xg")
+    return f"""
+WITH keyed AS (
+  SELECT doc_id, {fp} AS fp, doc_id % {seen_mod} = 0 AS is_seen
+  FROM {source}
+),
+s1_in AS (SELECT DISTINCT fp, CAST(fp AS UBIGINT) AS xk FROM keyed){sm1},
+s2_in AS (SELECT fp, xk, {h1} AS h1, xor(xk, CAST({g} AS UBIGINT)) AS xg
+          FROM s1f){sm2},
+hashes AS (SELECT fp, h1, ({h2} | 1) AS h2 FROM s2f),
+probes AS (
+  SELECT fp,
+         CAST((CAST(h1 AS HUGEINT)
+               + CAST({_sql_mul64('CAST(g.i AS UBIGINT)', 'h2')} AS HUGEINT))
+              % {_M64} AS UBIGINT) & {m - 1} AS bit
+  FROM hashes, UNNEST(generate_series(0, {k - 1})) AS g(i)
+),
+seen_bits AS (
+  SELECT DISTINCT p.bit FROM probes p
+  JOIN (SELECT DISTINCT fp FROM keyed WHERE is_seen) s USING (fp)
+)
+SELECT kd.doc_id, kd.fp
+FROM keyed kd
+WHERE NOT kd.is_seen
+  AND EXISTS (
+    SELECT 1 FROM probes p
+    WHERE p.fp = kd.fp AND p.bit NOT IN (SELECT bit FROM seen_bits))
+"""
