@@ -1624,9 +1624,58 @@ def q_ivf_topk(sf_dir: str):
                                cents, k=10, nprobe=4)
 
 
+def _ocr_word_boxes_sql() -> str:
+    """SQL replay of the raster line-wrap + glyph-grid geometry (r04 — the
+    r03 'positions depend on the raster line-wrap' rows-only note missed
+    that the greedy wrap is a sequential fold a RECURSIVE CTE replays
+    exactly): state (line, col_end) advances one word per iteration; a word
+    of length wl starts a new line when col_end+1+wl > LINE_WIDTH. Geometry
+    from the same constants (CELL 6×8, GLYPH 5×7). Assumes the corpus wrap
+    preconditions the pytest fixture-assumption test asserts live (no
+    newlines, no double spaces, every word ≤ LINE_WIDTH — so the hard-split
+    and rstrip branches never fire)."""
+    from janet_ray.formats import jpdf
+
+    lw = jpdf.LINE_WIDTH
+    cw, ch = jpdf.CELL_W, jpdf.CELL_H
+    gw, gh = jpdf.GLYPH_W, jpdf.GLYPH_H
+    return f"""
+WITH RECURSIVE words AS (
+  SELECT doc_id, i - 1 AS wi, ws[i] AS w, len(ws[i]) AS wl
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       UNNEST(generate_series(1, len(ws))) AS g(i)
+),
+fold AS (
+  SELECT doc_id, wi, 0 AS line, 0 AS col, wl AS col_end, w, wl
+  FROM words WHERE wi = 0
+  UNION ALL
+  SELECT w.doc_id, w.wi,
+         CASE WHEN f.col_end + 1 + w.wl <= {lw} THEN f.line
+              ELSE f.line + 1 END,
+         CASE WHEN f.col_end + 1 + w.wl <= {lw} THEN f.col_end + 1
+              ELSE 0 END,
+         CASE WHEN f.col_end + 1 + w.wl <= {lw} THEN f.col_end + 1 + w.wl
+              ELSE w.wl END,
+         w.w, w.wl
+  FROM fold f JOIN words w ON w.doc_id = f.doc_id AND w.wi = f.wi + 1
+)
+SELECT 'https://docs.example/d-' || lpad(CAST(doc_id AS VARCHAR), 7, '0')
+         AS url,
+       CAST(0 AS INTEGER) AS page,
+       w AS word,
+       CAST(col * {cw} AS DOUBLE) AS x0,
+       CAST(line * {ch} AS DOUBLE) AS y0,
+       CAST(col * {cw} + (wl - 1) * {cw} + {gw} AS DOUBLE) AS x1,
+       CAST(line * {ch} + {gh} AS DOUBLE) AS y1
+FROM fold WHERE wl > 0
+"""
+
+
 def q_ocr_word_boxes(sf_dir: str):
-    """P8/S11 — per-word text-layer geometry over scanned pages (rows-only:
-    positions depend on the raster line-wrap; golden-tested in pytest)."""
+    """P8/S11 — per-word text-layer geometry over scanned pages.
+    SQL-oracle-checked as of r04: the greedy raster wrap is a sequential
+    fold a recursive CTE replays exactly (_ocr_word_boxes_sql); also
+    golden-tested in pytest."""
     from janet_ray.formats import jpdf
     from janet_ray.stages import ocr as ocr_mod
 
@@ -2871,6 +2920,7 @@ def build_oracles() -> dict[str, str]:
         "duplicate_spans": _duplicate_spans_sql(),
         "simhash_neardup": _simhash_sql_oracle(),
         "bloom_new_docs": _bloom_new_sql(),
+        "ocr_word_boxes": _ocr_word_boxes_sql(),
         "substring_dedup": _substring_dedup_sql(),
         "curation_v3": _curation_v3_sql(),
         "pack_sequences": _pack_sql(),

@@ -120,3 +120,24 @@ def test_word_boxes_geometry():
         assert line[int(col):int(col) + len(b["text"])] == b["text"]
         assert b["x1"] > b["x0"] and b["y1"] == b["y0"] + jpdf.GLYPH_H
         assert b["font_size"] == max(0.8 * jpdf.CELL_H, 8.0)
+
+
+def test_corpus_wrap_preconditions_for_box_oracle():
+    """The ocr_word_boxes SQL oracle's recursive wrap fold assumes the
+    corpus never exercises wrap_text's hard-split / rstrip / paragraph
+    branches: no newlines, no double spaces, every word <= LINE_WIDTH.
+    Assert against the LIVE corpora the gate runs on."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    for sf in ("sf0.001", "sf0.01"):
+        path = f"/root/testdata/{sf}/documents.parquet"
+        if not os.path.exists(path):
+            pytest.skip("driver testdata not present")
+        col = pq.read_table(path, columns=["text"])["text"]
+        for t in col.to_pylist():
+            t = t or ""
+            assert "\n" not in t and "  " not in t, sf
+            for tok in t.split(" "):
+                assert 0 < len(tok) <= jpdf.LINE_WIDTH, (sf, tok)
