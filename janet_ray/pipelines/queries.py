@@ -2472,6 +2472,45 @@ def q_lm_surprise(sf_dir: str):
     return lm.score_surprise(docs, model)
 
 
+def q_lm_bigram_model(sf_dir: str):
+    """Exact-integer evidence for the LM-surprise family (r04): the MODEL
+    the float scorer consumes — kept bigram numerators and full-count prev
+    totals — emitted as (prev, w, n, prev_total) rows and value-hash-checked
+    against a SQL replay (BOS sentinel, same top-k tie rule: count desc,
+    then (prev, w) — the engine's 'prev\\x00w' string order, identical
+    because NUL sorts before every token character). Leaves only the
+    −log2 arithmetic itself to the rows-only declaration of lm_surprise."""
+    from janet_ray.stages import lm_quality as lm
+
+    model = lm.build_bigram_model(_docs(sf_dir), max_vocab=50_000)
+    pt = model["prev_totals"]
+    items = sorted(model["bigrams"].items())
+    return pa.table({
+        "prev": pa.array([p for (p, _), _ in items], pa.string()),
+        "w": pa.array([w for (_, w), _ in items], pa.string()),
+        "n": pa.array([n for _, n in items], pa.int64()),
+        "prev_total": pa.array([pt[p] for (p, _), _ in items], pa.int64()),
+    })
+
+
+_LM_BIGRAM_MODEL_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents
+),
+big AS (
+  SELECT CASE WHEN i = 1 THEN '<s>' ELSE t[i - 1] END AS prev, t[i] AS w,
+         CAST(count(*) AS BIGINT) AS n
+  FROM toks, UNNEST(generate_series(1, len(t))) AS g(i)
+  GROUP BY prev, w
+),
+pt AS (SELECT prev, CAST(sum(n) AS BIGINT) AS prev_total FROM big GROUP BY prev)
+SELECT b.prev, b.w, b.n, pt.prev_total
+FROM big b JOIN pt USING (prev)
+ORDER BY b.n DESC, b.prev, b.w LIMIT 50000
+"""
+
+
 def q_lm_surprise_cut(sf_dir: str):
     """The same scorer with the upstream token-frequency cut ARMED
     (``vocab_top``, VERDICT r02 missing-#3): OOV tokens map to <unk> before
@@ -2820,6 +2859,7 @@ def build_queries() -> dict:
         "customer_orders_semi": q_customer_orders_semi,
         # ---------------------------------------------------- 50-slot edge
         # -- driver-green in r01–r03 (local gate keeps them honest) --
+        "lm_bigram_model": q_lm_bigram_model,
         "search_count": q_search_count,
         "token_count": q_token_count,
         "lang_id": q_lang_id,
@@ -2921,6 +2961,7 @@ def build_oracles() -> dict[str, str]:
         "simhash_neardup": _simhash_sql_oracle(),
         "bloom_new_docs": _bloom_new_sql(),
         "ocr_word_boxes": _ocr_word_boxes_sql(),
+        "lm_bigram_model": _LM_BIGRAM_MODEL_SQL,
         "substring_dedup": _substring_dedup_sql(),
         "curation_v3": _curation_v3_sql(),
         "pack_sequences": _pack_sql(),
