@@ -480,6 +480,63 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches FROM m GROUP BY doc_id
 """
 
 
+def q_index_bm25_inputs(sf_dir: str):
+    """Exact-integer evidence for BM25 ranked retrieval (r04, the
+    lm_bigram_model pattern): every number the float formula consumes —
+    per-posting (term, doc_id, tf, dl) for the query terms plus the
+    build-time corpus stats (n_docs, total_tokens) — read FROM THE INDEX
+    and value-hash-checked against token-list SQL. The only rows-only
+    surface left on search_index_bm25 is the idf/saturation float chain."""
+    import shutil
+    import tempfile
+
+    from janet_ray.stages import index as inv
+
+    terms = ["data", "document"]
+    index_dir = tempfile.mkdtemp(prefix="janet-inv-bm25in-")
+    try:
+        inv.build_inverted_index(
+            _read(sf_dir, "documents", columns=["doc_id", "text"]),
+            index_dir, num_buckets=32)
+        meta = inv.index_meta(index_dir)
+        parts = []
+        for term in terms:
+            t = inv._read_term_postings(index_dir, term, meta["num_buckets"])
+            parts.append(pa.table({
+                "term": pa.array([term] * t.num_rows, pa.string()),
+                "doc_id": t["doc_id"],
+                "tf": t["tf"],
+                "dl": t["dl"],
+                "n_docs": pa.array([meta["n_docs"]] * t.num_rows, pa.int64()),
+                "total_tokens": pa.array([meta["total_tokens"]] * t.num_rows,
+                                         pa.int64()),
+            }))
+        return pa.concat_tables(parts)
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
+
+
+_INDEX_BM25_INPUTS_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(t)) AS BIGINT) AS total_tokens
+  FROM toks
+),
+tf AS (
+  SELECT q.term, doc_id,
+         CAST(len(list_filter(t, x -> x = q.term)) AS BIGINT) AS tf,
+         CAST(len(t) AS BIGINT) AS dl
+  FROM toks, (VALUES ('data'), ('document')) q(term)
+)
+SELECT term, doc_id, tf, dl, s.n_docs, s.total_tokens
+FROM tf, stats s WHERE tf > 0
+"""
+
+
 def q_token_count(sf_dir: str):
     return (
         _docs(sf_dir)
@@ -2860,6 +2917,7 @@ def build_queries() -> dict:
         # ---------------------------------------------------- 50-slot edge
         # -- driver-green in r01–r03 (local gate keeps them honest) --
         "lm_bigram_model": q_lm_bigram_model,
+        "index_bm25_inputs": q_index_bm25_inputs,
         "search_count": q_search_count,
         "token_count": q_token_count,
         "lang_id": q_lang_id,
@@ -2962,6 +3020,7 @@ def build_oracles() -> dict[str, str]:
         "bloom_new_docs": _bloom_new_sql(),
         "ocr_word_boxes": _ocr_word_boxes_sql(),
         "lm_bigram_model": _LM_BIGRAM_MODEL_SQL,
+        "index_bm25_inputs": _INDEX_BM25_INPUTS_SQL,
         "substring_dedup": _substring_dedup_sql(),
         "curation_v3": _curation_v3_sql(),
         "pack_sequences": _pack_sql(),
