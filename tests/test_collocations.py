@@ -87,3 +87,16 @@ def test_empty_and_below_min_count(ray_session):
     assert len(got) == 0
     got = pmi_collocations(_ds(["one two"]), min_count=5).to_pandas()
     assert len(got) == 0
+
+
+def test_dispatch_paths_parity(ray_session):
+    """Forced driver-side attach and distributed-joins attach must produce
+    identical rows INCLUDING the float score (same IEEE op chain)."""
+    texts = ["the quick brown fox", "quick brown fox again and again",
+             "new york city and new york state", "san francisco and new york",
+             "a b a b a b a b c"] * 4
+    a = pmi_collocations(_ds(texts), top_k=12, min_count=3,
+                         force_dispatch="small").to_pandas()
+    b = pmi_collocations(_ds(texts), top_k=12, min_count=3,
+                         force_dispatch="joins").to_pandas()
+    assert a.values.tolist() == b.values.tolist()

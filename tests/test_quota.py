@@ -91,3 +91,18 @@ def test_quota_validation(ray_session):
     with pytest.raises(ValueError):
         quota_sample(ray.data.from_items([{"host": "a", "doc_id": 1}]),
                      key_col="host", quota=0)
+
+
+def test_dispatch_paths_parity(ray_session):
+    """Forced small-path (single-task final cut) and shuffle-path outputs
+    must be identical (the engine's scale-adaptive dispatch rule)."""
+    import ray
+
+    rows = _rows(600, 11, seed=3)
+    ds = ray.data.from_items(rows).repartition(9)
+    a = quota_sample(ds, key_col="host", quota=4,
+                     force_dispatch="small").to_pandas()
+    b = quota_sample(ds, key_col="host", quota=4,
+                     force_dispatch="shuffle").to_pandas()
+    key = lambda df: sorted(zip(df.host, df.doc_id))
+    assert key(a) == key(b) == sorted(_reference(rows, "host", "doc_id", 4))
