@@ -2909,8 +2909,8 @@ def build_queries() -> dict:
         "curation_v2": q_curation_v2,
         "normalize_text": q_normalize_text,
         "canonical_urls": q_canonical_urls,
-        # -- window filler: high-value rows re-verified while slots last
-        "search_highlights": q_search_highlights,
+        # -- window filler: freshly-oracled row gets driver-side evidence
+        "simhash_neardup": q_simhash_neardup,
         "events_sessions": q_events_sessions,
         "dedupe_last_wins_events": q_dedupe_last_wins_events,
         "customer_orders_semi": q_customer_orders_semi,
@@ -2923,7 +2923,7 @@ def build_queries() -> dict:
         "lang_id": q_lang_id,
         "textstats": q_textstats,
         "fingerprint": q_fingerprint,
-        "simhash_neardup": q_simhash_neardup,
+        "search_highlights": q_search_highlights,
         "embedding_neardup": q_embedding_neardup,
         "ann_topk": q_ann_topk,
         "ivf_topk": q_ivf_topk,
