@@ -1390,6 +1390,38 @@ def q_bpe_merges(sf_dir: str):
     return train_bpe(ds, n_merges=20)
 
 
+def q_bpe_first_merge(sf_dir: str):
+    """Exact-integer evidence for BPE training (r04, the lm_bigram_model
+    pattern): merge step 1's argmax — weighted adjacent-pair counts over the
+    initial char+</w> segmentation, winner by (count desc, pair asc) — is
+    pre-iteration and therefore SQL-expressible; the driver value-hashes the
+    engine's (rank, left, right, n) row against the token-list replay.
+    Later steps stay rows-only (they depend on prior merges), pinned by the
+    single-process parity test in tests/test_bpe.py."""
+    from janet_ray.stages.bpe import train_bpe
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    return train_bpe(ds, n_merges=1)
+
+
+_BPE_FIRST_MERGE_SQL = """
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+  FROM documents
+),
+wc AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM toks GROUP BY w),
+syms AS (SELECT freq, list_append(regexp_extract_all(w, '.'), '</w>') AS s
+         FROM wc),
+pairs AS (
+  SELECT s[i] AS l, s[i + 1] AS r, CAST(sum(freq) AS BIGINT) AS n
+  FROM syms, UNNEST(generate_series(1, len(s) - 1)) AS g(i)
+  GROUP BY l, r
+)
+SELECT CAST(0 AS BIGINT) AS rank, l AS "left", r AS "right", n
+FROM pairs ORDER BY n DESC, l, r LIMIT 1
+"""
+
+
 def q_ccnet_lm_mix(sf_dir: str):
     """The REAL CCNet criterion composed end to end: LM-surprise scores
     (de-drivered bigram model, broadcast once) → tercile cutpoints from the
@@ -2918,6 +2950,7 @@ def build_queries() -> dict:
         # -- driver-green in r01–r03 (local gate keeps them honest) --
         "lm_bigram_model": q_lm_bigram_model,
         "index_bm25_inputs": q_index_bm25_inputs,
+        "bpe_first_merge": q_bpe_first_merge,
         "search_count": q_search_count,
         "token_count": q_token_count,
         "lang_id": q_lang_id,
@@ -3021,6 +3054,7 @@ def build_oracles() -> dict[str, str]:
         "ocr_word_boxes": _ocr_word_boxes_sql(),
         "lm_bigram_model": _LM_BIGRAM_MODEL_SQL,
         "index_bm25_inputs": _INDEX_BM25_INPUTS_SQL,
+        "bpe_first_merge": _BPE_FIRST_MERGE_SQL,
         "substring_dedup": _substring_dedup_sql(),
         "curation_v3": _curation_v3_sql(),
         "pack_sequences": _pack_sql(),
