@@ -311,22 +311,30 @@ def _spans_sorted_gram(ds, ida: np.ndarray, idb: np.ndarray,
             if m < 2:
                 continue
             s_m = starts[lens == m]
-            idx = s_m[:, None] + np.arange(m)
-            docs, poss = d[idx], p[idx]
             iu, ju = np.triu_indices(int(m), 1)
-            aa, bb = docs[:, iu].ravel(), docs[:, ju].ravel()
-            qa, qb = poss[:, iu].ravel(), poss[:, ju].ravel()
-            # within a run docs ascend (lexsort), so aa <= bb; drop same-doc
-            # points and pairs outside the candidate set
-            da_ = np.searchsorted(want, aa)
-            db_ = np.searchsorted(want, bb)
-            pk = da_.astype(np.int64) * n_docs + db_
-            at = np.searchsorted(keys, pk)
-            at[at >= len(keys)] = 0
-            ok = (aa != bb) & (keys[at] == pk) if len(keys) else \
-                np.zeros(len(aa), dtype=bool)
-            a_o.append(aa[ok]); b_o.append(bb[ok])
-            pa_o.append(qa[ok]); pb_o.append(qb[ok])
+            # bound the per-class scratch: a hot gram occurring o times in
+            # candidate docs generates C(o,2) occurrence pairs BEFORE the
+            # pair-membership filter — chunk the runs so the transient
+            # matrices stay ≤ ~5·10⁷ slots per worker regardless of skew
+            # (exactness unchanged; only the emission batching)
+            chunk = max(1, int(5e7 // max(len(iu), 1)))
+            for c0 in range(0, len(s_m), chunk):
+                sc = s_m[c0:c0 + chunk]
+                idx = sc[:, None] + np.arange(m)
+                docs, poss = d[idx], p[idx]
+                aa, bb = docs[:, iu].ravel(), docs[:, ju].ravel()
+                qa, qb = poss[:, iu].ravel(), poss[:, ju].ravel()
+                # within a run docs ascend (lexsort), so aa <= bb; drop
+                # same-doc points and pairs outside the candidate set
+                da_ = np.searchsorted(want, aa)
+                db_ = np.searchsorted(want, bb)
+                pk = da_.astype(np.int64) * n_docs + db_
+                at = np.searchsorted(keys, pk)
+                at[at >= len(keys)] = 0
+                ok = (aa != bb) & (keys[at] == pk) if len(keys) else \
+                    np.zeros(len(aa), dtype=bool)
+                a_o.append(aa[ok]); b_o.append(bb[ok])
+                pa_o.append(qa[ok]); pb_o.append(qb[ok])
         if not a_o:
             return empty
         aa = np.concatenate(a_o); bb = np.concatenate(b_o)
