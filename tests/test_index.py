@@ -453,3 +453,16 @@ def test_phrase_lookup_over_segments(ray_session, tmp_path):
     got_map = dict(zip(got["doc_id"].to_pylist(),
                        got["n_matches"].to_pylist()))
     assert got_map == _brute_phrase_counts(texts, "beta gamma")
+
+
+def test_phrase_lookup_with_stop_terms(ray_session, tmp_path):
+    """Positions flow through the stopword/df cuts: a stopped term has no
+    postings, so phrases containing it return empty while others work."""
+    texts = ["alpha the beta gamma", "alpha the beta delta", "beta gamma x"]
+    d = str(tmp_path / "pidx_stop")
+    inv.build_inverted_index(_docs_ds(texts), d, num_buckets=4,
+                             with_positions=True, stop_terms={"the"})
+    assert inv.index_lookup_phrase(d, "alpha the").num_rows == 0
+    got = inv.index_lookup_phrase(d, "beta gamma")
+    assert dict(zip(got["doc_id"].to_pylist(),
+                    got["n_matches"].to_pylist())) == {0: 1, 2: 1}
