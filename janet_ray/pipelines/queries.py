@@ -2729,6 +2729,58 @@ def q_vocab_topk_cms(sf_dir: str):
     })
 
 
+def q_heavy_hitters_mg(sf_dir: str):
+    """Top-k heavy hitters with NO key-space shuffle (stages/cms.py
+    `heavy_hitters`): Misra-Gries mergeable candidates (≤ m rows leave any
+    block; recall guaranteed for every key with count > N/(m+1)) + CMS
+    point-query upper bounds, ranked by the overestimate. The exact count
+    for each returned word is computed alongside (one tiny filtered
+    groupby) so every driver run evidences the sandwich
+    n_mg ≤ n_exact ≤ n_cms live. Rows-only by declaration (the protocol is
+    approximate-by-design; its guarantees are pinned in tests/test_cms.py)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from janet_ray.stages.cms import heavy_hitters
+
+    def tokens(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.coalesce(batch["text"],
+                                      pa.scalar("", pa.string()))),
+            pattern="[^a-z0-9]+")
+        flat = pc.list_flatten(toks)
+        return pa.table({"tok": flat.filter(
+            pc.not_equal(flat, pa.scalar("", pa.string())))})
+
+    def stream():
+        return _docs(sf_dir).map_batches(tokens, batch_format="pyarrow",
+                                         zero_copy_batch=True)
+
+    hh = heavy_hitters(stream(), "tok", 20, m=2048, eps=0.001)
+    words = hh["key"].to_pylist()
+    wset = pa.array(words, pa.string())
+
+    def count_candidates(batch: pa.Table) -> pa.Table:
+        hit = batch["tok"].filter(pc.is_in(batch["tok"], value_set=wset))
+        vc = pc.value_counts(hit)
+        return pa.table({"word": vc.field("values"),
+                         "n": vc.field("counts").cast(pa.int64())})
+
+    exact_rows = (stream()
+                  .map_batches(count_candidates, batch_format="pyarrow",
+                               zero_copy_batch=True)
+                  .groupby("word").aggregate(Sum("n", alias_name="n_exact"))
+                  .to_pandas())
+    exact = dict(zip(exact_rows["word"], exact_rows["n_exact"]))
+    return pd.DataFrame({
+        "word": words,
+        "n_mg": hh["n_mg"].to_pylist(),
+        "n_exact": [int(exact.get(w, 0)) for w in words],
+        "n_cms": hh["n_cms"].to_pylist(),
+        "n_stream": hh["n_stream"].to_pylist(),
+    })
+
+
 def q_events_distinct_users(sf_dir: str):
     """Exact COUNT(DISTINCT): per-batch local unique (combiner) → one hash
     shuffle of distinct values only → group count."""
@@ -2989,6 +3041,9 @@ def build_queries() -> dict:
         "quantity_quantiles": q_quantity_quantiles,
         "events_distinct_users": q_events_distinct_users,
         "events_burst_count": q_events_burst_count,
+        # -- new rows-only additions (outside the window by design: the
+        # driver's rows-only check adds nothing over the local gate) --
+        "heavy_hitters_mg": q_heavy_hitters_mg,
     }
 
 

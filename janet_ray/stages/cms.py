@@ -37,6 +37,7 @@ import math
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from janet_ray.stages.bloom import _splitmix64
 
@@ -114,3 +115,89 @@ def cms_query(sketch: np.ndarray, keys: list) -> np.ndarray:
     idx = _row_indexes(_key_u64(keys), d, w)
     ests = np.stack([sketch[r][idx[r]] for r in range(d)])
     return ests.min(axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters: Misra-Gries candidates + CMS upper bounds.
+#
+# The docstring's top-k protocol, completed: candidates come from a
+# MERGEABLE Misra-Gries summary (Agarwal et al., "Mergeable Summaries",
+# PODS'12) — per-batch exact value counts reduced to m counters by
+# subtracting the (m+1)-th largest count, then a driver fold with O(m)
+# state over the ≤ m-row per-block partials. The merged summary keeps the
+# MG guarantee regardless of merge order: every key is UNDERcounted by at
+# most N/(m+1), so every key with true count > N/(m+1) survives (recall
+# guarantee), and n_mg ≤ n_true always. The CMS pass then supplies the
+# matching OVERestimate, sandwiching the truth:  n_mg ≤ n_true ≤ n_cms.
+#
+# Scale shape: the key stream never shuffles — pass 1 moves ≤ m rows per
+# block into a single O(m)-state driver fold, pass 2 moves only the d×w
+# matrix through the aggregation tree. vocab_topk's (word, n) partial
+# shuffle is bounded by distinct keys; this protocol is bounded by m
+# regardless of key cardinality (urls, shingles, user×time keys).
+# ---------------------------------------------------------------------------
+
+
+def _mg_prune(words: np.ndarray, counts: np.ndarray, m: int):
+    """Misra-Gries reduction of exact (key, count) pairs to ≤ m counters:
+    subtract the (m+1)-th largest count from all, keep strictly positive."""
+    if len(words) <= m:
+        return words, counts
+    cut = np.partition(counts, len(counts) - (m + 1))[len(counts) - (m + 1)]
+    keep = counts > cut
+    return words[keep], counts[keep] - cut
+
+
+def mg_summary(ds, col: str, *, m: int) -> pa.Table:
+    """Distributed Misra-Gries summary of ds[col]: per-batch exact value
+    counts pruned to m counters (≤ m rows leave each block), folded on the
+    driver with O(m) state. Returns (key, n_mg) with n_mg ≤ n_true ≤
+    n_mg + N/(m+1); every key with n_true > N/(m+1) is present."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch[col])
+        words = np.asarray(vc.field("values").to_pylist(), dtype=object)
+        counts = vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64)
+        words, counts = _mg_prune(words, counts, m)
+        return pa.table({"key": pa.array(words, pa.string()),
+                         "n_mg": pa.array(counts, pa.int64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    state: pa.Table | None = None
+    for b in partials.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        merged = pa.concat_tables([state, b]) if state is not None else b
+        grp = merged.group_by("key").aggregate([("n_mg", "sum")])
+        words = np.asarray(grp["key"].to_pylist(), dtype=object)
+        counts = grp["n_mg_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        words, counts = _mg_prune(words, counts, m)
+        state = pa.table({"key": pa.array(words, pa.string()),
+                          "n_mg": pa.array(counts, pa.int64())})
+    if state is None:
+        state = pa.table({"key": pa.array([], pa.string()),
+                          "n_mg": pa.array([], pa.int64())})
+    return state
+
+
+def heavy_hitters(ds, col: str, k: int, *, m: int | None = None,
+                  eps: float = DEFAULT_EPS,
+                  delta: float = DEFAULT_DELTA) -> pa.Table:
+    """Top-k heavy hitters without a key-space shuffle: MG candidates
+    (pass 1) + CMS upper bounds (pass 2), ranked by (n_cms desc, key asc).
+    Returns (key, n_mg, n_cms, n_stream); n_mg ≤ n_true ≤ n_cms and any
+    key with n_true > N/(m+1) is guaranteed a candidate slot. ``ds`` is
+    consumed twice (lazy lineage re-executes) — two streaming passes in
+    place of vocab_topk's distinct-key shuffle."""
+    m = m if m is not None else max(8 * k, 64)
+    mg = mg_summary(ds, col, m=m)
+    sketch = cms_build(ds, col, eps=eps, delta=delta)
+    n_stream = int(sketch[0].sum())  # every CMS row sums to exactly N
+    keys = mg["key"].to_pylist()
+    upper = cms_query(sketch, keys)
+    order = sorted(range(len(keys)), key=lambda i: (-int(upper[i]), keys[i]))[:k]
+    return pa.table({
+        "key": pa.array([keys[i] for i in order], pa.string()),
+        "n_mg": pa.array([int(mg["n_mg"][i].as_py()) for i in order], pa.int64()),
+        "n_cms": pa.array([int(upper[i]) for i in order], pa.int64()),
+        "n_stream": pa.array([n_stream] * len(order), pa.int64()),
+    })
