@@ -2729,6 +2729,62 @@ def q_vocab_topk_cms(sf_dir: str):
     })
 
 
+_DSIR_BUCKETS = 512  # oracle-sized; production default is stages/dsir.py's 4096
+
+
+def q_dsir_feature_counts(sf_dir: str):
+    """DSIR (Xie et al. 2023) hashed-feature model fit — the exact-integer
+    half of importance resampling, value-hash-checked: unigram+bigram
+    features md5-u32-hashed into buckets, counted over the TARGET corpus
+    (lang='en' documents) and the RAW corpus (all documents). Each side is
+    one streaming pass folding a fixed (n_buckets,) int64 vector through
+    the aggregation tree (the CMS/sketch pattern — the token stream never
+    shuffles). The float log-ratio scoring downstream of these counts is
+    the rows-only `dsir_select` query."""
+    import pandas as pd
+
+    from janet_ray.stages.dsir import feature_counts
+
+    docs = _docs(sf_dir)
+    target = feature_counts(docs.filter(expr="lang == 'en'"),
+                            n_buckets=_DSIR_BUCKETS)
+    raw = feature_counts(docs, n_buckets=_DSIR_BUCKETS)
+    frames = []
+    for side, vec in (("raw", raw), ("target", target)):
+        nz = np.nonzero(vec)[0]
+        frames.append(pd.DataFrame({
+            "side": side, "bucket": nz.astype("int64"),
+            "n": vec[nz].astype("int64")}))
+    return pd.concat(frames, ignore_index=True)
+
+
+def _dsir_counts_sql() -> str:
+    from janet_ray.stages.dsir import feature_counts_sql
+
+    return feature_counts_sql(
+        sides=[("raw", "documents"),
+               ("target", "(SELECT text FROM documents WHERE lang = 'en') AS tgt")],
+        n_buckets=_DSIR_BUCKETS)
+
+
+def q_dsir_select(sf_dir: str):
+    """DSIR importance resampling end-to-end: fit target (lang='en') and
+    raw hashed-n-gram models, λ = log p̂ − log q̂, score every raw doc,
+    select top-50 by log w + content-addressed Gumbel (deterministic
+    sampling ∝ w without replacement). Rows-only by declaration (float
+    logs); the count pipeline feeding it is the value-hash-checked
+    `dsir_feature_counts`, and score/selection parity is pinned in
+    tests/test_dsir.py."""
+    from janet_ray.stages.dsir import (dsir_select, feature_counts,
+                                       log_ratio_weights)
+
+    docs = _docs(sf_dir)
+    target = feature_counts(docs.filter(expr="lang == 'en'"))
+    raw = feature_counts(docs)
+    lam = log_ratio_weights(target, raw)
+    return dsir_select(_docs(sf_dir), lam, 50, seed=7)
+
+
 def q_heavy_hitters_mg(sf_dir: str):
     """Top-k heavy hitters with NO key-space shuffle (stages/cms.py
     `heavy_hitters`): Misra-Gries mergeable candidates (≤ m rows leave any
@@ -2993,12 +3049,13 @@ def build_queries() -> dict:
         "curation_v2": q_curation_v2,
         "normalize_text": q_normalize_text,
         "canonical_urls": q_canonical_urls,
-        # -- window filler: freshly-oracled row gets driver-side evidence
+        # -- window filler: freshly-oracled rows get driver-side evidence
         "simhash_neardup": q_simhash_neardup,
         "events_sessions": q_events_sessions,
         "dedupe_last_wins_events": q_dedupe_last_wins_events,
-        "customer_orders_semi": q_customer_orders_semi,
+        "dsir_feature_counts": q_dsir_feature_counts,
         # ---------------------------------------------------- 50-slot edge
+        "customer_orders_semi": q_customer_orders_semi,
         # -- driver-green in r01–r03 (local gate keeps them honest) --
         "lm_bigram_model": q_lm_bigram_model,
         "index_bm25_inputs": q_index_bm25_inputs,
@@ -3044,6 +3101,7 @@ def build_queries() -> dict:
         # -- new rows-only additions (outside the window by design: the
         # driver's rows-only check adds nothing over the local gate) --
         "heavy_hitters_mg": q_heavy_hitters_mg,
+        "dsir_select": q_dsir_select,
     }
 
 
@@ -3131,4 +3189,5 @@ def build_oracles() -> dict[str, str]:
         "curation_v2": _curation_v2_sql(),
         "normalize_text": _normalize_text_sql(),
         "canonical_urls": _canonical_urls_sql(),
+        "dsir_feature_counts": _dsir_counts_sql(),
     }
