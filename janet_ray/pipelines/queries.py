@@ -2729,6 +2729,33 @@ def q_vocab_topk_cms(sf_dir: str):
     })
 
 
+_MIXTURE_WEIGHTS = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+_MIXTURE_TOTAL = 40
+
+
+def q_mixture_sample(sf_dir: str):
+    """Domain-mixture construction (stages/mixture.py — the Pile/DoReMi
+    'hit the target domain proportions' step): Hamilton-apportioned integer
+    quotas over constant weights, then a deterministic content-addressed
+    per-domain draw (rank by (md5_u32(doc_id), doc_id) ≤ quota). Quotas are
+    computed once from the shared constants and rendered as literals into
+    BOTH sides, so impl and oracle cannot drift. One hash-rank pass; the
+    corpus text never moves."""
+    from janet_ray.stages.mixture import mixture_quotas, mixture_sample
+
+    quotas = mixture_quotas(_MIXTURE_WEIGHTS, _MIXTURE_TOTAL)
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    return mixture_sample(ds, "source", quotas)
+
+
+def _mixture_sql() -> str:
+    from janet_ray.stages.mixture import mixture_quotas, mixture_sample_sql
+
+    quotas = mixture_quotas(_MIXTURE_WEIGHTS, _MIXTURE_TOTAL)
+    return mixture_sample_sql(source="documents", group_col="source",
+                              quotas=quotas, md5_u32_sql=_md5_u32_sql)
+
+
 _DSIR_BUCKETS = 512  # oracle-sized; production default is stages/dsir.py's 4096
 
 
@@ -3051,10 +3078,11 @@ def build_queries() -> dict:
         "canonical_urls": q_canonical_urls,
         # -- window filler: freshly-oracled rows get driver-side evidence
         "simhash_neardup": q_simhash_neardup,
-        "events_sessions": q_events_sessions,
+        "mixture_sample": q_mixture_sample,
         "dedupe_last_wins_events": q_dedupe_last_wins_events,
         "dsir_feature_counts": q_dsir_feature_counts,
         # ---------------------------------------------------- 50-slot edge
+        "events_sessions": q_events_sessions,
         "customer_orders_semi": q_customer_orders_semi,
         # -- driver-green in r01–r03 (local gate keeps them honest) --
         "lm_bigram_model": q_lm_bigram_model,
@@ -3190,4 +3218,5 @@ def build_oracles() -> dict[str, str]:
         "normalize_text": _normalize_text_sql(),
         "canonical_urls": _canonical_urls_sql(),
         "dsir_feature_counts": _dsir_counts_sql(),
+        "mixture_sample": _mixture_sql(),
     }

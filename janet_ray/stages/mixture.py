@@ -1,0 +1,103 @@
+"""Deterministic domain-mixture construction — the Pile / DoReMi-style
+"build a corpus with target domain proportions" step every pretraining
+pipeline runs after curation: given per-domain weights and a total budget,
+apportion integer quotas and draw a reproducible per-domain sample.
+
+Pinned semantics (shared between the Ray path and the SQL twin):
+
+  * quotas = largest-remainder (Hamilton) apportionment of ``total`` over
+    the normalized weights — floor the shares, hand the remaining units to
+    the largest fractional parts, ties broken by group name ascending.
+    Computed once from constants (`mixture_quotas`) and rendered as
+    LITERALS into both sides, so impl/oracle can't drift;
+  * within a domain the sample is the engine's content-addressed rank:
+    order by (md5_u32(id), id) ascending, keep rank ≤ quota — the same
+    rule as quota sampling / orders_group_sample, reproducible across
+    engines and runs; a domain smaller than its quota contributes all its
+    rows (documented shortfall — no redistribution);
+  * domains without a weight get quota 0 (dropped).
+
+Scale shape: one hash-rank pass — the add-hash map is stateless, the
+per-group rank is `rank.group_topk` (coarse hash partitions + vectorized
+boundary detection, never per-key map_groups), and the quota cut is a
+vectorized filter against a tiny broadcast quota table. The corpus text
+never moves: sample on (group, id), then semi-join payloads if needed.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+
+
+def mixture_quotas(weights: dict[str, float], total: int) -> dict[str, int]:
+    """Largest-remainder apportionment; deterministic (ties by name)."""
+    if total < 0:
+        raise ValueError("total must be >= 0")
+    s = float(sum(weights.values()))
+    if not weights or s <= 0:
+        return {g: 0 for g in weights}
+    shares = {g: w / s * total for g, w in weights.items()}
+    base = {g: math.floor(v) for g, v in shares.items()}
+    rem = total - sum(base.values())
+    for g in sorted(shares, key=lambda g: (-(shares[g] - base[g]), g))[:rem]:
+        base[g] += 1
+    return base
+
+
+def mixture_sample(ds, group_col: str, quotas: dict[str, int], *,
+                   id_col: str = "doc_id", rank_col: str = "rank"):
+    """(group, id, rank) rows of the mixture: rank ≤ quota[group] under the
+    content-addressed (md5_u32(id), id) order. One group_topk pass at
+    k = max(quota), then a vectorized per-group quota cut."""
+    from janet_ray.stages.quota import _md5_u32_arr
+    from janet_ray.stages.rank import group_topk
+
+    max_q = max(quotas.values(), default=0)
+    if max_q == 0:
+        import ray.data
+
+        return ray.data.from_arrow(pa.table({
+            group_col: pa.array([], pa.string()),
+            id_col: pa.array([], pa.int64()),
+            rank_col: pa.array([], pa.int64())}))
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        hs = _md5_u32_arr(batch[id_col].to_pylist())
+        return batch.append_column("h", pa.array(hs, pa.int64()))
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    ranked = group_topk(hashed, [group_col], "h", max_q, descending=False,
+                        tiebreak_cols=[id_col], rank_col=rank_col)
+
+    def quota_cut(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.select([group_col, id_col, rank_col])
+        q = np.fromiter((quotas.get(g, 0)
+                         for g in batch[group_col].to_pylist()),
+                        dtype=np.int64, count=batch.num_rows)
+        keep = batch[rank_col].to_numpy(zero_copy_only=False) <= q
+        return batch.filter(pa.array(keep)).select(
+            [group_col, id_col, rank_col])
+
+    return ranked.map_batches(quota_cut, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def mixture_sample_sql(*, source: str, group_col: str,
+                       quotas: dict[str, int], id_col: str = "doc_id",
+                       md5_u32_sql, rank_col: str = "rank") -> str:
+    """DuckDB replay: row_number under the same (md5_u32(id), id) order,
+    quota literals rendered from the SAME `mixture_quotas` output."""
+    case = " ".join(f"WHEN '{g}' THEN {q}" for g, q in sorted(quotas.items()))
+    return f"""
+SELECT {group_col}, {id_col}, {rank_col} FROM (
+  SELECT {group_col}, {id_col},
+         CAST(row_number() OVER (PARTITION BY {group_col} ORDER BY
+              {md5_u32_sql(id_col)}, {id_col}) AS BIGINT) AS {rank_col}
+  FROM {source}
+) WHERE {rank_col} <= CASE {group_col} {case} ELSE 0 END
+"""
