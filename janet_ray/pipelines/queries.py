@@ -480,6 +480,47 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches FROM m GROUP BY doc_id
 """
 
 
+_BOOL_MUST = ["data", "document"]
+_BOOL_MUST_NOT = ["scan"]
+
+
+def q_index_lookup_boolean(sf_dir: str):
+    """Boolean retrieval (must AND / must-not NOT) served from the inverted
+    index alone: intersect sorted doc_id postings for the must terms,
+    sorted-membership mask for the must-not terms, score = Σ must-term tf —
+    one bucket file read per distinct term, document text never touched.
+    The SQL oracle replays the same semantics with token-list arithmetic."""
+    import shutil
+    import tempfile
+
+    from janet_ray.stages import index as inv
+
+    index_dir = tempfile.mkdtemp(prefix="janet-inv-bool-")
+    try:
+        inv.build_inverted_index(
+            _read(sf_dir, "documents", columns=["doc_id", "text"]),
+            index_dir, num_buckets=32)
+        return inv.index_lookup_boolean(index_dir, _BOOL_MUST, _BOOL_MUST_NOT)
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
+
+
+def _index_boolean_sql() -> str:
+    def tf(term: str) -> str:
+        return (f"len(list_filter(regexp_extract_all(lower(text), "
+                f"'[a-z0-9]+'), t -> t = '{term}'))")
+
+    must_pos = " AND ".join(f"{tf(t)} > 0" for t in _BOOL_MUST)
+    not_zero = " AND ".join(f"{tf(t)} = 0" for t in _BOOL_MUST_NOT)
+    score = " + ".join(tf(t) for t in _BOOL_MUST)
+    return f"""
+SELECT doc_id, CAST({score} AS BIGINT) AS score
+FROM documents
+WHERE {must_pos} AND {not_zero}
+ORDER BY score DESC, doc_id
+"""
+
+
 def q_index_bm25_inputs(sf_dir: str):
     """Exact-integer evidence for BM25 ranked retrieval (r04, the
     lm_bigram_model pattern): every number the float formula consumes —
@@ -3079,9 +3120,10 @@ def build_queries() -> dict:
         # -- window filler: freshly-oracled rows get driver-side evidence
         "simhash_neardup": q_simhash_neardup,
         "mixture_sample": q_mixture_sample,
-        "dedupe_last_wins_events": q_dedupe_last_wins_events,
+        "index_lookup_boolean": q_index_lookup_boolean,
         "dsir_feature_counts": q_dsir_feature_counts,
         # ---------------------------------------------------- 50-slot edge
+        "dedupe_last_wins_events": q_dedupe_last_wins_events,
         "events_sessions": q_events_sessions,
         "customer_orders_semi": q_customer_orders_semi,
         # -- driver-green in r01–r03 (local gate keeps them honest) --
@@ -3219,4 +3261,5 @@ def build_oracles() -> dict[str, str]:
         "canonical_urls": _canonical_urls_sql(),
         "dsir_feature_counts": _dsir_counts_sql(),
         "mixture_sample": _mixture_sql(),
+        "index_lookup_boolean": _index_boolean_sql(),
     }

@@ -440,6 +440,54 @@ def index_lookup_multi(index_dir: str, terms: list[str], *, k: int = 10) -> pa.T
     return t.take(idx[:k])
 
 
+def index_lookup_boolean(index_dir: str, must: list[str],
+                         must_not: list[str] = (), *,
+                         k: int | None = None) -> pa.Table:
+    """Boolean retrieval from the index alone: documents containing ALL
+    ``must`` terms and NONE of the ``must_not`` terms, scored by the summed
+    tf of the must terms, ordered by (score desc, doc_id asc), optionally
+    top-k. Reads exactly one bucket per distinct term; the AND intersects
+    sorted doc_id arrays (numpy), the NOT is a sorted-membership mask —
+    document text is never touched. Terms go through the index tokenizer
+    contract (lowercase); a must term absent from the index empties the
+    result (AND semantics)."""
+    import numpy as np
+
+    if not must:
+        raise ValueError("boolean lookup needs at least one must term")
+    meta = index_meta(index_dir)
+    nb = meta["num_buckets"]
+    out_empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "score": pa.array([], pa.int64())})
+    keep_ids: np.ndarray | None = None
+    per_term: list[tuple[np.ndarray, np.ndarray]] = []
+    for term in dict.fromkeys(t.lower() for t in must):
+        p = _read_term_postings(index_dir, term, nb)
+        ids = p["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tf = p["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids, tf = ids[order], tf[order]
+        per_term.append((ids, tf))
+        keep_ids = ids if keep_ids is None else np.intersect1d(keep_ids, ids)
+        if keep_ids.size == 0:
+            return out_empty
+    for term in dict.fromkeys(t.lower() for t in must_not):
+        p = _read_term_postings(index_dir, term, nb)
+        bad = p["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if bad.size:
+            keep_ids = keep_ids[~np.isin(keep_ids, bad)]
+            if keep_ids.size == 0:
+                return out_empty
+    score = np.zeros(keep_ids.size, dtype=np.int64)
+    for ids, tf in per_term:
+        score += tf[np.searchsorted(ids, keep_ids)]
+    t = pa.table({"doc_id": pa.array(keep_ids, pa.int64()),
+                  "score": pa.array(score, pa.int64())})
+    idx = pc.sort_indices(t, sort_keys=[("score", "descending"),
+                                        ("doc_id", "ascending")])
+    return t.take(idx[:k]) if k is not None else t.take(idx)
+
+
 def index_lookup_bm25(index_dir: str, terms: list[str], *, k: int = 10,
                       k1: float = 1.2, b: float = 0.75) -> pa.Table:
     """BM25 ranked retrieval from the index alone (no corpus access): Lucene

@@ -466,3 +466,41 @@ def test_phrase_lookup_with_stop_terms(ray_session, tmp_path):
     got = inv.index_lookup_phrase(d, "beta gamma")
     assert dict(zip(got["doc_id"].to_pylist(),
                     got["n_matches"].to_pylist())) == {0: 1, 2: 1}
+
+
+def test_boolean_lookup(ray_session, tmp_path):
+    import re
+
+    d = str(tmp_path / "idx_bool")
+    inv.build_inverted_index(_docs_ds(TEXTS), d, num_buckets=4)
+    tok = re.compile(r"[a-z0-9]+")
+
+    def ref(must, must_not):
+        rows = []
+        for i, t in enumerate(TEXTS):
+            cnt = Counter(tok.findall(t.lower()))
+            if all(cnt[m] > 0 for m in must) and all(cnt[n] == 0 for n in must_not):
+                rows.append((i, sum(cnt[m] for m in must)))
+        rows.sort(key=lambda r: (-r[1], r[0]))
+        return rows
+
+    for must, must_not in ([["data"], ["meta"]],
+                           [["data", "tokens"], []],
+                           [["data"], []],
+                           [["data", "the"], ["systems"]]):
+        got = inv.index_lookup_boolean(d, must, must_not)
+        assert list(zip(got["doc_id"].to_pylist(),
+                        got["score"].to_pylist())) == ref(must, must_not), (must, must_not)
+
+    # absent must term → AND empties; dedupe + case-fold of must terms
+    assert inv.index_lookup_boolean(d, ["data", "zzzz"]).num_rows == 0
+    a = inv.index_lookup_boolean(d, ["Data", "data"])
+    b = inv.index_lookup_boolean(d, ["data"])
+    assert a.equals(b)                      # "Data" and "data" score once
+    # top-k cut
+    topped = inv.index_lookup_boolean(d, ["data"], k=1)
+    assert topped.num_rows == 1 and topped["doc_id"][0].as_py() == 3
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        inv.index_lookup_boolean(d, [])
