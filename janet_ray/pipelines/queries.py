@@ -1754,23 +1754,18 @@ def q_ivf_topk(sf_dir: str):
                                cents, k=10, nprobe=4)
 
 
-def _ocr_word_boxes_sql() -> str:
-    """SQL replay of the raster line-wrap + glyph-grid geometry (r04 — the
-    r03 'positions depend on the raster line-wrap' rows-only note missed
-    that the greedy wrap is a sequential fold a RECURSIVE CTE replays
-    exactly): state (line, col_end) advances one word per iteration; a word
-    of length wl starts a new line when col_end+1+wl > LINE_WIDTH. Geometry
-    from the same constants (CELL 6×8, GLYPH 5×7). Assumes the corpus wrap
-    preconditions the pytest fixture-assumption test asserts live (no
-    newlines, no double spaces, every word ≤ LINE_WIDTH — so the hard-split
-    and rstrip branches never fire)."""
+def _wrap_fold_cte() -> str:
+    """The greedy raster line-wrap as a recursive fold (shared by the
+    ocr_word_boxes and ocr_highlights oracles): state (line, col_end)
+    advances one word per iteration; a word of length wl starts a new line
+    when col_end+1+wl > LINE_WIDTH. Assumes the corpus wrap preconditions
+    the pytest fixture-assumption test asserts live (no newlines, no double
+    spaces, every word ≤ LINE_WIDTH — so the hard-split and rstrip branches
+    never fire)."""
     from janet_ray.formats import jpdf
 
     lw = jpdf.LINE_WIDTH
-    cw, ch = jpdf.CELL_W, jpdf.CELL_H
-    gw, gh = jpdf.GLYPH_W, jpdf.GLYPH_H
-    return f"""
-WITH RECURSIVE words AS (
+    return f"""words AS (
   SELECT doc_id, i - 1 AS wi, ws[i] AS w, len(ws[i]) AS wl
   FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
        UNNEST(generate_series(1, len(ws))) AS g(i)
@@ -1788,7 +1783,21 @@ fold AS (
               ELSE w.wl END,
          w.w, w.wl
   FROM fold f JOIN words w ON w.doc_id = f.doc_id AND w.wi = f.wi + 1
-)
+)"""
+
+
+def _ocr_word_boxes_sql() -> str:
+    """SQL replay of the raster line-wrap + glyph-grid geometry (r04 — the
+    r03 'positions depend on the raster line-wrap' rows-only note missed
+    that the greedy wrap is a sequential fold a RECURSIVE CTE replays
+    exactly; the fold CTE is shared with the ocr_highlights oracle).
+    Geometry from the same constants (CELL 6×8, GLYPH 5×7)."""
+    from janet_ray.formats import jpdf
+
+    cw, ch = jpdf.CELL_W, jpdf.CELL_H
+    gw, gh = jpdf.GLYPH_W, jpdf.GLYPH_H
+    return f"""
+WITH RECURSIVE {_wrap_fold_cte()}
 SELECT 'https://docs.example/d-' || lpad(CAST(doc_id AS VARCHAR), 7, '0')
          AS url,
        CAST(0 AS INTEGER) AS page,
@@ -1798,6 +1807,56 @@ SELECT 'https://docs.example/d-' || lpad(CAST(doc_id AS VARCHAR), 7, '0')
        CAST(col * {cw} + (wl - 1) * {cw} + {gw} AS DOUBLE) AS x1,
        CAST(line * {ch} + {gh} AS DOUBLE) AS y1
 FROM fold WHERE wl > 0
+"""
+
+
+def _ocr_highlights_sql() -> str:
+    """SQL twin for q_ocr_highlights (r04, closing the last highlights
+    rows-only note): for a two-word literal case-sensitive keyword the
+    decoded page text can only match where a word ENDS with part 1 and its
+    same-line successor STARTS with part 2 (the keyword's single space
+    never matches the '\\n' line separator, and words contain no spaces) —
+    so each match is an adjacent word pair in the SHARED recursive wrap
+    fold, and its two span-runs (the separator space run is dropped by the
+    single-whitespace-run rule) are suffix/prefix column arithmetic on that
+    pair. Occurrences cannot overlap (a run would need to be both a 'join'
+    prefix and a 'scan' suffix in fewer than l1+l2 chars), so the SQL pair
+    scan equals regex finditer."""
+    from janet_ray.formats import jpdf
+
+    p1, p2 = _HL_KEYWORD.split(" ")
+    assert "'" not in _HL_KEYWORD and p1 and p2
+    l1, l2 = len(p1), len(p2)
+    cw, ch = jpdf.CELL_W, jpdf.CELL_H
+    gw, gh = jpdf.GLYPH_W, jpdf.GLYPH_H
+    return f"""
+WITH RECURSIVE {_wrap_fold_cte()},
+m AS (
+  SELECT a.doc_id, a.line, a.col + a.wl - {l1} AS s1, b.col AS s2
+  FROM fold a JOIN fold b ON b.doc_id = a.doc_id AND b.wi = a.wi + 1
+  WHERE b.line = a.line
+    AND a.wl >= {l1} AND substr(a.w, a.wl - {l1 - 1}, {l1}) = '{p1}'
+    AND b.wl >= {l2} AND substr(b.w, 1, {l2}) = '{p2}'
+), rects AS (
+  SELECT doc_id, CAST(s1 * {cw} AS BIGINT) AS x0,
+         CAST(line * {ch} AS BIGINT) AS y0,
+         CAST((s1 + {l1} - 1) * {cw} + {gw} AS BIGINT) AS x1,
+         CAST(line * {ch} + {gh} AS BIGINT) AS y1
+  FROM m
+  UNION ALL
+  SELECT doc_id, CAST(s2 * {cw} AS BIGINT),
+         CAST(line * {ch} AS BIGINT),
+         CAST((s2 + {l2} - 1) * {cw} + {gw} AS BIGINT),
+         CAST(line * {ch} + {gh} AS BIGINT)
+  FROM m
+)
+SELECT 'https://docs.example/d-' || lpad(CAST(doc_id AS VARCHAR), 7, '0')
+         AS url,
+       CAST(0 AS INTEGER) AS page,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY y0, x0)
+            AS BIGINT) AS hl_rank,
+       x0, y0, x1, y1
+FROM rects
 """
 
 
@@ -3013,8 +3072,9 @@ def q_ocr_highlights(sf_dir: str):
     """A4/O4 on the OCR route: decode scanned pages (warm actor engine), find
     keyword matches in the page text, and emit rects that land EXACTLY on the
     word-box geometry (highlights.page_match_rects; agreement with
-    ocr.word_boxes_page asserted in tests). Rows-only: positions depend on the
-    raster line-wrap, which SQL can't reproduce."""
+    ocr.word_boxes_page asserted in tests). SQL-oracle-checked as of r04:
+    matches of the two-word literal keyword are adjacent word pairs in the
+    shared recursive wrap fold (_ocr_highlights_sql)."""
     from janet_ray.formats import jpdf
     from janet_ray.stages import highlights as hl
     from janet_ray.stages import ocr as ocr_mod
@@ -3262,4 +3322,5 @@ def build_oracles() -> dict[str, str]:
         "dsir_feature_counts": _dsir_counts_sql(),
         "mixture_sample": _mixture_sql(),
         "index_lookup_boolean": _index_boolean_sql(),
+        "ocr_highlights": _ocr_highlights_sql(),
     }
