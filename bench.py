@@ -200,6 +200,13 @@ def run_suite(sf_dir: str) -> dict[str, float]:
         "curation_v2": Q.q_curation_v2,
         "normalize_text": Q.q_normalize_text,
         "canonical_urls": Q.q_canonical_urls,
+        # round-4 operators
+        "heavy_hitters_mg": Q.q_heavy_hitters_mg,
+        "dsir_feature_counts": Q.q_dsir_feature_counts,
+        "dsir_select": Q.q_dsir_select,
+        "mixture_sample": Q.q_mixture_sample,
+        "index_lookup_boolean": Q.q_index_lookup_boolean,
+        "ocr_highlights": Q.q_ocr_highlights,
     }
     # min-of-2 INTERLEAVED passes (VERDICT r03 #4): single-shot numbers on
     # this shared VM scatter ±10–40% with co-tenant load (a 22% phantom
