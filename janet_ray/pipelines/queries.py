@@ -1634,6 +1634,52 @@ def q_minhash_neardup(sf_dir: str):
     return dedup.minhash_neardup_pairs(_docs(sf_dir), threshold=0.8)
 
 
+def q_incremental_neardup(sf_dir: str):
+    """Persisted MinHash-LSH band index (stages/lshindex.py): even doc_ids
+    play the already-indexed corpus (band keys computed ONCE, persisted as
+    sorted bucket parquet segments), odd doc_ids the new ingest batch probed
+    against it — the incremental near-dup story where the corpus side never
+    recomputes. The oracle is hash-independent exact all-pairs jaccard
+    between the two sides (like minhash_neardup), so LSH recall at the
+    tested threshold is part of what the gate checks."""
+    import tempfile
+
+    from janet_ray.stages import lshindex
+
+    docs = _docs(sf_dir)
+
+    def _parity(want: int):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(ids % 2 == want))
+
+        return f
+
+    old = docs.map_batches(_parity(0), batch_format="pyarrow",
+                           zero_copy_batch=True)
+    new = docs.map_batches(_parity(1), batch_format="pyarrow",
+                           zero_copy_batch=True)
+    idx = tempfile.mkdtemp(prefix="lsh-band-index-")
+    lshindex.build_band_index(old, idx, num_buckets=8)
+    return lshindex.incremental_neardup(new, idx, old, threshold=0.8)
+
+
+_INCREMENTAL_NEARDUP_SQL = """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                        for i in range(1, len(ws) - 1)]) AS shingles
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents)
+)
+SELECT n.doc_id AS new_id, o.doc_id AS old_id,
+       CAST(len(list_intersect(n.shingles, o.shingles)) AS DOUBLE) /
+       len(list_distinct(list_concat(n.shingles, o.shingles))) AS jaccard
+FROM sh n JOIN sh o ON n.doc_id % 2 = 1 AND o.doc_id % 2 = 0
+WHERE CAST(len(list_intersect(n.shingles, o.shingles)) AS DOUBLE) /
+      len(list_distinct(list_concat(n.shingles, o.shingles))) >= 0.8
+"""
+
+
 def q_simhash_neardup(sf_dir: str):
     """Hamming-banded SimHash near-dups. SQL-oracle-checked as of r04: the
     simhash word hash moved to md5-u64 (the engine's SQL-renderable
@@ -3182,6 +3228,7 @@ def build_queries() -> dict:
         "mixture_sample": q_mixture_sample,
         "index_lookup_boolean": q_index_lookup_boolean,
         "dsir_feature_counts": q_dsir_feature_counts,
+        "incremental_neardup": q_incremental_neardup,
         # ---------------------------------------------------- 50-slot edge
         "dedupe_last_wins_events": q_dedupe_last_wins_events,
         "events_sessions": q_events_sessions,
@@ -3253,6 +3300,7 @@ def build_oracles() -> dict[str, str]:
         "fingerprint": f"SELECT doc_id, {ts.fingerprint_sql()} AS fp FROM documents",
         "exact_dedup": _EXACT_DEDUP_SQL,
         "minhash_neardup": _MINHASH_SQL,
+        "incremental_neardup": _INCREMENTAL_NEARDUP_SQL,
         "embedding_neardup": _EMB_NEARDUP_SQL,
         "ann_topk": _ANN_TOPK_SQL,
         "media_probe": _MEDIA_PROBE_SQL,
