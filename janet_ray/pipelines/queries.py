@@ -1738,6 +1738,52 @@ SELECT id AS doc_id, min(reach) AS cluster_rep FROM r GROUP BY id
 # --------------------------------------------------------------- clusters registry marker
 
 
+def q_cluster_keep_best(sf_dir: str):
+    """Near-dup dedup with the KEEP-BEST survivor policy (stages/dedup.py
+    cluster_keep_best): union-find clusters over MinHash pairs (j ≥ 0.8),
+    one survivor per cluster — the highest quality-classifier score
+    (stages/classifier.py exact-int score), tie → min doc_id. The policy
+    production corpus dedup actually wants: keep the cleanest capture of a
+    page crawled five times, not the smallest id."""
+    docs = _docs(sf_dir)
+    pairs = dedup.minhash_neardup_pairs(docs, threshold=0.8)
+    return dedup.cluster_keep_best(docs, pairs).select_columns(["doc_id"])
+
+
+def _cluster_keep_best_sql() -> str:
+    from janet_ray.stages.classifier import score_cte_sql
+
+    return f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id,
+         list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                        for i in range(1, len(ws) - 1)]) AS shingles
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents)
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+        len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
+), e AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+), r AS (
+  SELECT doc_id AS id, doc_id AS reach FROM documents
+  UNION
+  SELECT r.id, e.b FROM r JOIN e ON e.a = r.reach
+), clusters AS (
+  SELECT id AS doc_id, min(reach) AS cluster_rep FROM r GROUP BY id
+), {score_cte_sql()},
+ranked AS (
+  SELECT c.doc_id,
+         row_number() OVER (PARTITION BY c.cluster_rep
+             ORDER BY COALESCE(s.score, 0) DESC, c.doc_id) AS rk
+  FROM clusters c LEFT JOIN cscored s USING (doc_id)
+)
+SELECT doc_id FROM ranked WHERE rk = 1
+"""
+
+
 def q_dup_clusters_lp(sf_dir: str):
     """Distributed label-propagation connected components (the scale path) —
     must equal the union-find result, so it shares the recursive-CTE oracle."""
@@ -3179,20 +3225,29 @@ def build_queries() -> dict:
         "derive_filenames": q_derive_filenames,
         "exact_dedup": q_exact_dedup,
         "minhash_neardup": q_minhash_neardup,
-        # -- new in round 4 ----------------------------------------- 9..
+        # -- new in round 4 ----------------------------------------- 9..14
         "index_lookup_phrase": q_index_lookup_phrase,
         "host_quota": q_host_quota,
         "pmi_collocations": q_pmi_collocations,
         "substring_dedup_global": q_substring_dedup_global,
         "curation_v3": q_curation_v3,
-        # -- round-3 queries without driver evidence yet -------------
-        "lm_surprise": q_lm_surprise,
-        "lm_surprise_cut": q_lm_surprise_cut,
-        "ccnet_lm_mix": q_ccnet_lm_mix,
+        "cluster_keep_best": q_cluster_keep_best,
+        # -- freshly-oracled SQL rows (late r04 upgrades + exact-int
+        #    evidence twins for the float/iterative families) ------ 15..24
+        "simhash_neardup": q_simhash_neardup,
+        "mixture_sample": q_mixture_sample,
+        "index_lookup_boolean": q_index_lookup_boolean,
+        "dsir_feature_counts": q_dsir_feature_counts,
+        "incremental_neardup": q_incremental_neardup,
+        "lm_bigram_model": q_lm_bigram_model,
+        "index_bm25_inputs": q_index_bm25_inputs,
+        "bpe_first_merge": q_bpe_first_merge,
+        "ocr_word_boxes": q_ocr_word_boxes,
+        "ocr_highlights": q_ocr_highlights,
+        # -- round-3 SQL-oracle queries without driver evidence -- 25..49
         "orders_group_sample": q_orders_group_sample,
         "training_manifest": q_training_manifest,
         "search_index_lookup": q_search_index_lookup,
-        "search_index_bm25": q_search_index_bm25,
         "pack_sequences": q_pack_sequences,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_neardup": q_winnow_neardup,
@@ -3203,40 +3258,40 @@ def build_queries() -> dict:
         "quality_buckets": q_quality_buckets,
         "ccnet_mix": q_ccnet_mix,
         "bloom_new_docs": q_bloom_new_docs,
-        "kmeans_clusters": q_kmeans_clusters,
         "extract_links": q_extract_links,
         "page_link_counts": q_page_link_counts,
-        "link_pagerank": q_link_pagerank,
-        "link_hits": q_link_hits,
         "anchor_corpus": q_anchor_corpus,
         "crawl_frontier": q_crawl_frontier,
         "host_stats": q_host_stats,
-        "bpe_merges": q_bpe_merges,
-        "bpe_encode": q_bpe_encode,
         "duplicate_spans": q_duplicate_spans,
         "substring_dedup": q_substring_dedup,
         "paragraph_dedup": q_paragraph_dedup,
         "quality_classifier": q_quality_classifier,
-        "events_distinct_users_hll": q_events_distinct_users_hll,
-        "quantity_quantiles_dd": q_quantity_quantiles_dd,
-        "vocab_topk_cms": q_vocab_topk_cms,
         "curation_v2": q_curation_v2,
         "normalize_text": q_normalize_text,
         "canonical_urls": q_canonical_urls,
-        # -- window filler: freshly-oracled rows get driver-side evidence
-        "simhash_neardup": q_simhash_neardup,
-        "mixture_sample": q_mixture_sample,
-        "index_lookup_boolean": q_index_lookup_boolean,
-        "dsir_feature_counts": q_dsir_feature_counts,
-        "incremental_neardup": q_incremental_neardup,
+        # -- slot 50: the one rows-only row worth driver execution
+        #    evidence (iterative link analysis has no exact-int twin)
+        "link_pagerank": q_link_pagerank,
         # ---------------------------------------------------- 50-slot edge
+        # -- rows-only families evicted from the window (their exact-int
+        #    evidence twins above carry the driver signal; the local gate
+        #    + pytest keep the float/iterative parts honest) --
+        "lm_surprise": q_lm_surprise,
+        "lm_surprise_cut": q_lm_surprise_cut,
+        "ccnet_lm_mix": q_ccnet_lm_mix,
+        "search_index_bm25": q_search_index_bm25,
+        "kmeans_clusters": q_kmeans_clusters,
+        "link_hits": q_link_hits,
+        "bpe_merges": q_bpe_merges,
+        "bpe_encode": q_bpe_encode,
+        "events_distinct_users_hll": q_events_distinct_users_hll,
+        "quantity_quantiles_dd": q_quantity_quantiles_dd,
+        "vocab_topk_cms": q_vocab_topk_cms,
+        # -- driver-green in r01–r03 (local gate keeps them honest) --
         "dedupe_last_wins_events": q_dedupe_last_wins_events,
         "events_sessions": q_events_sessions,
         "customer_orders_semi": q_customer_orders_semi,
-        # -- driver-green in r01–r03 (local gate keeps them honest) --
-        "lm_bigram_model": q_lm_bigram_model,
-        "index_bm25_inputs": q_index_bm25_inputs,
-        "bpe_first_merge": q_bpe_first_merge,
         "search_count": q_search_count,
         "token_count": q_token_count,
         "lang_id": q_lang_id,
@@ -3257,7 +3312,6 @@ def build_queries() -> dict:
         "derive_filenames_rich": q_derive_filenames_rich,
         "metadata_extract": q_metadata_extract,
         "search_topk": q_search_topk,
-        "ocr_word_boxes": q_ocr_word_boxes,
         "format_dates": q_format_dates,
         "quality_filter": q_quality_filter,
         "extract_html_spans": q_extract_html_spans,
@@ -3270,7 +3324,6 @@ def build_queries() -> dict:
         "top_orders_per_customer": q_top_orders_per_customer,
         "vocab_topk": q_vocab_topk,
         "train_test_split": q_train_test_split,
-        "ocr_highlights": q_ocr_highlights,
         "extract_ocr_normalized": q_extract_ocr_normalized,
         "quantity_quantiles": q_quantity_quantiles,
         "events_distinct_users": q_events_distinct_users,
@@ -3321,6 +3374,7 @@ def build_oracles() -> dict[str, str]:
         "extract_html_spans": _HTML_SPANS_SQL,
         "dup_clusters": _DUP_CLUSTERS_SQL,
         "dup_clusters_lp": _DUP_CLUSTERS_SQL,
+        "cluster_keep_best": _cluster_keep_best_sql(),
         "events_sessions": _SESSIONS_SQL,
         "events_sliding": _SLIDING_SQL,
         "search_highlights": _search_highlights_sql(),

@@ -82,6 +82,28 @@ def classify(ds, *, weights: np.ndarray | None = None,
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def score_cte_sql(*, source: str = "documents", text_expr: str = "text",
+                  id_col: str = "doc_id",
+                  n_buckets: int = DEFAULT_N_BUCKETS) -> str:
+    """The tokenize+score chain as a composable CTE fragment (``ctoks`` +
+    ``cscored``) — single source of truth for oracles that EMBED the
+    classifier score inside a larger query (cluster_keep_best). Token-less
+    docs are absent from ``cscored``; consumers COALESCE to 0 to match
+    ``score_text``'s empty-sum."""
+    bucket = (f"CAST(('0x' || substr(md5(tok), 1, 8)) AS UBIGINT) "
+              f"% {n_buckets}")
+    return f"""ctoks AS (
+  SELECT {id_col} AS doc_id,
+         unnest(regexp_extract_all(lower({text_expr}), '[a-z0-9]+')) AS tok
+  FROM {source}
+), cscored AS (
+  SELECT doc_id,
+         CAST(sum(CAST(({bucket}) * 2654435761 % 1000 AS BIGINT) - 500)
+              AS BIGINT) AS score
+  FROM ctoks GROUP BY doc_id
+)"""
+
+
 def classifier_sql(*, source: str = "documents", text_expr: str = "text",
                    id_col: str = "doc_id",
                    n_buckets: int = DEFAULT_N_BUCKETS,

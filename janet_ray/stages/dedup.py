@@ -658,6 +658,148 @@ def dup_clusters_distributed(ds: "ray.data.Dataset", pairs: "ray.data.Dataset", 
     )
 
 
+def cluster_keep_best(ds: "ray.data.Dataset", pairs: "ray.data.Dataset", *,
+                      weights=None, id_col: str = "doc_id",
+                      text_col: str = "text") -> "ray.data.Dataset":
+    """Near-dup dedup with a KEEP-BEST policy: one survivor per duplicate
+    cluster — the highest quality-classifier score (stages/classifier.py
+    exact-int score; tie → min id) — instead of dup_clusters' min-id rep.
+    This is the policy production corpus dedup actually wants: when a page
+    is crawled five times, keep the cleanest capture, not the smallest id.
+
+    Same scale judgement as ``dup_clusters``: the pair list (and therefore
+    the set of docs in any cluster) is a small aggregate-like result, so
+    union-find + the winner pick run on the driver; classifier scores are
+    computed ONLY for docs that appear in some pair (one filtered corpus
+    map), and the final cut is a broadcast drop-set filter — the corpus
+    itself is only map_batches'ed, twice. At extreme dup rates use
+    ``cluster_keep_best_distributed`` (same output contract, parity-pinned).
+    """
+    from janet_ray.functions.broadcast import get_broadcast
+    from janet_ray.stages.classifier import default_weights, score_text
+
+    edge_rows = pairs.select_columns(["id_a", "id_b"]).take_all()
+    if not edge_rows:
+        return ds
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for e in edge_rows:
+        a, b = find(int(e["id_a"])), find(int(e["id_b"]))
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+    members: dict[int, list[int]] = {}
+    for x in list(parent):
+        members.setdefault(find(x), []).append(x)
+    for r in members:
+        # the component root never gets a parent entry — it competes too
+        members[r].append(r)
+
+    w = default_weights() if weights is None else np.asarray(weights,
+                                                             dtype=np.int64)
+    dup_ids = np.sort(np.fromiter(set(parent) | set(members),
+                                  dtype=np.int64,
+                                  count=len(parent) + len(members)))
+    dref = ray.put(dup_ids)
+
+    def project_scores(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        mask = np.isin(ids, get_broadcast(dref))
+        sub = batch.filter(pa.array(mask))
+        scores = np.asarray(
+            [score_text(t, w) for t in sub[text_col].to_pylist()],
+            dtype=np.int64)
+        return pa.table({"id": pc.cast(sub[id_col], pa.int64()),
+                         "score": pa.array(scores, pa.int64())})
+
+    got = ds.map_batches(project_scores, batch_format="pyarrow",
+                         zero_copy_batch=True).take_all()  # ∝ dup docs
+    score = {int(r["id"]): int(r["score"]) for r in got}
+
+    drop: list[int] = []
+    for mem in members.values():
+        win = min(mem, key=lambda i: (-score.get(i, 0), i))
+        drop.extend(m for m in mem if m != win)
+    drop_ref = ray.put(np.sort(np.asarray(drop, dtype=np.int64)))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.filter(pa.array(~np.isin(ids, get_broadcast(drop_ref))))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def cluster_keep_best_distributed(ds: "ray.data.Dataset",
+                                  pairs: "ray.data.Dataset", *,
+                                  weights=None, id_col: str = "doc_id",
+                                  text_col: str = "text",
+                                  num_partitions: int = 8) -> "ray.data.Dataset":
+    """Keep-best dedup at dup volumes too large to collect: label-propagation
+    components (dup_clusters_distributed), classifier scores as a stateless
+    corpus map, one narrow int-row join clusters⋈scores, a coarse-partition
+    per-cluster argmax (sort by rep, score desc, id asc → run heads), and a
+    final id semi-join to pull the surviving rows. Only (id, rep, score)
+    rows ever shuffle; document text moves zero times before the final join.
+    Output contract identical to cluster_keep_best (parity-pinned in tests).
+    """
+    from janet_ray.stages.classifier import default_weights, score_text
+    from janet_ray.stages.joins import drop_empty_blocks
+
+    w = default_weights() if weights is None else np.asarray(weights,
+                                                             dtype=np.int64)
+    clusters = drop_empty_blocks(
+        dup_clusters_distributed(ds, pairs, id_col=id_col,
+                                 num_partitions=num_partitions))
+
+    def score_map(batch: pa.Table) -> pa.Table:
+        scores = np.asarray(
+            [score_text(t, w) for t in batch[text_col].to_pylist()],
+            dtype=np.int64)
+        return pa.table({"sid": pc.cast(batch[id_col], pa.int64()),
+                         "score": pa.array(scores, pa.int64())})
+
+    scores = drop_empty_blocks(ds.map_batches(score_map,
+                                              batch_format="pyarrow",
+                                              zero_copy_batch=True))
+    j = clusters.join(scores, "inner", num_partitions, on=(id_col,),
+                      right_on=("sid",))
+
+    def part_map(t: pa.Table) -> pa.Table:
+        rep = t["cluster_rep"].to_numpy(zero_copy_only=False)
+        part = (np.abs(rep) % _N_SHUFFLE_PARTS).astype(np.int32)
+        return t.append_column("part", pa.array(part, pa.int32()))
+
+    def pick(group: pa.Table) -> pa.Table:
+        t = group.take(pc.sort_indices(group, sort_keys=[
+            ("cluster_rep", "ascending"), ("score", "descending"),
+            (id_col, "ascending")]))
+        rep = t["cluster_rep"].to_numpy(zero_copy_only=False)
+        head = np.ones(len(rep), dtype=bool)
+        head[1:] = rep[1:] != rep[:-1]
+        kept = t.filter(pa.array(head))
+        return pa.table({"win_id": pc.cast(kept[id_col], pa.int64())})
+
+    winners = drop_empty_blocks(
+        j.map_batches(part_map, batch_format="pyarrow", zero_copy_batch=True)
+         .groupby("part").map_groups(pick, batch_format="pyarrow"))
+    kept = drop_empty_blocks(ds).join(winners, "inner", num_partitions,
+                                      on=(id_col,), right_on=("win_id",))
+
+    def strip(t: pa.Table) -> pa.Table:
+        # Ray 2.49's join drops the right key column on name-distinct keys
+        # in some plans and keeps it in others — tolerate both
+        return (t.drop_columns(["win_id"]) if "win_id" in t.column_names
+                else t)
+
+    return kept.map_batches(strip, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
 # ---------------------------------------------------------------- embeddings
 
 def embedding_neardup_pairs(ds: "ray.data.Dataset", *, threshold: float = 0.95,

@@ -207,3 +207,122 @@ def test_embedding_neardup_auto_dispatches_to_ivf(ray_session):
     assert exact  # the construction produced pairs
     assert approx <= exact           # IVF never invents pairs
     assert len(approx) >= len(exact) * 0.5  # and recalls most of them
+
+
+# ------------------------------------------------------------- keep-best
+
+def _brute_keep_best(texts: dict[int, int | str], edges, weights):
+    """Reference keep-best: union-find components, winner = (max score,
+    min id); docs in no component always survive."""
+    from janet_ray.stages.classifier import score_text
+
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            x = parent.get(x, x)
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {}
+    for i in texts:
+        comp.setdefault(find(i), []).append(i)
+    keep = set()
+    for mem in comp.values():
+        keep.add(min(mem, key=lambda i: (-score_text(texts[i], weights), i)))
+    return keep
+
+
+def test_cluster_keep_best_default_weights(ray_session):
+    """One survivor per minhash cluster — highest classifier score, tie →
+    min id — and every singleton survives untouched."""
+    import ray.data
+
+    t = docs_table()
+    ds = ray.data.from_arrow(t)
+    pairs = dedup.minhash_neardup_pairs(ds, threshold=0.8, num_partitions=2)
+    kept = sorted(r["doc_id"]
+                  for r in dedup.cluster_keep_best(ds, pairs).take_all())
+    edges = [(r["id_a"], r["id_b"]) for r in pairs.take_all()]
+    texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    from janet_ray.stages.classifier import default_weights
+
+    expect = sorted(_brute_keep_best(texts, edges, default_weights()))
+    assert kept == expect
+    # clusters {0,1,3} and {2,6} each lost all but one member
+    assert len(kept) == len(texts) - 3
+
+
+def test_cluster_keep_best_prefers_quality_over_min_id(ray_session):
+    """Weights that boost a token only the NON-min doc has must flip the
+    survivor away from dup_clusters' min-id rep — the policy difference."""
+    import ray.data
+
+    from janet_ray.stages.classifier import _bucket
+
+    t = docs_table()
+    ds = ray.data.from_arrow(t)
+    pairs = dedup.minhash_neardup_pairs(ds, threshold=0.8, num_partitions=2)
+    w = np.zeros(64, dtype=np.int64)
+    b_dis, b_en = _bucket("disabled", 64), _bucket("enabled", 64)
+    assert b_dis != b_en  # fixture guard: the boost must be NEAR-only
+    w[b_dis] = 1000
+    kept = sorted(r["doc_id"]
+                  for r in dedup.cluster_keep_best(ds, pairs, weights=w)
+                  .take_all())
+    # cluster {0,1,3}: only doc 1 (NEAR, 'disabled') carries the boost —
+    # keep-best flips the survivor away from min-id 0
+    assert 1 in kept and 0 not in kept and 3 not in kept
+    # {2,6} resolves by the same (score desc, id) rule (6 may collide into
+    # the boosted bucket via its extra tokens — the reference decides)
+    edges = [(r["id_a"], r["id_b"]) for r in pairs.take_all()]
+    texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    assert kept == sorted(_brute_keep_best(texts, edges, w))
+    assert 4 in kept and 5 in kept
+
+
+def test_cluster_keep_best_distributed_parity(ray_session):
+    """The label-propagation + narrow-row-join scale path must produce the
+    same survivor set as the driver-side union-find, including chained
+    components and ties."""
+    import random
+
+    import ray.data
+
+    rng = random.Random(11)
+    n = 80
+    texts = {i: f"doc number {i} says " + " ".join(
+        rng.choice(["alpha", "beta", "gamma", "delta"]) for _ in range(6))
+        for i in range(n)}
+    edges = [(i, i + 1) for i in range(0, 9)]            # chain 0..9
+    edges += [(rng.randrange(20, n), rng.randrange(20, n)) for _ in range(20)]
+    edges = sorted({(min(a, b), max(a, b)) for a, b in edges if a != b})
+    t = pa.table({"doc_id": list(texts), "text": list(texts.values())})
+    pairs = pa.table({"id_a": [a for a, _ in edges],
+                      "id_b": [b for _, b in edges]})
+    ds = ray.data.from_arrow(t)
+    pds = ray.data.from_arrow(pairs)
+    small = sorted(r["doc_id"]
+                   for r in dedup.cluster_keep_best(ds, pds).take_all())
+    big = sorted(r["doc_id"]
+                 for r in dedup.cluster_keep_best_distributed(ds, pds)
+                 .take_all())
+    assert small == big
+    from janet_ray.stages.classifier import default_weights
+
+    assert small == sorted(_brute_keep_best(texts, edges, default_weights()))
+
+
+def test_cluster_keep_best_no_pairs_is_identity(ray_session):
+    import ray.data
+
+    t = docs_table()
+    ds = ray.data.from_arrow(t)
+    empty = ray.data.from_arrow(pa.table({"id_a": pa.array([], pa.int64()),
+                                          "id_b": pa.array([], pa.int64())}))
+    kept = sorted(r["doc_id"]
+                  for r in dedup.cluster_keep_best(ds, empty).take_all())
+    assert kept == t["doc_id"].to_pylist()
