@@ -681,6 +681,77 @@ def _repetition_sql() -> str:
     return repetition_sql()
 
 
+# The corpus is single-line prose with no bullets/ellipses/symbols, so —
+# the pii_scrub pattern — both sides derive the SAME injected variants
+# keyed on doc_id: bullets for %7, required stopwords for %11, '...'-ending
+# lines for %13, a '#' run for %17. Every Gopher rule then fires both ways
+# on real rows instead of being vacuously green.
+_GOPHER_BULLETS = "".join(f"\n- item {k}" for k in range(1, 11))
+_GOPHER_STOPS = " the of and that have with"
+_GOPHER_ELLIPSIS = "\nwait for more...\nand more soon..."
+_GOPHER_HASHES = " " + "#" * 20
+_GOPHER_DUPLINES = "\nsame line again\nsame line again\nsame line again"
+_GOPHER_SHORTWORDS = " " + "a " * 199 + "a"
+
+
+def _gopher_inject(doc_id: int, text: str) -> str:
+    t = text or ""
+    if doc_id % 7 == 0:
+        t += _GOPHER_BULLETS
+    if doc_id % 11 == 0:
+        t += _GOPHER_STOPS
+    if doc_id % 13 == 0:
+        t += _GOPHER_ELLIPSIS
+    if doc_id % 17 == 0:
+        t += _GOPHER_HASHES
+    if doc_id % 19 == 0:
+        t += _GOPHER_DUPLINES
+    if doc_id % 23 == 0:
+        t += _GOPHER_SHORTWORDS
+    return t
+
+
+def q_gopher_filter(sf_dir: str):
+    """Composed Gopher/MassiveText quality-rule filter (stages/gopher.py,
+    Rae et al. 2021 §A1.1): word-count and mean-word-length bounds, symbol /
+    bullet / ellipsis ratios, alpha-word coverage, required-stopword
+    presence, and the three repetition gates — every decision an exact-int
+    cross-multiplied comparison, so the whole rule table is value-hash
+    strict against the generated SQL twin."""
+    from janet_ray.stages import gopher
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def inject(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        out = [_gopher_inject(int(i), t) for i, t in zip(ids, texts)]
+        return pa.table({"doc_id": batch["doc_id"],
+                         "text": pa.array(out, pa.string())})
+
+    return gopher.gopher_filter(
+        docs.map_batches(inject, batch_format="pyarrow",
+                         zero_copy_batch=True))
+
+
+def _gopher_sql() -> str:
+    from janet_ray.stages.gopher import gopher_sql
+
+    def lit(s: str) -> str:
+        return "e'" + s.replace("'", "''").replace("\n", "\\n") + "'"
+
+    expr = (
+        "text"
+        f" || CASE WHEN doc_id % 7 = 0 THEN {lit(_GOPHER_BULLETS)} ELSE '' END"
+        f" || CASE WHEN doc_id % 11 = 0 THEN {lit(_GOPHER_STOPS)} ELSE '' END"
+        f" || CASE WHEN doc_id % 13 = 0 THEN {lit(_GOPHER_ELLIPSIS)} ELSE '' END"
+        f" || CASE WHEN doc_id % 17 = 0 THEN {lit(_GOPHER_HASHES)} ELSE '' END"
+        f" || CASE WHEN doc_id % 19 = 0 THEN {lit(_GOPHER_DUPLINES)} ELSE '' END"
+        f" || CASE WHEN doc_id % 23 = 0 THEN {lit(_GOPHER_SHORTWORDS)} ELSE '' END"
+    )
+    return gopher_sql(source="documents", text_expr=expr, id_col="doc_id")
+
+
 def q_pii_scrub(sf_dir: str):
     """PII e-mail/phone redaction (stages/pii.py). The corpus is synthetic and
     PII-free, so the query first injects deterministic PII derived from doc_id
@@ -3232,6 +3303,7 @@ def build_queries() -> dict:
         "substring_dedup_global": q_substring_dedup_global,
         "curation_v3": q_curation_v3,
         "cluster_keep_best": q_cluster_keep_best,
+        "gopher_filter": q_gopher_filter,
         # -- freshly-oracled SQL rows (late r04 upgrades + exact-int
         #    evidence twins for the float/iterative families) ------ 15..24
         "simhash_neardup": q_simhash_neardup,
@@ -3270,13 +3342,11 @@ def build_queries() -> dict:
         "curation_v2": q_curation_v2,
         "normalize_text": q_normalize_text,
         "canonical_urls": q_canonical_urls,
-        # -- slot 50: the one rows-only row worth driver execution
-        #    evidence (iterative link analysis has no exact-int twin)
-        "link_pagerank": q_link_pagerank,
         # ---------------------------------------------------- 50-slot edge
         # -- rows-only families evicted from the window (their exact-int
         #    evidence twins above carry the driver signal; the local gate
         #    + pytest keep the float/iterative parts honest) --
+        "link_pagerank": q_link_pagerank,
         "lm_surprise": q_lm_surprise,
         "lm_surprise_cut": q_lm_surprise_cut,
         "ccnet_lm_mix": q_ccnet_lm_mix,
@@ -3375,6 +3445,7 @@ def build_oracles() -> dict[str, str]:
         "dup_clusters": _DUP_CLUSTERS_SQL,
         "dup_clusters_lp": _DUP_CLUSTERS_SQL,
         "cluster_keep_best": _cluster_keep_best_sql(),
+        "gopher_filter": _gopher_sql(),
         "events_sessions": _SESSIONS_SQL,
         "events_sliding": _SLIDING_SQL,
         "search_highlights": _search_highlights_sql(),
