@@ -1863,6 +1863,19 @@ def q_dup_clusters_lp(sf_dir: str):
     return dedup.dup_clusters_distributed(docs, pairs)
 
 
+def q_semdedup(sf_dir: str):
+    """SemDeDup (stages/semdedup.py, Abbas et al. 2023): k-means-clustered
+    embedding space, within-threshold semantic-dup groups lose all but the
+    member FARTHEST from its centroid (the paper's keep-the-outlier rule).
+    Rows-only by declaration: the keep score is float-iterative k-means
+    geometry; brute-force parity is pytest-pinned."""
+    from janet_ray.stages.semdedup import semdedup_keep_ids
+
+    return semdedup_keep_ids(_read(sf_dir, "embeddings"), threshold=0.4,
+                             n_cells=8).select_columns(
+                                 ["vec_id", "dup_group"])
+
+
 def q_embedding_neardup_ivf(sf_dir: str):
     """IVF-partitioned embedding near-dup (approximate scale path; recall vs
     the exact broadcast operator asserted in tests) — rows-only check."""
@@ -3402,6 +3415,7 @@ def build_queries() -> dict:
         # driver's rows-only check adds nothing over the local gate) --
         "heavy_hitters_mg": q_heavy_hitters_mg,
         "dsir_select": q_dsir_select,
+        "semdedup": q_semdedup,
     }
 
 
