@@ -211,6 +211,7 @@ def run_suite(sf_dir: str) -> dict[str, float]:
         "cluster_keep_best": Q.q_cluster_keep_best,
         "gopher_filter": Q.q_gopher_filter,
         "semdedup": Q.q_semdedup,
+        "embedding_pca": Q.q_embedding_pca,
     }
     # min-of-2 INTERLEAVED passes (VERDICT r03 #4): single-shot numbers on
     # this shared VM scatter ±10–40% with co-tenant load (a 22% phantom

@@ -1876,6 +1876,31 @@ def q_semdedup(sf_dir: str):
                                  ["vec_id", "dup_group"])
 
 
+def q_embedding_pca(sf_dir: str):
+    """Distributed PCA (stages/pca.py): one aggregation-tree pass fits the
+    moment statistics (zero shuffles), driver eigh over the d×d covariance,
+    stateless broadcast-matmul projection to 8 dims. Rows-only: float sums
+    are merge-order-dependent at 1e-15; numpy parity is pytest-pinned."""
+    from janet_ray.stages.pca import fit_pca, pca_transform
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    model = fit_pca(emb, k=8)
+    proj = pca_transform(emb, model)
+
+    def flatten(t: pa.Table) -> pa.Table:
+        # scalar columns (sortable/hashable) for the driver's compare
+        import numpy as _np
+        P = _np.asarray(t["pca"].to_pylist(), dtype=_np.float64)
+        cols = {"vec_id": t["vec_id"]}
+        for i in range(8):
+            cols[f"pc{i}"] = pa.array(
+                P[:, i] if len(P) else _np.empty(0), pa.float64())
+        return pa.table(cols)
+
+    return proj.map_batches(flatten, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
 def q_embedding_neardup_ivf(sf_dir: str):
     """IVF-partitioned embedding near-dup (approximate scale path; recall vs
     the exact broadcast operator asserted in tests) — rows-only check."""
@@ -3416,6 +3441,7 @@ def build_queries() -> dict:
         "heavy_hitters_mg": q_heavy_hitters_mg,
         "dsir_select": q_dsir_select,
         "semdedup": q_semdedup,
+        "embedding_pca": q_embedding_pca,
     }
 
 
