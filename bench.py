@@ -212,6 +212,7 @@ def run_suite(sf_dir: str) -> dict[str, float]:
         "gopher_filter": Q.q_gopher_filter,
         "semdedup": Q.q_semdedup,
         "embedding_pca": Q.q_embedding_pca,
+        "web_curation": Q.q_web_curation,
     }
     # min-of-2 INTERLEAVED passes (VERDICT r03 #4): single-shot numbers on
     # this shared VM scatter ±10–40% with co-tenant load (a 22% phantom

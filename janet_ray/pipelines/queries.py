@@ -734,22 +734,102 @@ def q_gopher_filter(sf_dir: str):
                          zero_copy_batch=True))
 
 
+def _sql_lit(s: str) -> str:
+    return "e'" + s.replace("'", "''").replace("\n", "\\n") + "'"
+
+
+def _gopher_inject_sql(base: str = "text") -> str:
+    """The SQL rendering of _gopher_inject — same suffixes, same order."""
+    return (
+        f"{base}"
+        f" || CASE WHEN doc_id % 7 = 0 THEN {_sql_lit(_GOPHER_BULLETS)} ELSE '' END"
+        f" || CASE WHEN doc_id % 11 = 0 THEN {_sql_lit(_GOPHER_STOPS)} ELSE '' END"
+        f" || CASE WHEN doc_id % 13 = 0 THEN {_sql_lit(_GOPHER_ELLIPSIS)} ELSE '' END"
+        f" || CASE WHEN doc_id % 17 = 0 THEN {_sql_lit(_GOPHER_HASHES)} ELSE '' END"
+        f" || CASE WHEN doc_id % 19 = 0 THEN {_sql_lit(_GOPHER_DUPLINES)} ELSE '' END"
+        f" || CASE WHEN doc_id % 23 = 0 THEN {_sql_lit(_GOPHER_SHORTWORDS)} ELSE '' END"
+    )
+
+
 def _gopher_sql() -> str:
     from janet_ray.stages.gopher import gopher_sql
 
-    def lit(s: str) -> str:
-        return "e'" + s.replace("'", "''").replace("\n", "\\n") + "'"
+    return gopher_sql(source="documents", text_expr=_gopher_inject_sql(),
+                      id_col="doc_id")
 
-    expr = (
-        "text"
-        f" || CASE WHEN doc_id % 7 = 0 THEN {lit(_GOPHER_BULLETS)} ELSE '' END"
-        f" || CASE WHEN doc_id % 11 = 0 THEN {lit(_GOPHER_STOPS)} ELSE '' END"
-        f" || CASE WHEN doc_id % 13 = 0 THEN {lit(_GOPHER_ELLIPSIS)} ELSE '' END"
-        f" || CASE WHEN doc_id % 17 = 0 THEN {lit(_GOPHER_HASHES)} ELSE '' END"
-        f" || CASE WHEN doc_id % 19 = 0 THEN {lit(_GOPHER_DUPLINES)} ELSE '' END"
-        f" || CASE WHEN doc_id % 23 = 0 THEN {lit(_GOPHER_SHORTWORDS)} ELSE '' END"
-    )
-    return gopher_sql(source="documents", text_expr=expr, id_col="doc_id")
+
+def _web_inject(doc_id: int, text: str) -> str:
+    # the gopher fixture suffixes PLUS stopwords for every even doc_id, so
+    # the composed filter passes a meaningful fraction (the raw corpus has
+    # almost no required stopwords and would starve the downstream stages)
+    t = _gopher_inject(doc_id, text)
+    if doc_id % 2 == 0:
+        t += _GOPHER_STOPS
+    return t
+
+
+def q_web_curation(sf_dir: str):
+    """Composed web-curation capstone over the round-4 rule filter, ONE lazy
+    chain, COMPOSITION oracle-checked (the curation_v2/v3 pattern): inject
+    deterministic fixture suffixes → Gopher rule filter (stages/gopher.py,
+    failing docs DROPPED in the same stateless map that computes the flags —
+    text never detours through a flags-only table) → hashed linear quality
+    classifier over the survivors → content-addressed train/val/test split.
+    Zero shuffles end to end: every stage is a stateless per-batch map."""
+    from janet_ray.stages.classifier import classify
+    from janet_ray.stages.gopher import FLAG_COLS, doc_gopher_flags
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def inject_filter(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = [_web_inject(int(i), t)
+                 for i, t in zip(ids, batch["text"].to_pylist())]
+        mask = []
+        for t in texts:
+            f = doc_gopher_flags(t)
+            mask.append(all(f[c] for c in FLAG_COLS))
+        return pa.table({
+            "doc_id": pa.array([i for i, m in zip(ids, mask) if m],
+                               pa.int64()),
+            "text": pa.array([t for t, m in zip(texts, mask) if m],
+                             pa.string()),
+        })
+
+    survivors = docs.map_batches(inject_filter, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    scored = classify(survivors)
+
+    def add_split(batch: pa.Table) -> pa.Table:
+        buckets = [h % 100 for h in _md5_u32(batch["doc_id"].to_pylist())]
+        return (batch
+                .append_column("bucket", pa.array(buckets, pa.int64()))
+                .append_column("split", pa.array(
+                    [_split_label(b) for b in buckets], pa.string())))
+
+    return scored.map_batches(add_split, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def _web_curation_sql() -> str:
+    from janet_ray.stages.classifier import classifier_sql
+    from janet_ray.stages.gopher import gopher_sql
+
+    expr = (_gopher_inject_sql()
+            + f" || CASE WHEN doc_id % 2 = 0 THEN {_sql_lit(_GOPHER_STOPS)}"
+            " ELSE '' END")
+    flags = gopher_sql(source="documents", text_expr=expr, id_col="doc_id")
+    survivors = (
+        f"SELECT s.doc_id, {expr.replace('text', 's.text', 1)} AS text "
+        f"FROM documents s JOIN ({flags}) gg USING (doc_id) "
+        "WHERE gg.keep = 1")
+    clf = classifier_sql(source=f"({survivors}) AS fs", text_expr="text")
+    return f"""
+SELECT doc_id, score, label,
+       CAST({_md5_u32_sql('doc_id')} % 100 AS BIGINT) AS bucket,
+       {_split_case_sql('doc_id')} AS split
+FROM ({clf}) AS c
+"""
 
 
 def q_pii_scrub(sf_dir: str):
@@ -3381,6 +3461,10 @@ def build_queries() -> dict:
         "normalize_text": q_normalize_text,
         "canonical_urls": q_canonical_urls,
         # ---------------------------------------------------- 50-slot edge
+        # -- SQL-oracled but outside the window: every component stage is
+        #    individually window-covered; the local gate replays the whole
+        #    composition --
+        "web_curation": q_web_curation,
         # -- rows-only families evicted from the window (their exact-int
         #    evidence twins above carry the driver signal; the local gate
         #    + pytest keep the float/iterative parts honest) --
@@ -3486,6 +3570,7 @@ def build_oracles() -> dict[str, str]:
         "dup_clusters_lp": _DUP_CLUSTERS_SQL,
         "cluster_keep_best": _cluster_keep_best_sql(),
         "gopher_filter": _gopher_sql(),
+        "web_curation": _web_curation_sql(),
         "events_sessions": _SESSIONS_SQL,
         "events_sliding": _SLIDING_SQL,
         "search_highlights": _search_highlights_sql(),
