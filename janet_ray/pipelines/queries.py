@@ -3411,7 +3411,10 @@ def build_queries() -> dict:
         "extract_ocr_text": q_extract_ocr_text,
         "route_counts": q_route_counts,
         "extract_metrics": q_extract_metrics,
-        "derive_filenames": q_derive_filenames,
+        # web_curation (new r04 composition oracle) takes derive_filenames'
+        # flagship slot this round: derive_filenames is driver-green r01-r03
+        # with an unchanged oracle, web_curation has no driver evidence yet.
+        "web_curation": q_web_curation,
         "exact_dedup": q_exact_dedup,
         "minhash_neardup": q_minhash_neardup,
         # -- new in round 4 ----------------------------------------- 9..14
@@ -3461,10 +3464,9 @@ def build_queries() -> dict:
         "normalize_text": q_normalize_text,
         "canonical_urls": q_canonical_urls,
         # ---------------------------------------------------- 50-slot edge
-        # -- SQL-oracled but outside the window: every component stage is
-        #    individually window-covered; the local gate replays the whole
-        #    composition --
-        "web_curation": q_web_curation,
+        # -- driver-green r01-r03 flagship row displaced by web_curation;
+        #    oracle unchanged, stays on the local gate --
+        "derive_filenames": q_derive_filenames,
         # -- rows-only families evicted from the window (their exact-int
         #    evidence twins above carry the driver signal; the local gate
         #    + pytest keep the float/iterative parts honest) --
