@@ -2035,6 +2035,24 @@ def q_ivf_topk(sf_dir: str):
                                cents, k=10, nprobe=4)
 
 
+def q_pq_topk(sf_dir: str):
+    """IVF-PQ ANN (Jégou'11 ADC; approximate by design → rows-only check;
+    numpy-ADC parity + recall floor pinned in tests/test_pq.py). The corpus
+    is scanned as uint8 PQ codes — the 32×-compressed resident structure a
+    10^12-vector search needs — with IVF cells routing so only probed cells
+    do lookup work. Codebook/centroid fits use the same bounded streamed
+    sample contract as q_ivf_topk."""
+    from janet_ray.stages import pq as pqmod
+
+    ds = _read(sf_dir, "embeddings")
+    sample_rows = ds.limit(4096).take_all()
+    sample = np.asarray([r["embedding"] for r in sample_rows], dtype=np.float64)
+    cents = similarity.kmeans_centroids(sample, 16)
+    books = pqmod.pq_train(sample, m=8, n_codes=64)
+    return pqmod.ivfpq_topk(ds, _query_vectors(sf_dir), cents, books,
+                            k=10, nprobe=6)
+
+
 def _wrap_fold_cte() -> str:
     """The greedy raster line-wrap as a recursive fold (shared by the
     ocr_word_boxes and ocr_highlights oracles): state (line, col_end)
@@ -3495,6 +3513,7 @@ def build_queries() -> dict:
         "embedding_neardup": q_embedding_neardup,
         "ann_topk": q_ann_topk,
         "ivf_topk": q_ivf_topk,
+        "pq_topk": q_pq_topk,
         "media_probe": q_media_probe,
         "events_by_type": q_events_by_type,
         "pricing_summary": q_pricing_summary,
