@@ -2838,6 +2838,94 @@ def q_train_test_split(sf_dir: str):
     return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_shuffle_shards(sf_dir: str):
+    """Deterministic global shuffle → training shards (stages/shards.py):
+    content-addressed permutation h = md5_u32('seed:'||doc_id), shard = h mod
+    n_shards, pos = within-shard (h, id) rank — the rerun-stable replacement
+    for random_shuffle() at the shard-file grain. One coarse shard-id shuffle;
+    exact-int SQL twin below replays the whole chain."""
+    from janet_ray.stages import shards
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    return shards.shuffle_shards(ds, id_col="doc_id", n_shards=8, seed=0)
+
+
+_URLF_BLOCKED = ("tracker.net", "spam.biz")
+_URLF_WHITE = ("wikipedia.org",)
+_URLF_WORDS = {"casino": 2, "poker": 1, "spam": 1}
+_URLF_HOSTS = ("good-site.com", "ads.tracker.net", "blog.example.org",
+               "en.wikipedia.org", "cdn.spam.biz")
+
+
+def q_url_filter(sf_dir: str):
+    """RefinedWeb-style URL filter (stages/urlfilter.py): domain blocklist
+    (subdomain suffix semantics), soft word score, whitelist override. The
+    synthetic corpus has no url column, so — the extract_links/pii_scrub
+    pattern — deterministic doc_id-derived URLs are built with the SAME
+    concatenation on both sides; every rule fires both ways across the
+    corpus (host rotation + mod-7/mod-11 word injection)."""
+    from janet_ray.stages.urlfilter import url_filter
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def inject(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        hosts = np.asarray(_URLF_HOSTS, dtype=object)[did % 5]
+        ids = pc.cast(batch["doc_id"], pa.string())
+        url = pc.binary_join_element_wise(
+            "https://", pa.array(hosts, pa.string()), "/page/", ids,
+            pa.array(np.where(did % 7 == 0, "?ref=casino", ""), pa.string()),
+            pa.array(np.where(did % 11 == 0, "&x=poker", ""), pa.string()),
+            "")
+        return pa.table({"doc_id": batch["doc_id"], "url": url})
+
+    pages = ds.map_batches(inject, batch_format="pyarrow", zero_copy_batch=True)
+    return url_filter(pages, blocked_domains=_URLF_BLOCKED,
+                      scored_words=_URLF_WORDS, threshold=2,
+                      whitelist_domains=_URLF_WHITE)
+
+
+def _url_filter_sql() -> str:
+    from janet_ray.stages.urlfilter import url_filter_sql
+
+    frags = url_filter_sql("url", blocked_domains=_URLF_BLOCKED,
+                           scored_words=_URLF_WORDS, threshold=2,
+                           whitelist_domains=_URLF_WHITE)
+    host_case = ("CASE CAST(doc_id % 5 AS INTEGER) "
+                 + " ".join(f"WHEN {i} THEN '{h}'"
+                            for i, h in enumerate(_URLF_HOSTS))
+                 + " END")
+    return f"""
+WITH pages AS (
+  SELECT doc_id,
+         'https://' || {host_case} || '/page/' || CAST(doc_id AS VARCHAR)
+         || (CASE WHEN doc_id % 7 = 0 THEN '?ref=casino' ELSE '' END)
+         || (CASE WHEN doc_id % 11 = 0 THEN '&x=poker' ELSE '' END) AS url
+  FROM documents),
+hosted AS (
+  SELECT doc_id, url, {frags['host']} AS __host FROM pages)
+SELECT doc_id, url, __host AS host,
+       {frags['domain_blocked']} AS domain_blocked,
+       {frags['url_score']} AS url_score,
+       {frags['keep']} AS keep
+FROM hosted
+"""
+
+
+_SHUFFLE_SHARDS_SQL = f"""
+WITH h AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 8))
+              AS UBIGINT) AS hh
+  FROM documents)
+SELECT doc_id,
+       CAST(hh % 8 AS INTEGER) AS shard,
+       CAST(row_number() OVER (PARTITION BY hh % 8 ORDER BY hh, doc_id) - 1
+            AS BIGINT) AS pos
+FROM h
+"""
+
+
 _SPLIT_SQL = f"""
 SELECT doc_id,
        CAST({_md5_u32_sql('doc_id')} % 100 AS BIGINT) AS bucket,
@@ -3433,8 +3521,11 @@ def build_queries() -> dict:
         # flagship slot this round: derive_filenames is driver-green r01-r03
         # with an unchanged oracle, web_curation has no driver evidence yet.
         "web_curation": q_web_curation,
-        "exact_dedup": q_exact_dedup,
-        "minhash_neardup": q_minhash_neardup,
+        # shuffle_shards (new oracle, no driver evidence) displaces exact_dedup
+        # (driver-green r01-r03, oracle unchanged) for the same reason as
+        # web_curation above.
+        "shuffle_shards": q_shuffle_shards,
+        "url_filter": q_url_filter,
         # -- new in round 4 ----------------------------------------- 9..14
         "index_lookup_phrase": q_index_lookup_phrase,
         "host_quota": q_host_quota,
@@ -3482,9 +3573,11 @@ def build_queries() -> dict:
         "normalize_text": q_normalize_text,
         "canonical_urls": q_canonical_urls,
         # ---------------------------------------------------- 50-slot edge
-        # -- driver-green r01-r03 flagship row displaced by web_curation;
-        #    oracle unchanged, stays on the local gate --
+        # -- driver-green r01-r03 flagship rows displaced by web_curation /
+        #    shuffle_shards; oracles unchanged, stay on the local gate --
         "derive_filenames": q_derive_filenames,
+        "exact_dedup": q_exact_dedup,
+        "minhash_neardup": q_minhash_neardup,
         # -- rows-only families evicted from the window (their exact-int
         #    evidence twins above carry the driver signal; the local gate
         #    + pytest keep the float/iterative parts honest) --
@@ -3599,6 +3692,8 @@ def build_oracles() -> dict[str, str]:
         "top_orders_per_customer": _TOP_PER_CUST_SQL,
         "vocab_topk": _VOCAB_TOPK_SQL,
         "train_test_split": _SPLIT_SQL,
+        "shuffle_shards": _SHUFFLE_SHARDS_SQL,
+        "url_filter": _url_filter_sql(),
         "extract_ocr_normalized": _OCR_NORMALIZED_SQL,
         "quantity_quantiles": _QUANTILES_SQL,
         "events_distinct_users": _DISTINCT_USERS_SQL,
