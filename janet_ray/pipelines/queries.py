@@ -2850,6 +2850,52 @@ def q_shuffle_shards(sf_dir: str):
     return shards.shuffle_shards(ds, id_col="doc_id", n_shards=8, seed=0)
 
 
+def q_events_in_windows(sf_dir: str):
+    """Range (interval) join — stages/rangejoin.py, the non-equi join
+    Dataset.join can't express: events inside per-customer 6-hour windows.
+    Windows are deterministic customer-derived intervals (the engine has no
+    native interval table; same arithmetic in the SQL twin): customer
+    c_custkey → key user_id = c_custkey % 150, window [2024-01-01 +
+    (c_custkey % 720)h, +6h). One bucket shuffle, bin_width = the window
+    length. Exact non-equi-join oracle."""
+    from janet_ray.stages.rangejoin import range_join
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+
+    def windows(batch: pa.Table) -> pa.Table:
+        ck = batch["c_custkey"].to_numpy(zero_copy_only=False)
+        base = np.datetime64("2024-01-01T00:00:00", "us")
+        hour = np.timedelta64(3_600_000_000, "us")
+        start = base + (ck % 720) * hour
+        return pa.table({
+            "c_custkey": batch["c_custkey"],
+            "user_id": pa.array((ck % 150).astype(np.int64), pa.int64()),
+            "w_start": pa.array(start),
+            "w_end": pa.array(start + 6 * hour),
+        })
+
+    iv = cust.map_batches(windows, batch_format="pyarrow", zero_copy_batch=True)
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    return range_join(iv, ev, start_col="w_start", end_col="w_end",
+                      ts_col="ts", key_col="user_id",
+                      bin_width=6 * 3_600_000_000,
+                      left_cols=["c_custkey"], right_cols=["event_id"])
+
+
+_EVENTS_IN_WINDOWS_SQL = """
+WITH win AS (
+  SELECT c_custkey,
+         CAST(c_custkey % 150 AS BIGINT) AS user_id,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + (c_custkey % 720) * INTERVAL 1 HOUR AS w_start
+  FROM customer)
+SELECT w.c_custkey, e.event_id
+FROM win w JOIN events e
+  ON e.user_id = w.user_id
+ AND e.ts >= w.w_start AND e.ts < w.w_start + INTERVAL 6 HOUR
+"""
+
+
 _URLF_BLOCKED = ("tracker.net", "spam.biz")
 _URLF_WHITE = ("wikipedia.org",)
 _URLF_WORDS = {"casino": 2, "poker": 1, "spam": 1}
@@ -3515,8 +3561,10 @@ def build_queries() -> dict:
         "extract_html_text": q_extract_html_text,
         "extract_pdf_text": q_extract_pdf_text,
         "extract_ocr_text": q_extract_ocr_text,
-        "route_counts": q_route_counts,
         "extract_metrics": q_extract_metrics,
+        # events_in_windows (new range-join oracle) displaces route_counts
+        # (driver-green r01-r03; extract_metrics keeps the router canary).
+        "events_in_windows": q_events_in_windows,
         # web_curation (new r04 composition oracle) takes derive_filenames'
         # flagship slot this round: derive_filenames is driver-green r01-r03
         # with an unchanged oracle, web_curation has no driver evidence yet.
@@ -3578,6 +3626,7 @@ def build_queries() -> dict:
         "derive_filenames": q_derive_filenames,
         "exact_dedup": q_exact_dedup,
         "minhash_neardup": q_minhash_neardup,
+        "route_counts": q_route_counts,
         # -- rows-only families evicted from the window (their exact-int
         #    evidence twins above carry the driver signal; the local gate
         #    + pytest keep the float/iterative parts honest) --
@@ -3694,6 +3743,7 @@ def build_oracles() -> dict[str, str]:
         "train_test_split": _SPLIT_SQL,
         "shuffle_shards": _SHUFFLE_SHARDS_SQL,
         "url_filter": _url_filter_sql(),
+        "events_in_windows": _EVENTS_IN_WINDOWS_SQL,
         "extract_ocr_normalized": _OCR_NORMALIZED_SQL,
         "quantity_quantiles": _QUANTILES_SQL,
         "events_distinct_users": _DISTINCT_USERS_SQL,
