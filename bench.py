@@ -213,6 +213,11 @@ def run_suite(sf_dir: str) -> dict[str, float]:
         "semdedup": Q.q_semdedup,
         "embedding_pca": Q.q_embedding_pca,
         "web_curation": Q.q_web_curation,
+        "pq_topk": Q.q_pq_topk,
+        "shuffle_shards": Q.q_shuffle_shards,
+        "url_filter": Q.q_url_filter,
+        "events_in_windows": Q.q_events_in_windows,
+        "curation_v4": Q.q_curation_v4,
     }
     # min-of-2 INTERLEAVED passes (VERDICT r03 #4): single-shot numbers on
     # this shared VM scatter ±10–40% with co-tenant load (a 22% phantom

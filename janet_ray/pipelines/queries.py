@@ -2850,6 +2850,98 @@ def q_shuffle_shards(sf_dir: str):
     return shards.shuffle_shards(ds, id_col="doc_id", n_shards=8, seed=0)
 
 
+def q_curation_v4(sf_dir: str):
+    """Composed web-curation flow over the ROUND-4 late additions, whole-
+    composition oracle-checked (the curation_v2/v3 pattern): URL filter
+    (blocklist + word score + whitelist, the RefinedWeb first cut — text
+    never moves for dropped docs) → Gopher quality-rule filter over the
+    survivors (deterministic injections keep every rule firing both ways)
+    → deterministic shuffle-shards of the kept doc ids (the training-output
+    step). Zero shuffles until the final shard ranking; each stage's SQL
+    twin nests into the next."""
+    from janet_ray.stages import gopher
+    from janet_ray.stages.shards import shuffle_shards
+    from janet_ray.stages.urlfilter import url_filter
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def inject_urls(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        hosts = np.asarray(_URLF_HOSTS, dtype=object)[did % 5]
+        ids = pc.cast(batch["doc_id"], pa.string())
+        url = pc.binary_join_element_wise(
+            "https://", pa.array(hosts, pa.string()), "/page/", ids,
+            pa.array(np.where(did % 7 == 0, "?ref=casino", ""), pa.string()),
+            pa.array(np.where(did % 11 == 0, "&x=poker", ""), pa.string()),
+            "")
+        return pa.table({"doc_id": batch["doc_id"], "text": batch["text"],
+                         "url": url})
+
+    pages = docs.map_batches(inject_urls, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    decided = url_filter(pages, blocked_domains=_URLF_BLOCKED,
+                         scored_words=_URLF_WORDS, threshold=2,
+                         whitelist_domains=_URLF_WHITE)
+
+    def keep_inject_gopher(batch: pa.Table) -> pa.Table:
+        t = batch.filter(batch["keep"])
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        out = [_gopher_inject(int(i), x) for i, x in zip(ids, texts)]
+        return pa.table({"doc_id": t["doc_id"],
+                         "text": pa.array(out, pa.string())})
+
+    survivors = decided.map_batches(keep_inject_gopher, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+    flags = gopher.gopher_filter(survivors)
+
+    def kept_ids(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["keep"], 1))
+        return pa.table({"doc_id": t["doc_id"]})
+
+    kept = flags.map_batches(kept_ids, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return shuffle_shards(kept, id_col="doc_id", n_shards=4, seed=1)
+
+
+def _curation_v4_sql() -> str:
+    from janet_ray.stages.gopher import gopher_sql
+    from janet_ray.stages.urlfilter import url_filter_sql
+
+    frags = url_filter_sql("url", blocked_domains=_URLF_BLOCKED,
+                           scored_words=_URLF_WORDS, threshold=2,
+                           whitelist_domains=_URLF_WHITE)
+    host_case = ("CASE CAST(doc_id % 5 AS INTEGER) "
+                 + " ".join(f"WHEN {i} THEN '{h}'"
+                            for i, h in enumerate(_URLF_HOSTS))
+                 + " END")
+    gph = gopher_sql(source="ukept", text_expr=_gopher_inject_sql("text"))
+    return f"""
+WITH pages AS (
+  SELECT doc_id, text,
+         'https://' || {host_case} || '/page/' || CAST(doc_id AS VARCHAR)
+         || (CASE WHEN doc_id % 7 = 0 THEN '?ref=casino' ELSE '' END)
+         || (CASE WHEN doc_id % 11 = 0 THEN '&x=poker' ELSE '' END) AS url
+  FROM documents),
+hosted AS (
+  SELECT doc_id, text, url, {frags['host']} AS __host FROM pages),
+ukept AS (
+  SELECT doc_id, text FROM hosted WHERE {frags['keep']}),
+gph AS ({gph}),
+kept AS (SELECT doc_id FROM gph WHERE keep = 1),
+hh AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('1:' || CAST(doc_id AS VARCHAR)), 1, 8))
+              AS UBIGINT) AS h
+  FROM kept)
+SELECT doc_id,
+       CAST(h % 4 AS INTEGER) AS shard,
+       CAST(row_number() OVER (PARTITION BY h % 4 ORDER BY h, doc_id) - 1
+            AS BIGINT) AS pos
+FROM hh
+"""
+
+
 def q_events_in_windows(sf_dir: str):
     """Range (interval) join — stages/rangejoin.py, the non-equi join
     Dataset.join can't express: events inside per-customer 6-hour windows.
@@ -3560,7 +3652,10 @@ def build_queries() -> dict:
         # -- flagship core (driver-checked every round) ------------- 1..8
         "extract_html_text": q_extract_html_text,
         "extract_pdf_text": q_extract_pdf_text,
-        "extract_ocr_text": q_extract_ocr_text,
+        # curation_v4 (new composition oracle) displaces extract_ocr_text
+        # (rows-only, driver-seen r01-r03; its exact twin
+        # extract_ocr_normalized carries the OCR signal).
+        "curation_v4": q_curation_v4,
         "extract_metrics": q_extract_metrics,
         # events_in_windows (new range-join oracle) displaces route_counts
         # (driver-green r01-r03; extract_metrics keeps the router canary).
@@ -3627,6 +3722,7 @@ def build_queries() -> dict:
         "exact_dedup": q_exact_dedup,
         "minhash_neardup": q_minhash_neardup,
         "route_counts": q_route_counts,
+        "extract_ocr_text": q_extract_ocr_text,
         # -- rows-only families evicted from the window (their exact-int
         #    evidence twins above carry the driver signal; the local gate
         #    + pytest keep the float/iterative parts honest) --
@@ -3744,6 +3840,7 @@ def build_oracles() -> dict[str, str]:
         "shuffle_shards": _SHUFFLE_SHARDS_SQL,
         "url_filter": _url_filter_sql(),
         "events_in_windows": _EVENTS_IN_WINDOWS_SQL,
+        "curation_v4": _curation_v4_sql(),
         "extract_ocr_normalized": _OCR_NORMALIZED_SQL,
         "quantity_quantiles": _QUANTILES_SQL,
         "events_distinct_users": _DISTINCT_USERS_SQL,
