@@ -832,6 +832,87 @@ FROM ({clf}) AS c
 """
 
 
+# C4 fixture lines (Raffel'20 §2.2): the synthetic corpus has no newlines or
+# punctuation, so each rule needs a deterministic injection that fires it both
+# ways. Every block is rendered into the oracle verbatim via _c4_inject_sql.
+_C4_GOOD = ("\nthis line has at least five words."
+            "\nanother line with plenty of words here."
+            "\nthe third good line also has enough words.")
+_C4_MORE = ("\nis this a question with enough words?"
+            "\nwhat an exciting long line this is!")
+_C4_QUOTE = '\nthe line ends with a closing double quote"'
+_C4_JS = "\nplease enable JavaScript to view this content."
+_C4_SHORT = "\ntoo few words."
+_C4_NOTERM = "\nthis long line does not end with punctuation"
+_C4_LOREM = "\nLorem Ipsum dolor sit amet sample filler."
+_C4_BRACE = "\nan inline code block { begins right here."
+_C4_BAD = "\nthis text contains unsafeword0 right in the middle."
+
+
+def _c4_inject(doc_id: int, text: str) -> str:
+    t = text or ""
+    if doc_id % 2 == 0:
+        t += _C4_GOOD
+    if doc_id % 3 == 0:
+        t += _C4_MORE
+    if doc_id % 5 == 0:
+        t += _C4_JS
+    if doc_id % 7 == 0:
+        t += _C4_SHORT
+    if doc_id % 11 == 0:
+        t += _C4_NOTERM
+    if doc_id % 13 == 0:
+        t += _C4_QUOTE
+    if doc_id % 17 == 0:
+        t += _C4_LOREM
+    if doc_id % 19 == 0:
+        t += _C4_BRACE
+    if doc_id % 23 == 0:
+        t += _C4_BAD
+    return t
+
+
+def q_c4_filter(sf_dir: str):
+    """C4 cleaning rules (stages/c4.py, Raffel et al. 2020 §2.2): line-level
+    terminal-punctuation / min-words / policy-substring filtering plus the
+    page-level lorem-ipsum / brace / blocklist / min-sentences gates —
+    stateless map, zero shuffles; flags, counters AND the cleaned text bytes
+    are value-hash-strict against the generated SQL twin. Reference anchor:
+    the per-document validation gate producing error rows
+    (apps/legacy/src/services/fileProcessor.ts:22-44)."""
+    from janet_ray.stages import c4
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def inject(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        out = [_c4_inject(int(i), t) for i, t in zip(ids, texts)]
+        return pa.table({"doc_id": batch["doc_id"],
+                         "text": pa.array(out, pa.string())})
+
+    return c4.c4_filter(
+        docs.map_batches(inject, batch_format="pyarrow",
+                         zero_copy_batch=True))
+
+
+def _c4_inject_sql(base: str = "text") -> str:
+    """The SQL rendering of _c4_inject — same blocks, same order."""
+    mods = ((2, _C4_GOOD), (3, _C4_MORE), (5, _C4_JS), (7, _C4_SHORT),
+            (11, _C4_NOTERM), (13, _C4_QUOTE), (17, _C4_LOREM),
+            (19, _C4_BRACE), (23, _C4_BAD))
+    return base + "".join(
+        f" || CASE WHEN doc_id % {m} = 0 THEN {_sql_lit(s)} ELSE '' END"
+        for m, s in mods)
+
+
+def _c4_sql() -> str:
+    from janet_ray.stages.c4 import c4_sql
+
+    return c4_sql(source="documents", text_expr=_c4_inject_sql(),
+                  id_col="doc_id")
+
+
 def q_pii_scrub(sf_dir: str):
     """PII e-mail/phone redaction (stages/pii.py). The corpus is synthetic and
     PII-free, so the query first injects deterministic PII derived from doc_id
@@ -3677,6 +3758,11 @@ def build_queries() -> dict:
         "curation_v3": q_curation_v3,
         "cluster_keep_best": q_cluster_keep_best,
         "gopher_filter": q_gopher_filter,
+        # c4_filter (new C4 rule-family oracle) displaces canonical_urls past
+        # the edge: canonical_urls' semantics stay pinned by normalize_text
+        # (same urlnorm kernel) in-window plus the local gate + hypothesis
+        # dialect-parity tests.
+        "c4_filter": q_c4_filter,
         # -- freshly-oracled SQL rows (late r04 upgrades + exact-int
         #    evidence twins for the float/iterative families) ------ 15..24
         "simhash_neardup": q_simhash_neardup,
@@ -3714,8 +3800,8 @@ def build_queries() -> dict:
         "quality_classifier": q_quality_classifier,
         "curation_v2": q_curation_v2,
         "normalize_text": q_normalize_text,
-        "canonical_urls": q_canonical_urls,
         # ---------------------------------------------------- 50-slot edge
+        "canonical_urls": q_canonical_urls,
         # -- driver-green r01-r03 flagship rows displaced by web_curation /
         #    shuffle_shards; oracles unchanged, stay on the local gate --
         "derive_filenames": q_derive_filenames,
@@ -3829,6 +3915,7 @@ def build_oracles() -> dict[str, str]:
         "dup_clusters_lp": _DUP_CLUSTERS_SQL,
         "cluster_keep_best": _cluster_keep_best_sql(),
         "gopher_filter": _gopher_sql(),
+        "c4_filter": _c4_sql(),
         "web_curation": _web_curation_sql(),
         "events_sessions": _SESSIONS_SQL,
         "events_sliding": _SLIDING_SQL,

@@ -1,0 +1,87 @@
+"""C4 cleaning rules (stages/c4.py, Raffel'20 §2.2): line-rule boundaries,
+page-gate boundaries, and the batch map against the per-doc kernel."""
+import pyarrow as pa
+
+from janet_ray.stages import c4
+
+
+GOOD = "this line has at least five words."
+
+
+def test_line_terminal_suffixes():
+    assert c4.line_kept(GOOD)
+    assert c4.line_kept("is this a question with enough words?")
+    assert c4.line_kept("what a long exciting line this is!")
+    assert c4.line_kept('he said this ends with a quote"')
+    assert not c4.line_kept("this long line does not end with punctuation")
+    assert not c4.line_kept("this one ends with a comma,")
+
+
+def test_line_min_words_boundary():
+    assert c4.line_kept("five words are right here.")          # exactly 5
+    assert not c4.line_kept("only four words here.")           # 4 < 5
+    # words are [a-z0-9] runs: "don't" is 2 words (don + t)
+    assert c4.line_kept("don't stop the good lines.")
+
+
+def test_line_policy_substrings_case_insensitive():
+    assert not c4.line_kept("please enable JavaScript to view this page.")
+    assert not c4.line_kept("we updated our Privacy Policy terms today.")
+    assert not c4.line_kept("this site uses a Cookie banner every visit.")
+    assert not c4.line_kept("read the Terms of Use before you continue.")
+
+
+def _page(extra=""):
+    return c4.doc_c4(GOOD + "\n" + GOOD + "\n" + GOOD + extra)
+
+
+def test_page_rules_pass_on_clean_text():
+    r = _page()
+    assert r["keep"] == 1 and all(r[c] == 1 for c in c4.FLAG_COLS)
+    assert r["n_lines"] == 3 and r["n_kept"] == 3 and r["n_sentences"] == 3
+    assert r["clean_text"] == "\n".join([GOOD] * 3)
+
+
+def test_page_lorem_brace_badwords():
+    assert _page("\nLorem Ipsum dolor sit amet.")["ok_lorem"] == 0
+    assert _page("\ncode { here")["ok_brace"] == 0
+    assert _page("\nthe word unsafeword0 appears in this line.")["ok_badwords"] == 0
+    # substring of a block word is NOT a match (token-exact membership)
+    assert _page("\nthe word unsafeword01 is a different token here.")["ok_badwords"] == 1
+
+
+def test_page_min_sentences_boundary():
+    # 2 kept lines -> 2 sentences < 3 -> page dropped
+    r = c4.doc_c4(GOOD + "\n" + GOOD)
+    assert r["ok_sentences"] == 0 and r["keep"] == 0
+    # a kept line with 2 terminal chars ("etc.." style) counts both
+    r = c4.doc_c4(GOOD + "\n" + "this second line mentions etc. twice.")
+    assert r["n_kept"] == 2 and r["n_sentences"] == 3 and r["ok_sentences"] == 1
+
+
+def test_dropped_lines_do_not_count_sentences():
+    # line fails the word-count rule -> its '.' chars never reach the count
+    r = c4.doc_c4(GOOD + "\n" + GOOD + "\nshort line.")
+    assert r["n_lines"] == 3 and r["n_kept"] == 2 and r["n_sentences"] == 2
+
+
+def test_empty_and_null_text():
+    r = c4.doc_c4("")
+    assert r["keep"] == 0 and r["ok_sentences"] == 0 and r["clean_text"] == ""
+    assert c4.doc_c4(None)["n_lines"] == 0
+
+
+def test_c4_filter_batch_map(ray_session):
+    import ray.data
+
+    texts = ["\n".join([GOOD] * 3),
+             "tiny",
+             GOOD + "\nLorem Ipsum dolor sit amet.\n" + GOOD + "\n" + GOOD,
+             ""]
+    ds = ray.data.from_arrow(pa.table(
+        {"doc_id": list(range(len(texts))), "text": texts}))
+    rows = {r["doc_id"]: r for r in c4.c4_filter(ds).take_all()}
+    for i, t in enumerate(texts):
+        want = c4.doc_c4(t)
+        for k, v in want.items():
+            assert rows[i][k] == v, (i, k)
