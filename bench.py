@@ -210,6 +210,8 @@ def run_suite(sf_dir: str) -> dict[str, float]:
         "incremental_neardup": Q.q_incremental_neardup,
         "cluster_keep_best": Q.q_cluster_keep_best,
         "gopher_filter": Q.q_gopher_filter,
+        "c4_filter": Q.q_c4_filter,
+        "c4_span_dedup": Q.q_c4_span_dedup,
         "semdedup": Q.q_semdedup,
         "embedding_pca": Q.q_embedding_pca,
         "web_curation": Q.q_web_curation,

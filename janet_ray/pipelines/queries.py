@@ -913,6 +913,71 @@ def _c4_sql() -> str:
                   id_col="doc_id")
 
 
+# C4 §2.2 span-dedup fixture: the corpus has no sentence punctuation, so
+# deterministic 4-sentence blocks (leading '.' terminates the base text into
+# its own sentence) are appended per doc_id class — docs of a class share
+# the pure-block spans (cross-doc dup), doc_id % 6 == 0 re-appends block 0
+# (intra-doc dup), and doc_id % 4 == 3 gets nothing (no spans: < 3
+# sentences). Rendered verbatim into the oracle via _c4_span_inject_sql.
+_SD_BLOCKS = (
+    ". span zero alpha sentence words. span zero beta sentence words."
+    " span zero gamma sentence words. span zero delta sentence words.",
+    ". span one alpha sentence words. span one beta sentence words."
+    " span one gamma sentence words. span one delta sentence words.",
+    ". span two alpha sentence words. span two beta sentence words."
+    " span two gamma sentence words. span two delta sentence words.",
+)
+
+
+def _c4_span_inject(doc_id: int, text: str) -> str:
+    t = text or ""
+    r = doc_id % 4
+    if r < 3:
+        t += _SD_BLOCKS[r]
+    if doc_id % 6 == 0:
+        t += _SD_BLOCKS[0]
+    return t
+
+
+def q_c4_span_dedup(sf_dir: str):
+    """C4 three-sentence-span global dedup (stages/c4.py span_dedup, Raffel
+    et al. 2020 §2.2 "discarded all but one of any three-sentence span
+    occurring more than once"): overlapping sentence windows keyed by exact
+    triple text, global first-occurrence keep, covered sentences removed —
+    decision rows are narrow ints through ONE coarse shuffle, the corpus
+    never shuffles on the broadcast path. Counters AND the rewritten text
+    bytes are value-hash-strict against the full-chain SQL replay."""
+    from janet_ray.stages import c4
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def inject(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        out = [_c4_span_inject(int(i), t) for i, t in zip(ids, texts)]
+        return pa.table({"doc_id": batch["doc_id"],
+                         "text": pa.array(out, pa.string())})
+
+    return c4.span_dedup(
+        docs.map_batches(inject, batch_format="pyarrow",
+                         zero_copy_batch=True))
+
+
+def _c4_span_inject_sql(base: str = "text") -> str:
+    b0, b1, b2 = (_sql_lit(b) for b in _SD_BLOCKS)
+    return (f"{base}"
+            f" || CASE doc_id % 4 WHEN 0 THEN {b0} WHEN 1 THEN {b1}"
+            f" WHEN 2 THEN {b2} ELSE '' END"
+            f" || CASE WHEN doc_id % 6 = 0 THEN {b0} ELSE '' END")
+
+
+def _c4_span_sql() -> str:
+    from janet_ray.stages.c4 import span_dedup_sql
+
+    return span_dedup_sql(source="documents",
+                          text_expr=_c4_span_inject_sql(), id_col="doc_id")
+
+
 def q_pii_scrub(sf_dir: str):
     """PII e-mail/phone redaction (stages/pii.py). The corpus is synthetic and
     PII-free, so the query first injects deterministic PII derived from doc_id
@@ -3763,6 +3828,10 @@ def build_queries() -> dict:
         # (same urlnorm kernel) in-window plus the local gate + hypothesis
         # dialect-parity tests.
         "c4_filter": q_c4_filter,
+        # c4_span_dedup (new C4 span-dedup oracle) displaces normalize_text
+        # past the edge: the textnorm kernel stays pinned by its hypothesis
+        # dialect-parity pytest + the local gate.
+        "c4_span_dedup": q_c4_span_dedup,
         # -- freshly-oracled SQL rows (late r04 upgrades + exact-int
         #    evidence twins for the float/iterative families) ------ 15..24
         "simhash_neardup": q_simhash_neardup,
@@ -3799,8 +3868,8 @@ def build_queries() -> dict:
         "paragraph_dedup": q_paragraph_dedup,
         "quality_classifier": q_quality_classifier,
         "curation_v2": q_curation_v2,
-        "normalize_text": q_normalize_text,
         # ---------------------------------------------------- 50-slot edge
+        "normalize_text": q_normalize_text,
         "canonical_urls": q_canonical_urls,
         # -- driver-green r01-r03 flagship rows displaced by web_curation /
         #    shuffle_shards; oracles unchanged, stay on the local gate --
@@ -3916,6 +3985,7 @@ def build_oracles() -> dict[str, str]:
         "cluster_keep_best": _cluster_keep_best_sql(),
         "gopher_filter": _gopher_sql(),
         "c4_filter": _c4_sql(),
+        "c4_span_dedup": _c4_span_sql(),
         "web_curation": _web_curation_sql(),
         "events_sessions": _SESSIONS_SQL,
         "events_sliding": _SLIDING_SQL,

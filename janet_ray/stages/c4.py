@@ -187,3 +187,220 @@ SELECT doc_id,
        clean_text
 FROM csent
 """
+
+
+# ----------------------------------------------- three-sentence-span dedup
+# The OTHER C4 §2.2 rule: "we discarded all but one of any three-sentence
+# span occurring more than once in the data set." Sibling of the CCNet
+# paragraph dedup (stages/paradedup.py) at sentence-window granularity;
+# reuses its decision kernel (_drop_rows) and its shuffle discipline.
+#
+# Pinned semantics (replayed exactly by span_dedup_sql):
+#   * sentences = non-empty ``strip(' ')``-ed segments of
+#     ``re.split('[.!?]', text)`` — a deterministic splitter both engines
+#     evaluate identically (no lookarounds: RE2-safe);
+#   * spans = ALL overlapping windows of N_SPAN consecutive sentences,
+#     keyed by the exact sentence triple (joined with chr(31));
+#   * global first-occurrence rule: the (doc_id, start) minimum occurrence
+#     of a span keeps; every other occurrence marks its N_SPAN covered
+#     sentence slots for removal (marks union across overlapping spans);
+#   * output text = surviving sentences re-joined with chr(10) plus
+#     (n_sentences, n_dropped) counters.
+#
+# Shape: span rows are narrow ints (part, h64, doc_id, start) — sentence
+# TEXT never enters the decision shuffle; ONE coarse groupby co-locates
+# span-hash runs; only DROP rows come back (∝ dup rate); the apply is
+# scale-adaptive exactly like paradedup (broadcast ≤ limit, else a
+# cogroup-via-union on a coarse doc hash — the corpus moves once). Same
+# 63-bit md5 collision trade as paradedup; the oracle groups by span TEXT,
+# so an engine hash collision fails the gate instead of hiding.
+
+N_SPAN = 3
+SENT_SPLIT_PATTERN = "[.!?]"
+_SENT_SPLIT_RE = re.compile(SENT_SPLIT_PATTERN)
+SPAN_SEP = "\x1f"
+OUT_SEP = "\n"
+
+
+def split_sentences(text: str) -> list:
+    return [s for s in (x.strip(" ")
+                        for x in _SENT_SPLIT_RE.split(text or "")) if s]
+
+
+def span_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
+               n: int = N_SPAN, n_parts: int = 64,
+               broadcast_limit: int = 5_000_000):
+    """(doc_id, n_sentences, n_dropped, text) with corpus-wide duplicated
+    n-sentence spans removed under the global first-occurrence rule."""
+    import ray
+
+    from janet_ray.stages.paradedup import _drop_rows, _h64
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, starts, spans = [], [], []
+        for i, t in zip(batch[id_col].to_pylist(),
+                        batch[text_col].to_pylist()):
+            sents = split_sentences(t)
+            for j in range(len(sents) - n + 1):
+                ids.append(i)
+                starts.append(j)
+                spans.append(SPAN_SEP.join(sents[j:j + n]))
+        h = _h64(spans)
+        return pa.table({
+            "part": pa.array((h % n_parts).astype(np.int32)),
+            "h": pa.array(h),
+            "doc_id": pa.array(ids, batch[id_col].type),
+            "idx": pa.array(np.asarray(starts, dtype=np.int64)),
+        })
+
+    drops = (ds.map_batches(explode, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby("part").map_groups(_drop_rows, batch_format="pyarrow")
+             .materialize())
+
+    def _rewrite_rows(ids, texts, bad_starts):
+        """Shared apply kernel: bad_starts maps doc id -> drop starts."""
+        out_t, out_s, out_d = [], [], []
+        for i, t in zip(ids, texts):
+            sents = split_sentences(t)
+            out_s.append(len(sents))
+            starts = bad_starts(i)
+            if not starts:
+                out_t.append(OUT_SEP.join(sents))
+                out_d.append(0)
+                continue
+            bad = set()
+            for s0 in starts:
+                bad.update(range(s0, s0 + n))
+            kept = [p for j, p in enumerate(sents) if j not in bad]
+            out_t.append(OUT_SEP.join(kept))
+            out_d.append(len(sents) - len(kept))
+        return out_t, out_s, out_d
+
+    def _out_table(id_arr, out_t, out_s, out_d):
+        return pa.table({
+            id_col: id_arr,
+            "n_sentences": pa.array(np.asarray(out_s, dtype=np.int64)),
+            "n_dropped": pa.array(np.asarray(out_d, dtype=np.int64)),
+            text_col: pa.array(out_t, pa.string()),
+        })
+
+    if drops.count() <= broadcast_limit:
+        tbls = [b for b in drops.iter_batches(batch_size=None,
+                                              batch_format="pyarrow")]
+        drop_tbl = (pa.concat_tables(tbls) if tbls
+                    else pa.table({"doc_id": pa.array([], pa.int64()),
+                                   "idx": pa.array([], pa.int64())}))
+        doc_a = drop_tbl["doc_id"].to_numpy(zero_copy_only=False)
+        idx_a = drop_tbl["idx"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((idx_a, doc_a))
+        ref = ray.put({"doc": doc_a[order], "idx": idx_a[order]})
+
+        def rewrite(batch: pa.Table) -> pa.Table:
+            dset = ray.get(ref)
+            dd, dx = dset["doc"], dset["idx"]
+
+            def bad_starts(i):
+                lo = np.searchsorted(dd, i, "left")
+                hi = np.searchsorted(dd, i, "right")
+                return dx[lo:hi].tolist()
+
+            ids = batch[id_col].to_pylist()
+            out_t, out_s, out_d = _rewrite_rows(
+                ids, batch[text_col].to_pylist(), bad_starts)
+            return _out_table(batch[id_col], out_t, out_s, out_d)
+
+        return ds.map_batches(rewrite, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    # large drop set → cogroup-via-union on a coarse doc hash (paradedup's
+    # scale path; doc ids here are whatever the corpus carries)
+    from janet_ray.stages.paradedup import _doc_part_kernel
+
+    def tag_corpus(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "part": _doc_part_kernel(batch[id_col], n_parts),
+            "doc_id": batch[id_col],
+            "idx": pa.array(np.full(batch.num_rows, -1, dtype=np.int64)),
+            "text": batch[text_col],
+        })
+
+    def tag_drops(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "part": _doc_part_kernel(batch["doc_id"], n_parts),
+            "doc_id": batch["doc_id"],
+            "idx": batch["idx"],
+            "text": pa.array([None] * batch.num_rows, pa.string()),
+        })
+
+    unioned = (ds.map_batches(tag_corpus, batch_format="pyarrow",
+                              zero_copy_batch=True)
+               .union(drops.map_batches(tag_drops, batch_format="pyarrow",
+                                        zero_copy_batch=True)))
+
+    def rewrite_part(part: pa.Table) -> pa.Table:
+        id_type = (part["doc_id"].type if "doc_id" in part.column_names
+                   else pa.int64())
+        if part.num_rows == 0 or "idx" not in part.column_names:
+            return _out_table(pa.array([], id_type), [], [], [])
+        idx = part["idx"].to_numpy(zero_copy_only=False)
+        docs = part.filter(pa.array(idx == -1))
+        dr = part.filter(pa.array(idx != -1))
+        by_doc: dict = {}
+        for i, j in zip(dr["doc_id"].to_pylist(), dr["idx"].to_pylist()):
+            by_doc.setdefault(i, []).append(j)
+        ids = docs["doc_id"].to_pylist()
+        out_t, out_s, out_d = _rewrite_rows(
+            ids, docs["text"].to_pylist(), lambda i: by_doc.get(i, ()))
+        return _out_table(pa.array(ids, id_type), out_t, out_s, out_d)
+
+    return unioned.groupby("part").map_groups(rewrite_part,
+                                              batch_format="pyarrow")
+
+
+def span_dedup_sql(*, source: str = "documents", text_expr: str = "text",
+                   id_col: str = "doc_id", n: int = N_SPAN) -> str:
+    """DuckDB replay of the same rule, grouping by the SPAN TEXT itself
+    (hash-free). Same splitter, same trim, same first-occurrence order,
+    same overlapping-window drop expansion, same chr(10) re-join."""
+    span_text = " || chr(31) || ".join(
+        "sentence" if k == 0 else f"lead(sentence, {k}) OVER w"
+        for k in range(n))
+    return f"""
+WITH ssrc AS (
+  SELECT {id_col} AS doc_id, {text_expr} AS ctext FROM {source}
+), sentlists AS (
+  SELECT doc_id,
+         list_filter(list_transform(
+             regexp_split_to_array(ctext, '{SENT_SPLIT_PATTERN}'),
+             x -> trim(x, ' ')), x -> length(x) > 0) AS s
+  FROM ssrc
+), sents AS (
+  SELECT doc_id, i - 1 AS idx, s[i] AS sentence
+  FROM sentlists, UNNEST(range(1, len(s) + 1)) AS t(i)
+), spans AS (
+  SELECT doc_id, idx AS start,
+         {span_text} AS span_text,
+         lead(sentence, {n - 1}) OVER w IS NOT NULL AS whole
+  FROM sents WINDOW w AS (PARTITION BY doc_id ORDER BY idx)
+), marked AS (
+  SELECT doc_id, start,
+         row_number() OVER (PARTITION BY span_text
+                            ORDER BY doc_id, start) AS rn
+  FROM spans WHERE whole
+), dropped AS (
+  SELECT DISTINCT doc_id, start + o AS idx
+  FROM marked, UNNEST(range(0, {n})) AS t(o)
+  WHERE rn > 1
+)
+SELECT c.doc_id,
+       CAST(count(s.idx) AS BIGINT) AS n_sentences,
+       CAST(count(d.idx) AS BIGINT) AS n_dropped,
+       COALESCE(string_agg(s.sentence, chr(10) ORDER BY s.idx)
+                FILTER (WHERE s.idx IS NOT NULL AND d.idx IS NULL),
+                '') AS text
+FROM ssrc c
+LEFT JOIN sents s ON s.doc_id = c.doc_id
+LEFT JOIN dropped d ON d.doc_id = s.doc_id AND d.idx = s.idx
+GROUP BY c.doc_id
+"""

@@ -72,6 +72,21 @@ def _explode(batch: pa.Table, *, id_col: str, text_col: str, sep: str,
     })
 
 
+def _doc_part_kernel(col: pa.ChunkedArray, n_parts: int) -> pa.Array:
+    """Coarse partition key for ANY id type (int ids take the fast modulo;
+    strings/other take crc32 of str — the broadcast path is id-type-agnostic
+    and this path must match, not crash, when the drop volume tips the
+    dispatch). Shared with the C4 sentence-span dedup (stages/c4.py)."""
+    import zlib
+
+    vals = col.to_numpy(zero_copy_only=False)
+    if np.issubdtype(vals.dtype, np.integer):
+        return pa.array((vals.astype(np.int64) % n_parts).astype(np.int32))
+    return pa.array(np.asarray(
+        [zlib.crc32(str(v).encode()) % n_parts for v in col.to_pylist()],
+        dtype=np.int32))
+
+
 def _drop_rows(part: pa.Table) -> pa.Table:
     """(doc_id, idx) occurrences to DROP: everything but the first
     (doc_id, idx) of each hash run."""
@@ -153,19 +168,7 @@ def paragraph_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
     # text moves through ONE shuffle (the rewrite pass a dedup product
     # pays anyway)
     def _doc_part(col: pa.ChunkedArray) -> pa.Array:
-        """Coarse partition key for ANY id type (int ids take the fast
-        modulo; strings/other take crc32 of str — the broadcast path is
-        id-type-agnostic and this path must match, not crash, when the
-        drop volume tips the dispatch)."""
-        import zlib
-
-        vals = col.to_numpy(zero_copy_only=False)
-        if np.issubdtype(vals.dtype, np.integer):
-            return pa.array((vals.astype(np.int64) % n_parts)
-                            .astype(np.int32))
-        return pa.array(np.asarray(
-            [zlib.crc32(str(v).encode()) % n_parts for v in col.to_pylist()],
-            dtype=np.int32))
+        return _doc_part_kernel(col, n_parts)
 
     def tag_corpus(batch: pa.Table) -> pa.Table:
         n = batch.num_rows

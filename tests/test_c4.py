@@ -71,6 +71,80 @@ def test_empty_and_null_text():
     assert c4.doc_c4(None)["n_lines"] == 0
 
 
+def test_split_sentences():
+    assert c4.split_sentences("a b. c d! e f? g") == ["a b", "c d", "e f", "g"]
+    assert c4.split_sentences("  spaced out .  .") == ["spaced out"]
+    assert c4.split_sentences("") == []
+    assert c4.split_sentences(None) == []
+    # strip is SPACES only (trim parity with the SQL twin)
+    assert c4.split_sentences("x\ny. z") == ["x\ny", "z"]
+
+
+def _span_corpus():
+    shared = "one two three alpha. one two three beta. one two three gamma."
+    return {
+        1: "doc one unique opener. " + shared,
+        2: "doc two unique opener. " + shared,
+        3: "self. rep. rep. rep. rep. rep. tail",   # intra-doc dup spans
+        4: "too short. to span.",                   # < 3 sentences: untouched
+        5: "",                                      # no sentences at all
+    }
+
+
+def _expected_span_dedup(docs, n=3):
+    """Brute-force reference of the pinned rule."""
+    occ = {}
+    sents = {i: c4.split_sentences(t) for i, t in docs.items()}
+    for i in sorted(docs):
+        for j in range(len(sents[i]) - n + 1):
+            key = c4.SPAN_SEP.join(sents[i][j:j + n])
+            occ.setdefault(key, []).append((i, j))
+    bad = {i: set() for i in docs}
+    for key, places in occ.items():
+        for (i, j) in places[1:]:
+            bad[i].update(range(j, j + n))
+    out = {}
+    for i in docs:
+        kept = [s for j, s in enumerate(sents[i]) if j not in bad[i]]
+        out[i] = {"n_sentences": len(sents[i]),
+                  "n_dropped": len(sents[i]) - len(kept),
+                  "text": c4.OUT_SEP.join(kept)}
+    return out
+
+
+def test_span_dedup_small_and_forced_union_paths(ray_session):
+    import ray.data
+
+    docs = _span_corpus()
+    want = _expected_span_dedup(docs)
+    tbl = pa.table({"doc_id": list(docs), "text": list(docs.values())})
+    for limit in (5_000_000, 0):     # broadcast path, then forced cogroup
+        ds = ray.data.from_arrow(tbl)
+        rows = {r["doc_id"]: r
+                for r in c4.span_dedup(ds, broadcast_limit=limit).take_all()}
+        assert len(rows) == len(docs)
+        for i, w in want.items():
+            for k, v in w.items():
+                assert rows[i][k] == v, (limit, i, k)
+    # doc 1 keeps everything (first occurrence), doc 2 loses the shared spans
+    assert want[1]["n_dropped"] == 0 and want[2]["n_dropped"] == 3
+    assert want[3]["n_dropped"] > 0          # intra-doc repetition cut
+    assert want[4]["n_dropped"] == 0 and want[5]["n_sentences"] == 0
+
+
+def test_span_dedup_string_ids_union_path(ray_session):
+    import ray.data
+
+    docs = {f"u{i}": t for i, t in _span_corpus().items()}
+    tbl = pa.table({"doc_id": list(docs), "text": list(docs.values())})
+    ds = ray.data.from_arrow(tbl)
+    out = c4.span_dedup(ds, broadcast_limit=0).take_all()
+    assert {r["doc_id"] for r in out} == set(docs)
+    # same keep decisions as the int-id corpus (u1 < u2 lexicographically)
+    rows = {r["doc_id"]: r for r in out}
+    assert rows["u1"]["n_dropped"] == 0 and rows["u2"]["n_dropped"] == 3
+
+
 def test_c4_filter_batch_map(ray_session):
     import ray.data
 
