@@ -212,6 +212,7 @@ def run_suite(sf_dir: str) -> dict[str, float]:
         "gopher_filter": Q.q_gopher_filter,
         "c4_filter": Q.q_c4_filter,
         "c4_span_dedup": Q.q_c4_span_dedup,
+        "curation_v5": Q.q_curation_v5,
         "semdedup": Q.q_semdedup,
         "embedding_pca": Q.q_embedding_pca,
         "web_curation": Q.q_web_curation,

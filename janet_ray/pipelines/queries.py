@@ -978,6 +978,47 @@ def _c4_span_sql() -> str:
                           text_expr=_c4_span_inject_sql(), id_col="doc_id")
 
 
+def q_curation_v5(sf_dir: str):
+    """Composed curation over the round-4 C4 family, ONE lazy chain,
+    whole-COMPOSITION oracle-checked (the curation_v2..v4 pattern): inject
+    deterministic fixture lines → C4 line+page rules (stages/c4.py,
+    failing pages dropped, survivors carry their cleaned text) → C4
+    three-sentence-span global dedup over the cleaned corpus. The injected
+    _C4_GOOD block is shared by every even doc, so the span stage does real
+    corpus-wide work downstream of the filter."""
+    from janet_ray.stages import c4
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def inject(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        out = [_c4_inject(int(i), t) for i, t in zip(ids, texts)]
+        return pa.table({"doc_id": batch["doc_id"],
+                         "text": pa.array(out, pa.string())})
+
+    flagged = c4.c4_filter(
+        docs.map_batches(inject, batch_format="pyarrow",
+                         zero_copy_batch=True))
+
+    def survivors(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(pc.equal(batch["keep"], 1))
+        return pa.table({"doc_id": kept["doc_id"],
+                         "text": kept["clean_text"]})
+
+    return c4.span_dedup(
+        flagged.map_batches(survivors, batch_format="pyarrow",
+                            zero_copy_batch=True))
+
+
+def _curation_v5_sql() -> str:
+    from janet_ray.stages.c4 import span_dedup_sql
+
+    kept = (f"(SELECT doc_id, clean_text AS text FROM ({_c4_sql()}) cf "
+            "WHERE keep = 1) AS kpt")
+    return span_dedup_sql(source=kept, text_expr="text", id_col="doc_id")
+
+
 def q_pii_scrub(sf_dir: str):
     """PII e-mail/phone redaction (stages/pii.py). The corpus is synthetic and
     PII-free, so the query first injects deterministic PII derived from doc_id
@@ -3934,6 +3975,10 @@ def build_queries() -> dict:
         "quantity_quantiles": q_quantity_quantiles,
         "events_distinct_users": q_events_distinct_users,
         "events_burst_count": q_events_burst_count,
+        # curation_v5 sits just past the edge by choice: its two component
+        # oracles (c4_filter, c4_span_dedup) are in-window this round; the
+        # composition row is a round-5 rotation candidate.
+        "curation_v5": q_curation_v5,
         # -- new rows-only additions (outside the window by design: the
         # driver's rows-only check adds nothing over the local gate) --
         "heavy_hitters_mg": q_heavy_hitters_mg,
@@ -3986,6 +4031,7 @@ def build_oracles() -> dict[str, str]:
         "gopher_filter": _gopher_sql(),
         "c4_filter": _c4_sql(),
         "c4_span_dedup": _c4_span_sql(),
+        "curation_v5": _curation_v5_sql(),
         "web_curation": _web_curation_sql(),
         "events_sessions": _SESSIONS_SQL,
         "events_sliding": _SLIDING_SQL,
