@@ -1395,6 +1395,132 @@ SELECT host, doc_id FROM (
 """
 
 
+_SNAP_ADD_OFF = 1_000_000
+
+
+def _snap_url_sql(id_expr: str) -> str:
+    return (f"'https://h' || CAST(({id_expr}) % {_HOST_MOD} AS VARCHAR) || "
+            f"'.example/d/' || CAST({id_expr} AS VARCHAR)")
+
+
+def q_snapshot_diff(sf_dir: str):
+    """Crawl-to-crawl snapshot diff (stages/snapshot.py) — added / removed /
+    changed urls between two crawls of the same corpus, compared by the
+    engine's exact-dedup fingerprint. The new crawl is derived
+    deterministically from the same documents table with three injections
+    the oracle replays: doc_id %7==0 pages vanish (removed), %5==0 pages
+    gain a ' v2' suffix before fingerprinting (changed), %11==0 surviving
+    pages each spawn one new url at doc_id+1e6 (added). One union shuffle
+    of (url, fp) rows; unchanged keys drop inside the partitions so output
+    is O(delta). Reference analogue: the resume anti-join
+    `apps/legacy/rename.ts:61-64`, generalized to both directions plus a
+    content compare."""
+    from janet_ray.stages.snapshot import snapshot_diff
+
+    def url(i: int) -> str:
+        return f"https://h{i % _HOST_MOD}.example/d/{i}"
+
+    old = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    new = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def old_side(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        return pa.table({
+            "url": pa.array([url(i) for i in ids], pa.string()),
+            "fp": pa.array([ts.fingerprint(t or "") for t in texts],
+                           pa.string()),
+        })
+
+    def new_side(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        urls, fps = [], []
+        for i, t in zip(ids, texts):
+            if i % 7 == 0:  # removed in the new crawl
+                continue
+            t2 = (t or "") + " v2" if i % 5 == 0 else (t or "")  # changed
+            urls.append(url(i))
+            fps.append(ts.fingerprint(t2))
+            if i % 11 == 0:  # added page
+                urls.append(url(i + _SNAP_ADD_OFF))
+                fps.append(ts.fingerprint(f"new page {i}"))
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "fp": pa.array(fps, pa.string())})
+
+    return snapshot_diff(
+        old.map_batches(old_side, batch_format="pyarrow",
+                        zero_copy_batch=True),
+        new.map_batches(new_side, batch_format="pyarrow",
+                        zero_copy_batch=True))
+
+
+def _snapshot_diff_sql() -> str:
+    from janet_ray.stages.snapshot import snapshot_diff_sql
+
+    fp = ts.fingerprint_sql
+    old_sql = (f"SELECT {_snap_url_sql('doc_id')} AS url, {fp('text')} AS fp"
+               f" FROM documents")
+    new_sql = f"""
+SELECT {_snap_url_sql('doc_id')} AS url,
+       {fp("CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END")} AS fp
+FROM documents WHERE doc_id % 7 <> 0
+UNION ALL
+SELECT {_snap_url_sql(f'doc_id + {_SNAP_ADD_OFF}')} AS url,
+       {fp("'new page ' || CAST(doc_id AS VARCHAR)")} AS fp
+FROM documents WHERE doc_id % 7 <> 0 AND doc_id % 11 = 0
+"""
+    return snapshot_diff_sql(old_sql=old_sql, new_sql=new_sql)
+
+
+_DOM_MAX_DOCS = 60
+_DOM_MIN_MEAN = 5
+
+
+def q_domain_filter(sf_dir: str):
+    """Domain-level stats gate (stages/domains.py) — keep only documents
+    whose HOST passes exact-int rules (≤ max_docs pages per host,
+    cross-multiplied mean-token floor): the over-represented-domain cut a
+    CC-style pipeline runs after host_stats and before per-document
+    scoring. Hosts are injected with a deterministic SKEW the oracle
+    replays — host index = doc_id % ((doc_id % 13) + 1), so h0 collects
+    ~25% of the corpus and gets gated while rare hosts survive. Host table
+    via map-side partials + one small shuffle; apply is scale-adaptive
+    (broadcast set / cogroup-union, forced-dispatch parity pytest)."""
+    from janet_ray.stages.domains import domain_filter
+    from janet_ray.stages.textstats import add_token_count
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def add_host(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = ids % ((ids % 13) + 1)
+        toks = add_token_count(batch)["n_tokens"]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "host": pa.array([f"h{i}.example" for i in idx], pa.string()),
+            "n_tokens": toks,
+        })
+
+    docs = ds.map_batches(add_host, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return domain_filter(docs, max_docs=_DOM_MAX_DOCS,
+                         min_mean_tokens=_DOM_MIN_MEAN)
+
+
+def _domain_filter_sql() -> str:
+    from janet_ray.stages.domains import domain_filter_sql
+    from janet_ray.stages.textstats import token_count_sql
+
+    docs_sql = (
+        "SELECT doc_id, 'h' || CAST(doc_id % ((doc_id % 13) + 1) AS VARCHAR)"
+        " || '.example' AS host,"
+        f" CAST({token_count_sql('text')} AS BIGINT) AS n_tokens"
+        " FROM documents")
+    return domain_filter_sql(docs_sql=docs_sql, max_docs=_DOM_MAX_DOCS,
+                             min_mean_tokens=_DOM_MIN_MEAN)
+
+
 def q_pmi_collocations(sf_dir: str):
     """Corpus-wide PMI collocation extraction (Church & Hanks 1990) — top
     multiword units by pointwise-mutual-information ratio, the corpus-
@@ -3873,6 +3999,13 @@ def build_queries() -> dict:
         # past the edge: the textnorm kernel stays pinned by its hypothesis
         # dialect-parity pytest + the local gate.
         "c4_span_dedup": q_c4_span_dedup,
+        # snapshot_diff / domain_filter (new r04 operators) displace
+        # ngram_jaccard (the winnow w=1 configuration — winnow_fingerprints
+        # + winnow_neardup keep the machinery in-window) and substring_dedup
+        # (pair-based composition — duplicate_spans + substring_dedup_global
+        # keep both span chains in-window) just past the edge.
+        "snapshot_diff": q_snapshot_diff,
+        "domain_filter": q_domain_filter,
         # -- freshly-oracled SQL rows (late r04 upgrades + exact-int
         #    evidence twins for the float/iterative families) ------ 15..24
         "simhash_neardup": q_simhash_neardup,
@@ -3895,7 +4028,6 @@ def build_queries() -> dict:
         "repetition_stats": q_repetition_stats,
         "pii_scrub": q_pii_scrub,
         "decontaminate": q_decontaminate,
-        "ngram_jaccard": q_ngram_jaccard,
         "quality_buckets": q_quality_buckets,
         "ccnet_mix": q_ccnet_mix,
         "bloom_new_docs": q_bloom_new_docs,
@@ -3905,11 +4037,12 @@ def build_queries() -> dict:
         "crawl_frontier": q_crawl_frontier,
         "host_stats": q_host_stats,
         "duplicate_spans": q_duplicate_spans,
-        "substring_dedup": q_substring_dedup,
         "paragraph_dedup": q_paragraph_dedup,
         "quality_classifier": q_quality_classifier,
         "curation_v2": q_curation_v2,
         # ---------------------------------------------------- 50-slot edge
+        "ngram_jaccard": q_ngram_jaccard,
+        "substring_dedup": q_substring_dedup,
         "normalize_text": q_normalize_text,
         "canonical_urls": q_canonical_urls,
         # -- driver-green r01-r03 flagship rows displaced by web_curation /
@@ -4053,6 +4186,8 @@ def build_oracles() -> dict[str, str]:
         "search_index_lookup": _INDEX_LOOKUP_SQL,
         "index_lookup_phrase": _index_phrase_sql(),
         "host_quota": _host_quota_sql(),
+        "snapshot_diff": _snapshot_diff_sql(),
+        "domain_filter": _domain_filter_sql(),
         "pmi_collocations": _pmi_collocations_sql(),
         "substring_dedup_global": _substring_dedup_global_sql(),
         "duplicate_spans": _duplicate_spans_sql(),
