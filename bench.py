@@ -223,6 +223,8 @@ def run_suite(sf_dir: str) -> dict[str, float]:
         "curation_v4": Q.q_curation_v4,
         "snapshot_diff": Q.q_snapshot_diff,
         "domain_filter": Q.q_domain_filter,
+        "dup_profile": Q.q_dup_profile,
+        "table_profile": Q.q_table_profile,
     }
     # min-of-2 INTERLEAVED passes (VERDICT r03 #4): single-shot numbers on
     # this shared VM scatter ±10–40% with co-tenant load (a 22% phantom

@@ -2199,6 +2199,68 @@ SELECT id AS doc_id, min(reach) AS cluster_rep FROM r GROUP BY id
 """
 
 
+def q_dup_profile(sf_dir: str):
+    """Corpus duplication profile (dedup.dup_profile) — the cluster-size
+    histogram over the MinHash near-dup components: how much of the corpus
+    is duplicated and in what cluster sizes, the one-glance corpus-health
+    report a curation run records before/after dedup. Two shrinking
+    aggregation shuffles over the narrow (id, rep) assignment."""
+    docs = _docs(sf_dir)
+    pairs = dedup.minhash_neardup_pairs(docs, threshold=0.8)
+    return dedup.dup_profile(dedup.dup_clusters(docs, pairs))
+
+
+_DUP_PROFILE_SQL = f"""
+WITH c AS ({_DUP_CLUSTERS_SQL}),
+s AS (SELECT cluster_rep, CAST(count(*) AS BIGINT) AS cluster_size
+      FROM c GROUP BY cluster_rep)
+SELECT cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+FROM s GROUP BY cluster_size
+"""
+
+
+_PROFILE_COLS = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                 "l_returnflag", "l_linestatus", "l_flag_nullable"]
+
+
+def q_table_profile(sf_dir: str):
+    """Column-level data-quality profile (stages/profile.py) over lineitem —
+    row count, null count, min, max per column in ONE streaming pass (long-
+    format partials, one tiny groupby on the column name). A nullable
+    derived column (l_returnflag gated on l_linenumber % 3) is injected so
+    null counting and null-skipping min/max are exercised by the gate, not
+    just by pytest."""
+    from janet_ray.stages.profile import table_profile
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_partkey", "l_suppkey",
+                        "l_linenumber", "l_returnflag", "l_linestatus"])
+
+    def inject(batch: pa.Table) -> pa.Table:
+        ln = batch["l_linenumber"].to_numpy(zero_copy_only=False)
+        keep = pa.array(ln % 3 != 0)
+        return batch.append_column(
+            "l_flag_nullable",
+            pc.if_else(keep, batch["l_returnflag"],
+                       pa.scalar(None, pa.string())))
+
+    return table_profile(
+        ds.map_batches(inject, batch_format="pyarrow", zero_copy_batch=True),
+        _PROFILE_COLS)
+
+
+def _table_profile_sql() -> str:
+    from janet_ray.stages.profile import table_profile_sql
+
+    inner = ("SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,"
+             " l_returnflag, l_linestatus,"
+             " CASE WHEN l_linenumber % 3 <> 0 THEN l_returnflag END"
+             " AS l_flag_nullable FROM lineitem")
+    return table_profile_sql(f"({inner})", _PROFILE_COLS)
+
+
 # --------------------------------------------------------------- clusters registry marker
 
 
@@ -4112,6 +4174,10 @@ def build_queries() -> dict:
         # oracles (c4_filter, c4_span_dedup) are in-window this round; the
         # composition row is a round-5 rotation candidate.
         "curation_v5": q_curation_v5,
+        # dup_profile / table_profile: late-r04 SQL oracles past the edge —
+        # round-5 rotation candidates alongside curation_v5.
+        "dup_profile": q_dup_profile,
+        "table_profile": q_table_profile,
         # -- new rows-only additions (outside the window by design: the
         # driver's rows-only check adds nothing over the local gate) --
         "heavy_hitters_mg": q_heavy_hitters_mg,
@@ -4188,6 +4254,8 @@ def build_oracles() -> dict[str, str]:
         "host_quota": _host_quota_sql(),
         "snapshot_diff": _snapshot_diff_sql(),
         "domain_filter": _domain_filter_sql(),
+        "dup_profile": _DUP_PROFILE_SQL,
+        "table_profile": _table_profile_sql(),
         "pmi_collocations": _pmi_collocations_sql(),
         "substring_dedup_global": _substring_dedup_global_sql(),
         "duplicate_spans": _duplicate_spans_sql(),

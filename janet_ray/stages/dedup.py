@@ -944,3 +944,45 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 FROM all_sh a JOIN all_sh b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.sh, b.sh)) <= {int(max_hamming)}
 """
+
+
+def dup_profile(clusters: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Corpus duplication profile — the cluster-SIZE histogram over a
+    (id, cluster_rep) assignment: ``(cluster_size, n_clusters, n_docs)``
+    with singletons included (size 1 = unique docs), so the table reads as
+    "how duplicated is this corpus" in one glance (n_docs at size 1 / total
+    = unique rate; Σ n_docs − Σ n_clusters = rows a min-id dedup removes).
+
+    Scale shape: input is already the narrow int-pair assignment; two
+    aggregation shuffles over rows that SHRINK at each step (corpus rows →
+    #clusters rows → #distinct-sizes rows — the second groupby's key space
+    is tiny). No payload, no driver materialization."""
+    from ray.data.aggregate import Count
+
+    sizes = clusters.groupby("cluster_rep").aggregate(
+        Count(alias_name="cluster_size"))
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        # empty key-range partitions surface as zero-column blocks
+        if "cluster_size" not in batch.column_names:
+            return pa.table({"cluster_size": pa.array([], pa.int64())})
+        return pa.table(
+            {"cluster_size": pc.cast(batch["cluster_size"], pa.int64())})
+
+    prof = (sizes.map_batches(narrow, batch_format="pyarrow",
+                              zero_copy_batch=True)
+            .groupby("cluster_size")
+            .aggregate(Count(alias_name="n_clusters")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if "cluster_size" not in batch.column_names:
+            return pa.table({"cluster_size": pa.array([], pa.int64()),
+                             "n_clusters": pa.array([], pa.int64()),
+                             "n_docs": pa.array([], pa.int64())})
+        size = pc.cast(batch["cluster_size"], pa.int64())
+        n = pc.cast(batch["n_clusters"], pa.int64())
+        return pa.table({"cluster_size": size, "n_clusters": n,
+                         "n_docs": pc.multiply(size, n)})
+
+    return prof.map_batches(finish, batch_format="pyarrow",
+                            zero_copy_batch=True)
