@@ -1639,6 +1639,39 @@ def _quality_classifier_sql() -> str:
     return classifier_sql()
 
 
+def q_score_rank(sf_dir: str):
+    """Exact global rank of the classifier score per document
+    (stats.global_rank) — the per-row form of distributed_quantiles'
+    cutpoints: quality-PERCENTILE labels for curriculum schedules, computed
+    without a global sort (value-count fold bounded by the distinct-score
+    count, broadcast (values, ranks) arrays, stateless searchsorted
+    attach). SQL rank() semantics: ties share the minimum rank."""
+    from janet_ray.stages.classifier import classify
+    from janet_ray.stages.stats import global_rank
+
+    scored = classify(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(["doc_id", "score"])
+
+    narrow = scored.map_batches(project, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    return global_rank(narrow, "score", out_col="score_rank")
+
+
+def _score_rank_sql() -> str:
+    from janet_ray.stages.classifier import score_cte_sql
+
+    return f"""
+WITH {score_cte_sql()},
+s AS (SELECT d.doc_id, COALESCE(c.score, 0) AS score
+      FROM documents d LEFT JOIN cscored c ON c.doc_id = d.doc_id)
+SELECT doc_id, score,
+       CAST(rank() OVER (ORDER BY score) AS BIGINT) AS score_rank
+FROM s
+"""
+
+
 def q_normalize_text(sf_dir: str):
     """Unicode text normalization (stages/textnorm.py): injected suffix
     carries a \\r\\n newline, a combining acute (e + U+0301 → NFC é), and a
@@ -4178,6 +4211,7 @@ def build_queries() -> dict:
         # round-5 rotation candidates alongside curation_v5.
         "dup_profile": q_dup_profile,
         "table_profile": q_table_profile,
+        "score_rank": q_score_rank,
         # -- new rows-only additions (outside the window by design: the
         # driver's rows-only check adds nothing over the local gate) --
         "heavy_hitters_mg": q_heavy_hitters_mg,
@@ -4256,6 +4290,7 @@ def build_oracles() -> dict[str, str]:
         "domain_filter": _domain_filter_sql(),
         "dup_profile": _DUP_PROFILE_SQL,
         "table_profile": _table_profile_sql(),
+        "score_rank": _score_rank_sql(),
         "pmi_collocations": _pmi_collocations_sql(),
         "substring_dedup_global": _substring_dedup_global_sql(),
         "duplicate_spans": _duplicate_spans_sql(),

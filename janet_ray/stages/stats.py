@@ -66,3 +66,77 @@ def distinct_count(ds, col: str) -> "object":
     import pandas as pd
 
     return pd.DataFrame({"n_distinct": [int(n)]})
+
+
+def global_rank(ds, col: str, *, out_col: str = "rank",
+                max_distinct: int = 5_000_000):
+    """EXACT global min-rank of an integer column appended to every row —
+    SQL ``rank() OVER (ORDER BY col)`` semantics (ties share the smallest
+    rank; rank = 1 + count of strictly-smaller values). The per-row form of
+    ``distributed_quantiles``' cutpoints: quality-percentile labels for
+    curriculum schedules / score-calibrated mixing, computed without a
+    global sort.
+
+    Scale shape: per-batch value-count partials (the combiner) → ONE small
+    groupby over (value, count) rows → driver cumsum bounded by the
+    DISTINCT-value count (guarded by ``max_distinct`` — quantize a
+    continuous column upstream; the bound is checked BEFORE any block is
+    pulled) → the (values, ranks) arrays broadcast once as numpy (zero-copy
+    per worker) → stateless searchsorted attach map. The corpus itself
+    never shuffles; all columns pass through.
+
+    Contract: ``col`` is integer-typed and non-null (a null has no place in
+    a total order both sides replay — raise, don't guess)."""
+    import ray as _ray
+
+    from ray.data.aggregate import Sum
+
+    from janet_ray.functions.broadcast import get_broadcast
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = batch[col]
+        if c.null_count:
+            raise ValueError(f"global_rank: column {col!r} contains nulls")
+        if not pa.types.is_integer(c.type):
+            raise TypeError(f"global_rank: column {col!r} must be integer, "
+                            f"got {c.type}")
+        agg = (pa.table({"v": pc.cast(c, pa.int64())})
+               .group_by("v").aggregate([("v", "count")]))
+        return pa.table({"v": agg["v"],
+                         "c": agg["v_count"].cast(pa.int64())})
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby("v").aggregate(Sum("c", alias_name="n"))
+              .materialize())
+    n_distinct = counts.count()
+    if n_distinct > max_distinct:
+        raise ValueError(
+            f"global_rank: {n_distinct} distinct values exceed "
+            f"max_distinct={max_distinct} — quantize the column upstream")
+    blocks = [b for b in (_ray.get(r) for r in counts.to_arrow_refs())
+              if "v" in b.column_names]
+    if blocks:
+        tbl = pa.concat_tables(blocks)
+        vals = tbl["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cnts = tbl["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(vals, kind="stable")
+        vals, cnts = vals[order], cnts[order]
+        ranks = np.empty_like(cnts)
+        ranks[0] = 1
+        if len(cnts) > 1:
+            np.cumsum(cnts[:-1], out=ranks[1:])
+            ranks[1:] += 1
+    else:
+        vals = np.array([], dtype=np.int64)
+        ranks = np.array([], dtype=np.int64)
+    ref = _ray.put((vals, ranks))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        v, r = get_broadcast(ref)
+        c = batch[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(v, c)
+        return batch.append_column(out_col, pa.array(r[idx], pa.int64()))
+
+    return ds.map_batches(attach, batch_format="pyarrow",
+                          zero_copy_batch=True)

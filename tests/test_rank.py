@@ -76,3 +76,55 @@ def test_group_topk_ascending(ray_session):
     out = group_topk(_ds(ray, t), ["g"], "score", 1, descending=False,
                      tiebreak_cols=["id"]).to_pandas()
     assert out["score"].tolist() == [1]
+
+
+# ----------------------------------------------------------- global_rank
+
+def _rank_reference(vals):
+    return {v: 1 + sum(1 for w in vals if w < v) for v in set(vals)}
+
+
+def test_global_rank_matches_sql_rank(ray_session):
+    import ray
+
+    from janet_ray.stages.stats import global_rank
+
+    vals = [5, -3, 5, 0, 12, -3, -3, 7, 0, 100, 5]
+    rows = [{"doc_id": i, "score": v} for i, v in enumerate(vals)]
+    df = global_rank(ray.data.from_items(rows), "score",
+                     out_col="score_rank").to_pandas()
+    ref = _rank_reference(vals)
+    assert len(df) == len(vals)  # all rows pass through
+    for r in df.itertuples():
+        assert r.score_rank == ref[r.score], (r.score, r.score_rank)
+    assert set(df.columns) == {"doc_id", "score", "score_rank"}
+
+
+def test_global_rank_repartition_invariance(ray_session):
+    import ray
+
+    from janet_ray.stages.stats import global_rank
+
+    rows = [{"doc_id": i, "score": (i * 37) % 11 - 5} for i in range(300)]
+    a = global_rank(ray.data.from_items(rows), "score").to_pandas()
+    b = global_rank(ray.data.from_items(rows).repartition(23),
+                    "score").to_pandas()
+    key = lambda df: sorted(zip(df["doc_id"], df["rank"]))
+    assert key(a) == key(b)
+
+
+def test_global_rank_guards(ray_session):
+    import pytest
+    import ray
+
+    from janet_ray.stages.stats import global_rank
+
+    with pytest.raises(Exception, match="nulls"):
+        global_rank(ray.data.from_items(
+            [{"s": 1}, {"s": None}, {"s": 1}]).repartition(1),
+            "s").to_pandas()
+    with pytest.raises(Exception, match="integer"):
+        global_rank(ray.data.from_items([{"s": 1.5}]), "s").to_pandas()
+    with pytest.raises(ValueError, match="distinct"):
+        global_rank(ray.data.from_items(
+            [{"s": i} for i in range(10)]), "s", max_distinct=3).to_pandas()
