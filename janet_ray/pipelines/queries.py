@@ -2461,6 +2461,35 @@ def q_pq_topk(sf_dir: str):
                             k=10, nprobe=6)
 
 
+def q_pq_index_topk(sf_dir: str):
+    """ADC top-k served from a PERSISTED PQ index (pq.save_pq_index /
+    pq_index_topk): raw vectors are read exactly ONCE at encode time; the
+    committed shard files (uint8 codes, 32× smaller) are the resident
+    search structure — the build-once / search-many story for the ANN
+    family, mirroring the inverted/LSH index sinks. Rows-only by design
+    (approximate ANN); disk-vs-memory row-for-row search parity and
+    crash-atomicity are pinned in tests/test_pq.py."""
+    import shutil
+    import tempfile
+
+    from janet_ray.stages import pq as pqmod
+
+    ds = _read(sf_dir, "embeddings")
+    sample_rows = ds.limit(4096).take_all()
+    sample = np.asarray([r["embedding"] for r in sample_rows],
+                        dtype=np.float64)
+    books = pqmod.pq_train(sample, m=8, n_codes=64)
+    root = tempfile.mkdtemp(prefix="janet-pq-index-")
+    index_dir = os.path.join(root, "index")
+    try:
+        pqmod.save_pq_index(pqmod.pq_encode(ds, books), books, index_dir,
+                            num_shards=16)
+        return pqmod.pq_index_topk(index_dir, _query_vectors(sf_dir),
+                                   k=10).materialize()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _wrap_fold_cte() -> str:
     """The greedy raster line-wrap as a recursive fold (shared by the
     ocr_word_boxes and ocr_highlights oracles): state (line, col_end)
@@ -4215,6 +4244,7 @@ def build_queries() -> dict:
         # -- new rows-only additions (outside the window by design: the
         # driver's rows-only check adds nothing over the local gate) --
         "heavy_hitters_mg": q_heavy_hitters_mg,
+        "pq_index_topk": q_pq_index_topk,
         "dsir_select": q_dsir_select,
         "semdedup": q_semdedup,
         "embedding_pca": q_embedding_pca,

@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.parquet as pa_pq
 
 import ray
 import ray.data
@@ -249,3 +250,109 @@ def ivfpq_topk(ds: "ray.data.Dataset", queries: dict[int, np.ndarray],
         batch_format="pyarrow", zero_copy_batch=True)
     return partials.groupby("query_id").map_groups(
         _reduce_topk(k), batch_format="pyarrow")
+
+
+# ------------------------------------------------------- persisted PQ index
+
+def save_pq_index(codes_ds: "ray.data.Dataset", codebooks: np.ndarray,
+                  index_dir: str, *, id_col: str = "vec_id",
+                  num_shards: int = 16) -> dict:
+    """Persist the PQ search structure — the build-once / search-many story
+    for the ANN family, mirroring ``lshindex``'s discipline: codes sharded
+    by the engine's content-addressed id hash into
+    ``shards/shard=NNN.parquet``, codebooks as a tool-readable parquet, a
+    ``meta.json`` manifest, all staged in ``<index_dir>.tmp`` and committed
+    with ONE ``os.replace`` — the index is absent or complete, a killed
+    save leaves only a tmp dir the next save clears. Shards are the unit of
+    parallel read at search time (and of per-shard re-encode on refresh).
+    Storage contract: ``index_dir`` must be on storage all workers share
+    (same as checkpoint/lshindex output)."""
+    import json
+    import os
+    import shutil
+
+    from janet_ray.functions.partitioning import stable_hash_column
+
+    if os.path.exists(index_dir):
+        raise FileExistsError(
+            f"save_pq_index: {index_dir} exists — indexes are immutable; "
+            "save to a fresh path (or remove the old index first)")
+    books = np.ascontiguousarray(np.asarray(codebooks, dtype=np.float64))
+    m, n_codes, dsub = books.shape
+    tmp = index_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(os.path.join(tmp, "shards"))
+    pa_pq.write_table(pa.table({
+        "subspace": pa.array(np.repeat(np.arange(m, dtype=np.int32),
+                                       n_codes)),
+        "code": pa.array(np.tile(np.arange(n_codes, dtype=np.int32), m)),
+        "vals": pa.FixedSizeListArray.from_arrays(
+            pa.array(books.reshape(-1), pa.float64()), dsub),
+    }), os.path.join(tmp, "codebooks.parquet"))
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        shard = (stable_hash_column(batch, [id_col]) % num_shards)
+        return batch.append_column("shard",
+                                   pa.array(shard.astype(np.int32)))
+
+    def write_shard(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "shard" not in group.column_names:
+            return pa.table({"shard": pa.array([], pa.int32()),
+                             "n": pa.array([], pa.int64())})
+        sid = int(group["shard"][0].as_py())
+        out = group.drop_columns(["shard"])
+        pa_pq.write_table(out, os.path.join(tmp, "shards",
+                                            f"shard={sid:05d}.parquet"))
+        return pa.table({"shard": pa.array([sid], pa.int32()),
+                         "n": pa.array([group.num_rows], pa.int64())})
+
+    written = (codes_ds.map_batches(add_shard, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+               .groupby("shard").map_groups(write_shard,
+                                            batch_format="pyarrow")
+               .take_all())  # bounded: one row per shard
+    meta = {"m": int(m), "n_codes": int(n_codes), "dsub": int(dsub),
+            "num_shards": int(num_shards), "id_col": id_col,
+            "n_vectors": int(sum(r["n"] for r in written))}
+    with open(os.path.join(tmp, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, index_dir)  # atomic: absent or complete
+    return meta
+
+
+def pq_index_meta(index_dir: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        return json.load(f)
+
+
+def load_pq_codebooks(index_dir: str) -> np.ndarray:
+    import os
+
+    meta = pq_index_meta(index_dir)
+    t = pa_pq.read_table(os.path.join(index_dir, "codebooks.parquet"))
+    # rows are written in (subspace, code) row-major order; re-sort defensively
+    order = np.lexsort((t["code"].to_numpy(zero_copy_only=False),
+                        t["subspace"].to_numpy(zero_copy_only=False)))
+    flat = t["vals"].combine_chunks().flatten().to_numpy(
+        zero_copy_only=False).reshape(len(t), meta["dsub"])
+    return np.ascontiguousarray(
+        flat[order].reshape(meta["m"], meta["n_codes"], meta["dsub"]))
+
+
+def read_pq_codes(index_dir: str) -> "ray.data.Dataset":
+    import os
+
+    return ray.data.read_parquet(os.path.join(index_dir, "shards"))
+
+
+def pq_index_topk(index_dir: str, queries: dict[int, np.ndarray], *,
+                  k: int = 10, exclude_self: bool = True) -> "ray.data.Dataset":
+    """ADC top-k served from a PERSISTED index — raw vectors are never read;
+    only the 32×-compressed shard files stream through the scan."""
+    meta = pq_index_meta(index_dir)
+    books = load_pq_codebooks(index_dir)
+    return pq_topk(read_pq_codes(index_dir), books, queries, k=k,
+                   id_col=meta["id_col"], exclude_self=exclude_self)

@@ -113,3 +113,52 @@ def test_ivfpq_recall_floor(ray_session):
         hits += len(true & by_q.get(q, set()))
         total += 10
     assert hits / total >= 0.6, hits / total
+
+
+# ------------------------------------------------------- persisted PQ index
+
+def test_index_save_load_search_parity(ray_session, tmp_path):
+    import os
+
+    import ray.data
+
+    t, M = _clustered(n=200)
+    books = pq.pq_train(M, m=4, n_codes=16)
+    codes = pq.pq_encode(ray.data.from_arrow(t).repartition(7), books)
+    idx = str(tmp_path / "pqidx")
+    meta = pq.save_pq_index(codes, books, idx, num_shards=5)
+    assert meta["n_vectors"] == 200 and meta["m"] == 4
+    assert not os.path.exists(idx + ".tmp")  # staging dir gone after commit
+    # codebooks round-trip bit-exact
+    assert np.array_equal(pq.load_pq_codebooks(idx), books)
+    # search from disk == search in memory, row for row
+    queries = {10: M[10], 77: M[77], 123: M[123]}
+    from_disk = pq.pq_index_topk(idx, queries, k=5).to_pandas()
+    in_mem = pq.pq_topk(pq.pq_encode(ray.data.from_arrow(t), books), books,
+                        queries, k=5).to_pandas()
+    key = lambda df: sorted(zip(df.query_id, df.neighbor_id, df["rank"]))
+    assert key(from_disk) == key(in_mem)
+    # all vectors present across shards
+    assert pq.read_pq_codes(idx).count() == 200
+
+
+def test_index_immutable_and_atomic(ray_session, tmp_path):
+    import os
+
+    import pytest
+    import ray.data
+
+    t, M = _clustered(n=60)
+    books = pq.pq_train(M, m=4, n_codes=8)
+    codes = pq.pq_encode(ray.data.from_arrow(t), books)
+    idx = str(tmp_path / "pqidx")
+    pq.save_pq_index(codes, books, idx, num_shards=3)
+    with pytest.raises(FileExistsError):
+        pq.save_pq_index(codes, books, idx)
+    # a stale tmp dir from a killed save does not poison the next save
+    idx2 = str(tmp_path / "pqidx2")
+    os.makedirs(idx2 + ".tmp/shards")
+    open(idx2 + ".tmp/garbage", "w").write("killed mid-save")
+    pq.save_pq_index(codes, books, idx2, num_shards=3)
+    assert not os.path.exists(idx2 + ".tmp")
+    assert pq.pq_index_meta(idx2)["n_vectors"] == 60
