@@ -1639,6 +1639,29 @@ def _quality_classifier_sql() -> str:
     return classifier_sql()
 
 
+def q_orders_with_customer(sf_dir: str):
+    """J1 as a dimension-table ATTACH (joins.broadcast_lookup_join): orders
+    gain (c_name, c_mktsegment) from the customer dimension via a broadcast
+    index_in probe — the big side never shuffles, the dimension ships to
+    the object store once (a hash-shuffle Dataset.join would move every
+    order row for a lookup whose right side fits in memory). Inner
+    semantics; the oracle is the plain equi-join."""
+    from janet_ray.stages.joins import broadcast_lookup_join
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_name", "c_mktsegment"])
+    return broadcast_lookup_join(orders, "o_custkey", cust,
+                                 small_key_col="c_custkey",
+                                 attach_cols=["c_name", "c_mktsegment"])
+
+
+_ORDERS_WITH_CUSTOMER_SQL = """
+SELECT o_orderkey, o_custkey, c_name, c_mktsegment
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+
 def q_score_rank(sf_dir: str):
     """Exact global rank of the classifier score per document
     (stats.global_rank) — the per-row form of distributed_quantiles'
@@ -4241,6 +4264,7 @@ def build_queries() -> dict:
         "dup_profile": q_dup_profile,
         "table_profile": q_table_profile,
         "score_rank": q_score_rank,
+        "orders_with_customer": q_orders_with_customer,
         # -- new rows-only additions (outside the window by design: the
         # driver's rows-only check adds nothing over the local gate) --
         "heavy_hitters_mg": q_heavy_hitters_mg,
@@ -4321,6 +4345,7 @@ def build_oracles() -> dict[str, str]:
         "dup_profile": _DUP_PROFILE_SQL,
         "table_profile": _table_profile_sql(),
         "score_rank": _score_rank_sql(),
+        "orders_with_customer": _ORDERS_WITH_CUSTOMER_SQL,
         "pmi_collocations": _pmi_collocations_sql(),
         "substring_dedup_global": _substring_dedup_global_sql(),
         "duplicate_spans": _duplicate_spans_sql(),

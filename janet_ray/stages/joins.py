@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -261,3 +262,67 @@ def asof_join_latest(left: "ray.data.Dataset", right: "ray.data.Dataset", *,
         return l_tbl.append_column(out_ts, m)
 
     return both.groupby("part").map_groups(merge, batch_format="pyarrow")
+
+
+def broadcast_lookup_join(ds: "ray.data.Dataset", key_col: str,
+                          small: "ray.data.Dataset", *,
+                          small_key_col: str | None = None,
+                          attach_cols: list[str] | None = None,
+                          how: str = "inner",
+                          broadcast_limit: int = 5_000_000) -> "ray.data.Dataset":
+    """J1 dimension-table attach — the broadcast hash join: the SMALL side
+    (a dimension table: customers, hosts, label maps) ships to the object
+    store ONCE and every task attaches its columns by a C++ ``index_in``
+    probe; the big side never shuffles (a hash-shuffle ``Dataset.join``
+    would move every row of BOTH sides for a lookup whose right side fits
+    in memory). ``how``: "inner" drops probe misses, "left" keeps them with
+    null attach columns.
+
+    Scale contract: the small side is guarded by ``broadcast_limit`` rows
+    and must be UNIQUE on its key (a dimension, not a fact) — both raise,
+    not guess. Past the limit use ``Dataset.join`` (with
+    ``drop_empty_blocks``) and pay the shuffle."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"broadcast_lookup_join: how={how!r}")
+    skey = small_key_col or key_col
+    sm = small.materialize()
+    n = sm.count()
+    if n > broadcast_limit:
+        raise ValueError(
+            f"broadcast_lookup_join: small side has {n} rows > "
+            f"broadcast_limit={broadcast_limit} — use Dataset.join")
+    blocks = [b for b in (ray.get(r) for r in sm.to_arrow_refs())
+              if skey in b.column_names]
+    tbl = (pa.concat_tables(blocks).combine_chunks() if blocks
+           else None)
+    if tbl is None:
+        cols = attach_cols or []
+        tbl = pa.table({skey: pa.array([], pa.string()),
+                        **{c: pa.array([], pa.string()) for c in cols}})
+    cols = attach_cols if attach_cols is not None else \
+        [c for c in tbl.column_names if c != skey]
+    if tbl.num_rows and len(pc.unique(tbl[skey])) != tbl.num_rows:
+        raise ValueError(
+            f"broadcast_lookup_join: small side key {skey!r} is not unique "
+            "— a dimension table must have one row per key")
+    ref = ray.put(tbl.select([skey] + cols))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        from janet_ray.functions.broadcast import get_broadcast
+
+        dim = get_broadcast(ref)
+        for c in cols:
+            if c in batch.column_names:
+                raise ValueError(f"broadcast_lookup_join: attach column "
+                                 f"{c!r} already exists on the big side")
+        idx = pc.index_in(batch[key_col],
+                          value_set=dim[skey].combine_chunks())
+        out = batch
+        for c in cols:
+            out = out.append_column(c, pc.take(dim[c], idx))
+        if how == "inner":
+            out = out.filter(pc.is_valid(idx))
+        return out
+
+    return ds.map_batches(attach, batch_format="pyarrow",
+                          zero_copy_batch=True)

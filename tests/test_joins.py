@@ -214,3 +214,61 @@ def test_dup_clusters_lp_zero_edges(ray_session):
     }))
     out = dup_clusters_distributed(docs, pairs).to_pandas()
     assert sorted(zip(out.doc_id, out.cluster_rep)) == [(1, 1), (3, 3), (7, 7)]
+
+
+# ------------------------------------------------- broadcast_lookup_join
+
+def test_lookup_join_inner_and_left(ray_session):
+    import ray
+
+    from janet_ray.stages.joins import broadcast_lookup_join
+
+    big = ray.data.from_items([
+        {"k": 1, "x": "a"}, {"k": 2, "x": "b"},
+        {"k": 9, "x": "miss"}, {"k": 1, "x": "c"}])
+    dim = ray.data.from_items([
+        {"k": 1, "name": "one", "grp": "odd"},
+        {"k": 2, "name": "two", "grp": "even"}])
+    inner = broadcast_lookup_join(big, "k", dim).to_pandas()
+    assert sorted(zip(inner.k, inner.x, inner.name, inner.grp)) == [
+        (1, "a", "one", "odd"), (1, "c", "one", "odd"),
+        (2, "b", "two", "even")]
+    left = broadcast_lookup_join(big, "k", dim, how="left").to_pandas()
+    assert len(left) == 4
+    miss = left[left.k == 9]
+    assert miss.name.isna().all() and miss.grp.isna().all()
+
+
+def test_lookup_join_guards(ray_session):
+    import pytest
+    import ray
+
+    from janet_ray.stages.joins import broadcast_lookup_join
+
+    big = ray.data.from_items([{"k": 1, "x": 0}])
+    dup = ray.data.from_items([{"k": 1, "v": 1}, {"k": 1, "v": 2}])
+    with pytest.raises(ValueError, match="not unique"):
+        broadcast_lookup_join(big, "k", dup).to_pandas()
+    dim = ray.data.from_items([{"k": i, "v": i} for i in range(10)])
+    with pytest.raises(ValueError, match="broadcast_limit"):
+        broadcast_lookup_join(big, "k", dim, broadcast_limit=3).to_pandas()
+    clash = ray.data.from_items([{"k": 1, "x": 5}])
+    with pytest.raises(Exception, match="already exists"):
+        broadcast_lookup_join(big, "k", clash).to_pandas()
+
+
+def test_lookup_join_string_keys_and_subset_cols(ray_session):
+    import ray
+
+    from janet_ray.stages.joins import broadcast_lookup_join
+
+    big = ray.data.from_items([{"host": "a.example", "n": 1},
+                               {"host": "b.example", "n": 2}])
+    dim = ray.data.from_items([
+        {"host": "a.example", "tier": "good", "junk": "x"},
+        {"host": "b.example", "tier": "bad", "junk": "y"}])
+    out = broadcast_lookup_join(big, "host", dim,
+                                attach_cols=["tier"]).to_pandas()
+    assert sorted(zip(out.host, out.n, out.tier)) == [
+        ("a.example", 1, "good"), ("b.example", 2, "bad")]
+    assert "junk" not in out.columns
