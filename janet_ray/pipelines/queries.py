@@ -1662,6 +1662,96 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 """
 
 
+_V6_RANK_CUT = 150
+
+
+def q_curation_v6(sf_dir: str):
+    """Composed curation capstone over the LATE round-4 operators, whole-
+    composition oracle-checked (the curation_v2..v5 pattern): domain-level
+    stats gate (skewed host injection → exact-int host table → gate) →
+    broadcast semi-join keeps only docs of passing hosts (the lookup-join
+    probe with zero attach columns — the fact side never shuffles) →
+    quality-classifier score → EXACT global rank → keep the top of the rank
+    order (constant cut both sides replay) → deterministic shuffle-shards.
+    One host-partials shuffle + the rank value-count fold + the final shard
+    ranking; document text moves through ZERO of them."""
+    from janet_ray.stages.classifier import classify
+    from janet_ray.stages.domains import gate_hosts, host_table
+    from janet_ray.stages.joins import broadcast_lookup_join
+    from janet_ray.stages.shards import shuffle_shards
+    from janet_ray.stages.stats import global_rank
+    from janet_ray.stages.textstats import add_token_count
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def add_host(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = ids % ((ids % 13) + 1)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "host": pa.array([f"h{i}.example" for i in idx], pa.string()),
+            "n_tokens": add_token_count(batch)["n_tokens"],
+            "text": batch["text"],
+        })
+
+    hosted = ds.map_batches(add_host, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    passing = gate_hosts(host_table(hosted), max_docs=_DOM_MAX_DOCS,
+                         min_mean_tokens=_DOM_MIN_MEAN)
+    kept = broadcast_lookup_join(hosted, "host", passing, attach_cols=[])
+    scored = classify(kept)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(["doc_id", "score"])
+
+    ranked = global_rank(
+        scored.map_batches(project, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        "score", out_col="score_rank")
+
+    def cut(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater(
+            batch["score_rank"], pa.scalar(_V6_RANK_CUT, pa.int64())))
+
+    survivors = ranked.map_batches(cut, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+    return shuffle_shards(survivors, id_col="doc_id", n_shards=4, seed=1)
+
+
+def _curation_v6_sql() -> str:
+    from janet_ray.stages.classifier import score_cte_sql
+    from janet_ray.stages.textstats import token_count_sql
+
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         'h' || CAST(doc_id % ((doc_id % 13) + 1) AS VARCHAR) || '.example'
+           AS host,
+         CAST({token_count_sql('text')} AS BIGINT) AS n_tokens, text
+  FROM documents),
+g AS (SELECT host FROM d GROUP BY host
+      HAVING count(*) <= {_DOM_MAX_DOCS}
+         AND CAST(sum(n_tokens) AS BIGINT) >= {_DOM_MIN_MEAN} * count(*)),
+kept AS (SELECT doc_id, text FROM d WHERE host IN (SELECT host FROM g)),
+{score_cte_sql(source="kept")},
+s AS (SELECT k.doc_id, COALESCE(c.score, 0) AS score
+      FROM kept k LEFT JOIN cscored c ON c.doc_id = k.doc_id),
+r AS (SELECT doc_id, score,
+             CAST(rank() OVER (ORDER BY score) AS BIGINT) AS score_rank
+      FROM s),
+cut AS (SELECT * FROM r WHERE score_rank > {_V6_RANK_CUT}),
+hh AS (SELECT cut.*,
+              CAST(('0x' || substr(md5('1:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS UBIGINT) AS h
+       FROM cut)
+SELECT doc_id, score, score_rank,
+       CAST(h % 4 AS INTEGER) AS shard,
+       CAST(row_number() OVER (PARTITION BY h % 4 ORDER BY h, doc_id) - 1
+            AS BIGINT) AS pos
+FROM hh
+"""
+
+
 def q_score_rank(sf_dir: str):
     """Exact global rank of the classifier score per document
     (stats.global_rank) — the per-row form of distributed_quantiles'
@@ -4265,6 +4355,7 @@ def build_queries() -> dict:
         "table_profile": q_table_profile,
         "score_rank": q_score_rank,
         "orders_with_customer": q_orders_with_customer,
+        "curation_v6": q_curation_v6,
         # -- new rows-only additions (outside the window by design: the
         # driver's rows-only check adds nothing over the local gate) --
         "heavy_hitters_mg": q_heavy_hitters_mg,
@@ -4346,6 +4437,7 @@ def build_oracles() -> dict[str, str]:
         "table_profile": _table_profile_sql(),
         "score_rank": _score_rank_sql(),
         "orders_with_customer": _ORDERS_WITH_CUSTOMER_SQL,
+        "curation_v6": _curation_v6_sql(),
         "pmi_collocations": _pmi_collocations_sql(),
         "substring_dedup_global": _substring_dedup_global_sql(),
         "duplicate_spans": _duplicate_spans_sql(),
