@@ -229,6 +229,7 @@ def run_suite(sf_dir: str) -> dict[str, float]:
         "pq_index_topk": Q.q_pq_index_topk,
         "orders_with_customer": Q.q_orders_with_customer,
         "curation_v6": Q.q_curation_v6,
+        "chunk_documents": Q.q_chunk_documents,
     }
     # min-of-2 INTERLEAVED passes (VERDICT r03 #4): single-shot numbers on
     # this shared VM scatter ±10–40% with co-tenant load (a 22% phantom

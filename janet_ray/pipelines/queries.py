@@ -1662,6 +1662,29 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 """
 
 
+_CHUNK_WINDOW, _CHUNK_STRIDE = 64, 48
+
+
+def q_chunk_documents(sf_dir: str):
+    """Context-window chunking (stages/chunk.py) — every document split
+    into 64-token windows at stride 48 (25% overlap), the embedding/RAG
+    preprocessing step: provenance-carrying (doc_id, chunk_id, offsets)
+    plus the space-joined window text, rerun-stable ids, zero shuffles.
+    The oracle replays the token split, the n_chunks arithmetic, and the
+    window text via list slicing — value-hash-strict on the chunk BYTES."""
+    from janet_ray.stages.chunk import chunk_documents
+
+    return chunk_documents(_read(sf_dir, "documents",
+                                 columns=["doc_id", "text"]),
+                           window=_CHUNK_WINDOW, stride=_CHUNK_STRIDE)
+
+
+def _chunk_sql() -> str:
+    from janet_ray.stages.chunk import chunk_sql
+
+    return chunk_sql(window=_CHUNK_WINDOW, stride=_CHUNK_STRIDE)
+
+
 _V6_RANK_CUT = 150
 
 
@@ -4356,6 +4379,7 @@ def build_queries() -> dict:
         "score_rank": q_score_rank,
         "orders_with_customer": q_orders_with_customer,
         "curation_v6": q_curation_v6,
+        "chunk_documents": q_chunk_documents,
         # -- new rows-only additions (outside the window by design: the
         # driver's rows-only check adds nothing over the local gate) --
         "heavy_hitters_mg": q_heavy_hitters_mg,
@@ -4438,6 +4462,7 @@ def build_oracles() -> dict[str, str]:
         "score_rank": _score_rank_sql(),
         "orders_with_customer": _ORDERS_WITH_CUSTOMER_SQL,
         "curation_v6": _curation_v6_sql(),
+        "chunk_documents": _chunk_sql(),
         "pmi_collocations": _pmi_collocations_sql(),
         "substring_dedup_global": _substring_dedup_global_sql(),
         "duplicate_spans": _duplicate_spans_sql(),
