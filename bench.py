@@ -230,6 +230,7 @@ def run_suite(sf_dir: str) -> dict[str, float]:
         "orders_with_customer": Q.q_orders_with_customer,
         "curation_v6": Q.q_curation_v6,
         "chunk_documents": Q.q_chunk_documents,
+        "hashed_tf_vectors": Q.q_hashed_tf_vectors,
     }
     # min-of-2 INTERLEAVED passes (VERDICT r03 #4): single-shot numbers on
     # this shared VM scatter ±10–40% with co-tenant load (a 22% phantom

@@ -1662,6 +1662,45 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 """
 
 
+_HASHVEC_DIMS = 16
+
+
+def q_hashed_tf_vectors(sf_dir: str):
+    """Feature-hashing TF vectors (stages/hashvec.py, Weinberger'09) — the
+    deterministic text-native vectorizer feeding the ANN/clustering family
+    without a model: bucket = md5_u32(token) % dims (the classifier's hash
+    arithmetic), vector = per-bucket counts. Exact ints end to end — a
+    value-hash-STRICT oracle for a vector-valued operator (the list column
+    is rendered as comma-joined bytes for the compare — the driver's hash
+    layer compares scalars; the fixed_size_list layout itself is pinned in
+    tests/test_hashvec.py)."""
+    from janet_ray.stages.hashvec import hashed_tf_vectors
+
+    vecs = hashed_tf_vectors(_read(sf_dir, "documents",
+                                   columns=["doc_id", "text"]),
+                             dims=_HASHVEC_DIMS)
+
+    def render(batch: pa.Table) -> pa.Table:
+        flat = batch["vec"].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False).reshape(batch.num_rows, _HASHVEC_DIMS)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "vec": pa.array([",".join(map(str, row)) for row in flat],
+                            pa.string()),
+        })
+
+    return vecs.map_batches(render, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+def _hashed_tf_sql() -> str:
+    from janet_ray.stages.hashvec import hashed_tf_sql
+
+    inner = hashed_tf_sql(dims=_HASHVEC_DIMS)
+    return (f"SELECT doc_id, array_to_string(vec, ',') AS vec "
+            f"FROM ({inner})")
+
+
 _CHUNK_WINDOW, _CHUNK_STRIDE = 64, 48
 
 
@@ -4380,6 +4419,7 @@ def build_queries() -> dict:
         "orders_with_customer": q_orders_with_customer,
         "curation_v6": q_curation_v6,
         "chunk_documents": q_chunk_documents,
+        "hashed_tf_vectors": q_hashed_tf_vectors,
         # -- new rows-only additions (outside the window by design: the
         # driver's rows-only check adds nothing over the local gate) --
         "heavy_hitters_mg": q_heavy_hitters_mg,
@@ -4463,6 +4503,7 @@ def build_oracles() -> dict[str, str]:
         "orders_with_customer": _ORDERS_WITH_CUSTOMER_SQL,
         "curation_v6": _curation_v6_sql(),
         "chunk_documents": _chunk_sql(),
+        "hashed_tf_vectors": _hashed_tf_sql(),
         "pmi_collocations": _pmi_collocations_sql(),
         "substring_dedup_global": _substring_dedup_global_sql(),
         "duplicate_spans": _duplicate_spans_sql(),
