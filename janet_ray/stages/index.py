@@ -43,6 +43,7 @@ import json
 import os
 import zlib
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -406,7 +407,53 @@ def _read_term_postings(index_dir: str, term: str, num_buckets: int,
                           filters=[("term", "==", term)])
         if t.num_rows:
             parts.append(t.drop_columns(["term"]))
-    return pa.concat_tables(parts) if parts else empty
+    out = pa.concat_tables(parts) if parts else empty
+    dead = tombstoned_ids(index_dir)
+    if dead.size and out.num_rows:
+        ids = out["doc_id"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(dead, ids)
+        idx[idx >= dead.size] = 0
+        out = out.filter(pa.array(dead[idx] != ids))
+    return out
+
+
+# ---------------------------------------------------------------- deletes
+# Document deletion the Lucene way: deletes are TOMBSTONES — tiny
+# atomically-committed id files next to the index — applied as a mask at
+# lookup time (every lookup flows through _read_term_postings, the single
+# choke point) and PHYSICALLY at the next compaction (merge_segments drops
+# tombstoned postings and does not carry the tombstone files into the merged
+# index). Contract: the tombstone set between compactions is small (it rides
+# a driver-side mask and the merge closure); BM25's build-time corpus totals
+# (N, avgdl) are not adjusted by deletes until a rebuild — the same drift
+# real segment-merged engines accept.
+
+def tombstone_files(index_dir: str) -> list[str]:
+    return sorted(glob.glob(os.path.join(index_dir, "tombstone-*.parquet")))
+
+
+def delete_docs(index_dir: str, doc_ids) -> dict:
+    """Record deletions as one atomically-committed tombstone file (sorted
+    unique int64 ids). Idempotent per id set; an empty set is a no-op."""
+    ids = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
+    if ids.size == 0:
+        return {"n_deleted": 0, "file": None}
+    n = len(tombstone_files(index_dir))
+    final = os.path.join(index_dir, f"tombstone-{n:05d}.parquet")
+    tmp = final + ".tmp"
+    pq.write_table(pa.table({"doc_id": pa.array(ids, pa.int64())}), tmp)
+    os.replace(tmp, final)  # atomic: a tombstone is absent or complete
+    return {"n_deleted": int(ids.size), "file": final}
+
+
+def tombstoned_ids(index_dir: str) -> np.ndarray:
+    """Sorted unique union of all tombstone files (empty array if none)."""
+    files = tombstone_files(index_dir)
+    if not files:
+        return np.empty(0, dtype=np.int64)
+    parts = [pq.read_table(f)["doc_id"].to_numpy(zero_copy_only=False)
+             for f in files]
+    return np.unique(np.concatenate(parts))
 
 
 def index_lookup(index_dir: str, term: str, *, k: int = 10) -> pa.Table:
@@ -640,6 +687,9 @@ def merge_segments(index_dir: str, out_dir: str) -> dict:
                               "compaction writes a fresh index")
     meta = index_meta(index_dir)
     nb = meta["num_buckets"]
+    # compaction applies deletes physically: tombstoned postings are dropped
+    # during the merge and the merged index carries NO tombstone files
+    dead = tombstoned_ids(index_dir)
     tmp_root = out_dir.rstrip("/") + ".tmp-merge"
     if os.path.isdir(tmp_root):
         shutil.rmtree(tmp_root)
@@ -659,6 +709,11 @@ def merge_segments(index_dir: str, out_dir: str) -> dict:
                 rows.append((b, 0, 0, 0))
                 continue
             merged = pa.concat_tables(parts, promote_options="default")
+            if dead.size and merged.num_rows:
+                mids = merged["doc_id"].to_numpy(zero_copy_only=False)
+                di = np.searchsorted(dead, mids)
+                di[di >= dead.size] = 0
+                merged = merged.filter(pa.array(dead[di] != mids))
             merged = merged.take(pc.sort_indices(
                 merged, sort_keys=[("term", "ascending"),
                                    ("doc_id", "ascending")]))

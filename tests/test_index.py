@@ -504,3 +504,48 @@ def test_boolean_lookup(ray_session, tmp_path):
 
     with _pytest.raises(ValueError):
         inv.index_lookup_boolean(d, [])
+
+
+# ----------------------------------------------------------------- deletes
+
+def test_delete_docs_masks_all_lookups(ray_session, tmp_path):
+    d = str(tmp_path / "idx")
+    inv.build_inverted_index(_docs_ds(TEXTS), d, num_buckets=4)
+    before = set(inv.index_lookup(d, "data")["doc_id"].to_pylist())
+    assert {0, 3} <= before
+    res = inv.delete_docs(d, [3, 0])
+    assert res["n_deleted"] == 2 and os.path.exists(res["file"])
+    after = set(inv.index_lookup(d, "data")["doc_id"].to_pylist())
+    assert after == before - {0, 3}
+    # every lookup family flows through the same mask
+    assert 3 not in set(inv.index_lookup_multi(d, ["data", "rows"])
+                        ["doc_id"].to_pylist())
+    assert 3 not in set(inv.index_lookup_bm25(d, ["data"])
+                        ["doc_id"].to_pylist())
+    # incremental tombstones union across files
+    inv.delete_docs(d, [1])
+    assert set(inv.index_lookup(d, "data")["doc_id"].to_pylist()) == \
+        before - {0, 1, 3}
+    assert inv.tombstoned_ids(d).tolist() == [0, 1, 3]
+    # empty delete is a no-op
+    assert inv.delete_docs(d, [])["n_deleted"] == 0
+
+
+def test_merge_applies_tombstones_physically(ray_session, tmp_path):
+    src = str(tmp_path / "shards")
+    _write_shards(src, TEXTS, shard_rows=2)
+    d = str(tmp_path / "segidx")
+    inv.build_index_segments(src, d, files_per_segment=1, num_buckets=4)
+    inv.delete_docs(d, [3])
+    assert 3 not in set(inv.index_lookup(d, "data")["doc_id"].to_pylist())
+    out = str(tmp_path / "merged")
+    inv.merge_segments(d, out)
+    # physically purged: no tombstone files, no doc-3 postings on disk
+    assert inv.tombstone_files(out) == []
+    for f in inv.scan_index_files(out):
+        assert 3 not in set(pq.read_table(f)["doc_id"].to_pylist())
+    assert set(inv.index_lookup(out, "data")["doc_id"].to_pylist()) == \
+        set(inv.index_lookup(d, "data")["doc_id"].to_pylist())
+    # deleting again on the merged index works
+    inv.delete_docs(out, [0])
+    assert 0 not in set(inv.index_lookup(out, "data")["doc_id"].to_pylist())
