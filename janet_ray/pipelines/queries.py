@@ -1662,6 +1662,78 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 """
 
 
+_FP_BOILER = "shared boilerplate page"
+
+
+def q_exact_new_docs(sf_dir: str):
+    """Exact incremental dedup against a PERSISTED fingerprint index
+    (stages/fpindex.py) — the zero-false-positive complement to
+    bloom_new_docs: corpus fingerprints (docs with doc_id % 3 != 0, plus a
+    boilerplate constant) live as sorted bucket parquet in an
+    atomically-committed segment; the ingest batch (doc_id % 3 == 0, with
+    %6==0 docs carrying the boilerplate text → duplicates) probes with ONE
+    shuffle of its own fp rows and keeps exactly the never-seen documents.
+    The oracle is a plain set EXCEPT over the same fingerprints."""
+    import shutil
+    import tempfile
+
+    from janet_ray.stages.fpindex import build_fp_index, exact_new_docs
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def corpus_side(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        fps = [ts.fingerprint(t or "") for i, t in zip(ids, texts)
+               if i % 3 != 0]
+        fps.append(ts.fingerprint(_FP_BOILER))
+        return pa.table({"fp": pa.array(fps, pa.string())})
+
+    def ingest_side(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        out_i, out_f = [], []
+        for i, t in zip(ids, texts):
+            if i % 3 != 0:
+                continue
+            out_i.append(i)
+            out_f.append(ts.fingerprint(_FP_BOILER if i % 6 == 0
+                                        else (t or "")))
+        return pa.table({"doc_id": pa.array(out_i, pa.int64()),
+                         "fp": pa.array(out_f, pa.string())})
+
+    root = tempfile.mkdtemp(prefix="janet-fp-index-")
+    try:
+        build_fp_index(
+            docs.map_batches(corpus_side, batch_format="pyarrow",
+                             zero_copy_batch=True),
+            os.path.join(root, "fpidx"))
+        return exact_new_docs(
+            docs.map_batches(ingest_side, batch_format="pyarrow",
+                             zero_copy_batch=True),
+            os.path.join(root, "fpidx")).materialize()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _exact_new_docs_sql() -> str:
+    fp = ts.fingerprint_sql
+    return f"""
+WITH corpus AS (
+  SELECT {fp('text')} AS fp FROM documents WHERE doc_id % 3 <> 0
+  UNION
+  SELECT {fp(f"'{_FP_BOILER}'")} AS fp
+),
+ingest AS (
+  SELECT doc_id,
+         {fp(f"CASE WHEN doc_id % 6 = 0 THEN '{_FP_BOILER}' ELSE text END")}
+           AS fp
+  FROM documents WHERE doc_id % 3 = 0)
+SELECT doc_id, fp FROM ingest
+WHERE fp NOT IN (SELECT fp FROM corpus)
+"""
+
+
 _HASHVEC_DIMS = 16
 
 
@@ -4420,6 +4492,7 @@ def build_queries() -> dict:
         "curation_v6": q_curation_v6,
         "chunk_documents": q_chunk_documents,
         "hashed_tf_vectors": q_hashed_tf_vectors,
+        "exact_new_docs": q_exact_new_docs,
         # -- new rows-only additions (outside the window by design: the
         # driver's rows-only check adds nothing over the local gate) --
         "heavy_hitters_mg": q_heavy_hitters_mg,
@@ -4504,6 +4577,7 @@ def build_oracles() -> dict[str, str]:
         "curation_v6": _curation_v6_sql(),
         "chunk_documents": _chunk_sql(),
         "hashed_tf_vectors": _hashed_tf_sql(),
+        "exact_new_docs": _exact_new_docs_sql(),
         "pmi_collocations": _pmi_collocations_sql(),
         "substring_dedup_global": _substring_dedup_global_sql(),
         "duplicate_spans": _duplicate_spans_sql(),
