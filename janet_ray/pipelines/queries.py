@@ -1662,6 +1662,22 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 """
 
 
+def q_compression_stats(sf_dir: str):
+    """Compression-ratio quality signal (textstats.add_compression_stats):
+    exact-int raw/zlib byte sizes per document — the model-free
+    boilerplate/junk detector next to the Gopher rules. Rows-only by
+    declaration (DuckDB has no zlib); the zlib reference and the pinned
+    level are asserted in tests/test_property.py."""
+    from janet_ray.stages.textstats import add_compression_stats
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        return add_compression_stats(batch).drop_columns(["text"])
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
 _FP_BOILER = "shared boilerplate page"
 
 
@@ -4497,6 +4513,7 @@ def build_queries() -> dict:
         # driver's rows-only check adds nothing over the local gate) --
         "heavy_hitters_mg": q_heavy_hitters_mg,
         "pq_index_topk": q_pq_index_topk,
+        "compression_stats": q_compression_stats,
         "dsir_select": q_dsir_select,
         "semdedup": q_semdedup,
         "embedding_pca": q_embedding_pca,

@@ -142,6 +142,29 @@ def add_token_count(batch: pa.Table, *, text_col: str = "text",
     return batch.append_column(out_col, pc.cast(counts, pa.int64()))
 
 
+def add_compression_stats(batch: pa.Table, *, text_col: str = "text",
+                          level: int = 6) -> pa.Table:
+    """Compression-ratio quality signal — appends exact-int
+    ``n_raw_bytes`` / ``n_zlib_bytes`` (utf-8 byte length and its zlib size
+    at the pinned level). Highly compressible pages are boilerplate /
+    repetition; near-incompressible ones are often binary junk — the cheap
+    model-free quality feature web-curation stacks use next to the Gopher
+    rules. Deterministic for a fixed zlib level (pinned here), so the
+    columns are rerun-stable; no SQL twin exists (DuckDB has no zlib) —
+    the reference implementation is pinned in pytest instead. Consumers
+    gate with cross-multiplied int comparisons, e.g. keep
+    ``lo·n_raw ≤ 100·n_zlib ≤ hi·n_raw`` — never a float ratio."""
+    import zlib as _zlib
+
+    raws, comps = [], []
+    for t in batch[text_col].to_pylist():
+        b = (t or "").encode("utf-8")
+        raws.append(len(b))
+        comps.append(len(_zlib.compress(b, level)))
+    return (batch.append_column("n_raw_bytes", pa.array(raws, pa.int64()))
+            .append_column("n_zlib_bytes", pa.array(comps, pa.int64())))
+
+
 # ------------------------------------------------------- SQL renderings
 # Generated from the same constants as the Python above — parity by construction.
 

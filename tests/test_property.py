@@ -160,3 +160,28 @@ def test_warc_parse_total_with_warc_prefix(b):
 
     rows, skipped, seen = parse_warc_bytes(b"WARC/1.0\r\n" + b)
     assert isinstance(rows, list)
+
+
+def test_compression_stats_reference(ray_session):
+    """add_compression_stats == per-row zlib at the pinned level, exact."""
+    import zlib
+
+    import pyarrow as pa
+
+    from janet_ray.stages.textstats import add_compression_stats
+
+    texts = ["", "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaa", "Zf3#kQ!9 vX@1 rnd",
+             "the the the the the the", "unicode snowman ☃" * 3]
+    batch = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                      "text": pa.array(texts, pa.string())})
+    out = add_compression_stats(batch)
+    for t, raw, comp in zip(texts, out["n_raw_bytes"].to_pylist(),
+                            out["n_zlib_bytes"].to_pylist()):
+        b = t.encode("utf-8")
+        assert raw == len(b)
+        assert comp == len(zlib.compress(b, 6))
+    # the signal separates repetition from noise
+    rep = out["n_zlib_bytes"][1].as_py() * 100
+    noise = out["n_zlib_bytes"][2].as_py() * 100
+    assert rep < out["n_raw_bytes"][1].as_py() * 100
+    assert noise > out["n_raw_bytes"][2].as_py() * 60
