@@ -1458,12 +1458,15 @@ def q_snapshot_diff(sf_dir: str):
 def _snapshot_diff_sql() -> str:
     from janet_ray.stages.snapshot import snapshot_diff_sql
 
+    # COALESCE matches the engine's (t or "") NULL defense
     fp = ts.fingerprint_sql
-    old_sql = (f"SELECT {_snap_url_sql('doc_id')} AS url, {fp('text')} AS fp"
-               f" FROM documents")
+    coalesced = "COALESCE(text, '')"
+    old_sql = (f"SELECT {_snap_url_sql('doc_id')} AS url, "
+               f"{fp(coalesced)} AS fp FROM documents")
     new_sql = f"""
 SELECT {_snap_url_sql('doc_id')} AS url,
-       {fp("CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END")} AS fp
+       {fp("CASE WHEN doc_id % 5 = 0 THEN COALESCE(text, '') || ' v2' "
+           "ELSE COALESCE(text, '') END")} AS fp
 FROM documents WHERE doc_id % 7 <> 0
 UNION ALL
 SELECT {_snap_url_sql(f'doc_id + {_SNAP_ADD_OFF}')} AS url,
@@ -1733,20 +1736,23 @@ def q_exact_new_docs(sf_dir: str):
 
 
 def _exact_new_docs_sql() -> str:
+    # COALESCE matches the engine's (t or "") NULL defense, and NOT EXISTS
+    # avoids NOT IN's three-valued-logic null poisoning outright
     fp = ts.fingerprint_sql
     return f"""
 WITH corpus AS (
-  SELECT {fp('text')} AS fp FROM documents WHERE doc_id % 3 <> 0
+  SELECT {fp("COALESCE(text, '')")} AS fp FROM documents
+  WHERE doc_id % 3 <> 0
   UNION
   SELECT {fp(f"'{_FP_BOILER}'")} AS fp
 ),
 ingest AS (
   SELECT doc_id,
-         {fp(f"CASE WHEN doc_id % 6 = 0 THEN '{_FP_BOILER}' ELSE text END")}
-           AS fp
+         {fp("CASE WHEN doc_id % 6 = 0 THEN '" + _FP_BOILER
+             + "' ELSE COALESCE(text, '') END")} AS fp
   FROM documents WHERE doc_id % 3 = 0)
-SELECT doc_id, fp FROM ingest
-WHERE fp NOT IN (SELECT fp FROM corpus)
+SELECT doc_id, fp FROM ingest i
+WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = i.fp)
 """
 
 

@@ -36,7 +36,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from janet_ray.functions.partitioning import stable_hash_column, with_part
+from janet_ray.functions.arrays import in_sorted
+from janet_ray.functions.partitioning import with_part
 
 META_FILE = "_fp_meta.json"
 
@@ -68,7 +69,7 @@ def build_fp_index(ds, index_dir: str, *, fp_col: str = "fp",
     if os.path.exists(os.path.join(index_dir, META_FILE)):
         raise FileExistsError(f"fp index already exists at {index_dir}")
     os.makedirs(index_dir, exist_ok=True)
-    meta = {"num_buckets": num_buckets, "n_fps": 0}
+    meta = {"num_buckets": num_buckets, "n_fp_rows": 0}
     tmp_meta = os.path.join(index_dir, META_FILE + ".tmp")
     with open(tmp_meta, "w") as f:
         json.dump(meta, f)
@@ -102,7 +103,11 @@ def append_fp_index(ds, index_dir: str, *, fp_col: str = "fp") -> dict:
                                             batch_format="pyarrow")
                 .take_all())  # ≤ num_buckets rows
     os.replace(tmp, seg)  # atomic: a segment is absent or complete
-    meta["n_fps"] = int(meta["n_fps"]) + int(sum(r["n"] for r in manifest))
+    # n_fp_rows = Σ per-segment DISTINCT counts — an upper bound on the
+    # global distinct-fingerprint count (a fp present in two segments is
+    # counted twice; an exact global distinct would cost a full index pass)
+    meta["n_fp_rows"] = (int(meta["n_fp_rows"])
+                         + int(sum(r["n"] for r in manifest)))
     tmp_meta = os.path.join(index_dir, META_FILE + ".tmp")
     with open(tmp_meta, "w") as f:
         json.dump(meta, f)
@@ -131,11 +136,7 @@ def unseen_fingerprints(new_ds, index_dir: str, *, fp_col: str = "fp"):
             if not os.path.exists(path):
                 continue
             seen = pq.read_table(path)["fp"].to_numpy(zero_copy_only=False)
-            if not len(seen):
-                continue
-            idx = np.searchsorted(seen, arr)
-            idx[idx >= len(seen)] = 0
-            unseen &= seen[idx] != arr
+            unseen &= ~in_sorted(seen, arr)
         return pa.table({fp_col: pa.array(arr[unseen], pa.string())})
 
     return (_fp_rows(new_ds, fp_col=fp_col, num_buckets=nb)

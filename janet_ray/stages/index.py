@@ -379,16 +379,37 @@ def build_index_segments(
     return merged
 
 
+def _mask_dead(t: pa.Table, ordinal: int, dead_sets) -> pa.Table:
+    """Drop postings of ``t`` (from the segment at ``ordinal``) covered by a
+    tombstone set — a delete covers only segments that EXISTED at delete
+    time, so a document re-added in a later segment is live again."""
+    from janet_ray.functions.arrays import in_sorted
+
+    if not dead_sets or t.num_rows == 0:
+        return t
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    dead_mask = np.zeros(len(ids), dtype=bool)
+    for covered, dead in dead_sets:
+        if ordinal < covered:
+            dead_mask |= in_sorted(dead, ids)
+    return t.filter(pa.array(~dead_mask)) if dead_mask.any() else t
+
+
 def _read_term_postings(index_dir: str, term: str, num_buckets: int,
-                        *, with_positions: bool = False) -> pa.Table:
+                        *, with_positions: bool = False,
+                        dead_sets=None) -> pa.Table:
     """Postings of one term: the term's single bucket file (flat index) or
     that bucket file in EACH segment (segmented index), term-equality filter
     pushed to row-group statistics (the term column is sorted per file). A
     doc lives in exactly one segment, so concatenation needs no merge.
     ``with_positions`` additionally reads the ``pos`` list column (positional
-    index only)."""
+    index only). ``dead_sets``: precomputed ``tombstone_sets(index_dir)`` —
+    multi-term lookups pass it so tombstone files are read once per QUERY,
+    not once per term; None loads it here (single-term convenience)."""
     segs = segment_dirs(index_dir)
     roots = segs if segs else [index_dir]
+    if dead_sets is None:
+        dead_sets = tombstone_sets(index_dir)
     b = term_bucket(term, num_buckets)
     cols = {"doc_id": pa.array([], pa.int64()),
             "tf": pa.array([], pa.int64()),
@@ -399,22 +420,17 @@ def _read_term_postings(index_dir: str, term: str, num_buckets: int,
         read_cols.append("pos")
     empty = pa.table(cols)
     parts = []
-    for root in roots:
+    for ordinal, root in enumerate(roots):
         path = bucket_path(root, b)
         if not os.path.exists(path):
             continue
         t = pq.read_table(path, columns=read_cols,
                           filters=[("term", "==", term)])
         if t.num_rows:
-            parts.append(t.drop_columns(["term"]))
-    out = pa.concat_tables(parts) if parts else empty
-    dead = tombstoned_ids(index_dir)
-    if dead.size and out.num_rows:
-        ids = out["doc_id"].to_numpy(zero_copy_only=False)
-        idx = np.searchsorted(dead, ids)
-        idx[idx >= dead.size] = 0
-        out = out.filter(pa.array(dead[idx] != ids))
-    return out
+            t = _mask_dead(t.drop_columns(["term"]), ordinal, dead_sets)
+        if t.num_rows:
+            parts.append(t)
+    return pa.concat_tables(parts) if parts else empty
 
 
 # ---------------------------------------------------------------- deletes
@@ -423,8 +439,12 @@ def _read_term_postings(index_dir: str, term: str, num_buckets: int,
 # lookup time (every lookup flows through _read_term_postings, the single
 # choke point) and PHYSICALLY at the next compaction (merge_segments drops
 # tombstoned postings and does not carry the tombstone files into the merged
-# index). Contract: the tombstone set between compactions is small (it rides
-# a driver-side mask and the merge closure); BM25's build-time corpus totals
+# index). A tombstone is SEGMENT-SCOPED: it records how many segments
+# existed when the delete was issued and masks only those — a document
+# re-added in a LATER segment is live again (the Lucene delete-then-reindex
+# update flow; a global id mask would silently lose the new version).
+# Contract: the tombstone set between compactions is small (it rides a
+# driver-side mask and the merge closure); BM25's build-time corpus totals
 # (N, avgdl) are not adjusted by deletes until a rebuild — the same drift
 # real segment-merged engines accept.
 
@@ -434,26 +454,41 @@ def tombstone_files(index_dir: str) -> list[str]:
 
 def delete_docs(index_dir: str, doc_ids) -> dict:
     """Record deletions as one atomically-committed tombstone file (sorted
-    unique int64 ids). Idempotent per id set; an empty set is a no-op."""
+    unique int64 ids + the segment-coverage bound). Idempotent per id set;
+    an empty set is a no-op."""
     ids = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
     if ids.size == 0:
         return {"n_deleted": 0, "file": None}
+    covered = max(len(segment_dirs(index_dir)), 1)  # flat index == 1 root
     n = len(tombstone_files(index_dir))
     final = os.path.join(index_dir, f"tombstone-{n:05d}.parquet")
     tmp = final + ".tmp"
-    pq.write_table(pa.table({"doc_id": pa.array(ids, pa.int64())}), tmp)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "covered": pa.array(np.full(ids.size, covered, dtype=np.int32)),
+    }), tmp)
     os.replace(tmp, final)  # atomic: a tombstone is absent or complete
-    return {"n_deleted": int(ids.size), "file": final}
+    return {"n_deleted": int(ids.size), "file": final, "covered": covered}
+
+
+def tombstone_sets(index_dir: str) -> list[tuple[int, np.ndarray]]:
+    """One (covered_segments, sorted unique ids) pair per tombstone file."""
+    out = []
+    for f in tombstone_files(index_dir):
+        t = pq.read_table(f)
+        ids = np.unique(t["doc_id"].to_numpy(zero_copy_only=False))
+        covered = int(t["covered"][0].as_py()) if t.num_rows else 0
+        out.append((covered, ids))
+    return out
 
 
 def tombstoned_ids(index_dir: str) -> np.ndarray:
-    """Sorted unique union of all tombstone files (empty array if none)."""
-    files = tombstone_files(index_dir)
-    if not files:
+    """Sorted unique union of all tombstone files regardless of segment
+    scope (empty array if none) — the inventory view, not the mask."""
+    sets = tombstone_sets(index_dir)
+    if not sets:
         return np.empty(0, dtype=np.int64)
-    parts = [pq.read_table(f)["doc_id"].to_numpy(zero_copy_only=False)
-             for f in files]
-    return np.unique(np.concatenate(parts))
+    return np.unique(np.concatenate([ids for _, ids in sets]))
 
 
 def index_lookup(index_dir: str, term: str, *, k: int = 10) -> pa.Table:
@@ -472,9 +507,11 @@ def index_lookup_multi(index_dir: str, terms: list[str], *, k: int = 10) -> pa.T
     """OR-semantics ranked retrieval: score = Σ tf over the query terms (each
     term read from its own bucket), top-k by (score desc, doc_id asc)."""
     meta = index_meta(index_dir)
+    dead = tombstone_sets(index_dir)  # read ONCE per query, not per term
     # lowercase BEFORE dedupe: "Dog" and "dog" are the same term and must
     # not be read (and scored) twice
-    parts = [_read_term_postings(index_dir, t, meta["num_buckets"])
+    parts = [_read_term_postings(index_dir, t, meta["num_buckets"],
+                                 dead_sets=dead)
              for t in dict.fromkeys(t.lower() for t in terms)]
     allp = pa.concat_tables(parts).select(["doc_id", "tf"])
     if allp.num_rows == 0:
@@ -504,12 +541,13 @@ def index_lookup_boolean(index_dir: str, must: list[str],
         raise ValueError("boolean lookup needs at least one must term")
     meta = index_meta(index_dir)
     nb = meta["num_buckets"]
+    dead = tombstone_sets(index_dir)  # read ONCE per query, not per term
     out_empty = pa.table({"doc_id": pa.array([], pa.int64()),
                           "score": pa.array([], pa.int64())})
     keep_ids: np.ndarray | None = None
     per_term: list[tuple[np.ndarray, np.ndarray]] = []
     for term in dict.fromkeys(t.lower() for t in must):
-        p = _read_term_postings(index_dir, term, nb)
+        p = _read_term_postings(index_dir, term, nb, dead_sets=dead)
         ids = p["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         tf = p["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.argsort(ids, kind="stable")
@@ -519,7 +557,7 @@ def index_lookup_boolean(index_dir: str, must: list[str],
         if keep_ids.size == 0:
             return out_empty
     for term in dict.fromkeys(t.lower() for t in must_not):
-        p = _read_term_postings(index_dir, term, nb)
+        p = _read_term_postings(index_dir, term, nb, dead_sets=dead)
         bad = p["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         if bad.size:
             keep_ids = keep_ids[~np.isin(keep_ids, bad)]
@@ -548,9 +586,11 @@ def index_lookup_bm25(index_dir: str, terms: list[str], *, k: int = 10,
 
     meta = index_meta(index_dir)
     n, avgdl = meta["n_docs"], meta["avgdl"] or 1.0
+    dead = tombstone_sets(index_dir)  # read ONCE per query, not per term
     scores: dict[int, float] = {}
     for term in dict.fromkeys(t.lower() for t in terms):
-        t = _read_term_postings(index_dir, term, meta["num_buckets"])
+        t = _read_term_postings(index_dir, term, meta["num_buckets"],
+                                dead_sets=dead)
         df = t.num_rows
         if not df:
             continue
@@ -611,9 +651,10 @@ def index_lookup_phrase(index_dir: str, phrase: str, *, k: int | None = None
 
     # one read per DISTINCT term → flattened (doc, pos) arrays
     flat: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    dead = tombstone_sets(index_dir)  # read ONCE per query, not per term
     for term in dict.fromkeys(terms):
         t = _read_term_postings(index_dir, term, meta["num_buckets"],
-                                with_positions=True)
+                                with_positions=True, dead_sets=dead)
         if t.num_rows == 0:
             return empty  # a missing term kills every candidate
         pos_col = t["pos"].combine_chunks() if isinstance(
@@ -688,8 +729,9 @@ def merge_segments(index_dir: str, out_dir: str) -> dict:
     meta = index_meta(index_dir)
     nb = meta["num_buckets"]
     # compaction applies deletes physically: tombstoned postings are dropped
-    # during the merge and the merged index carries NO tombstone files
-    dead = tombstoned_ids(index_dir)
+    # during the merge (segment-scoped, same rule as the lookup mask) and
+    # the merged index carries NO tombstone files
+    dead_sets = tombstone_sets(index_dir)
     tmp_root = out_dir.rstrip("/") + ".tmp-merge"
     if os.path.isdir(tmp_root):
         shutil.rmtree(tmp_root)
@@ -699,21 +741,18 @@ def merge_segments(index_dir: str, out_dir: str) -> dict:
         rows = []
         for b in batch["bucket"].to_pylist():
             parts = []
-            for seg in segs:
+            for ordinal, seg in enumerate(segs):
                 path = bucket_path(seg, b)
                 if os.path.exists(path):
                     t = pq.read_table(path)
+                    if t.num_rows:
+                        t = _mask_dead(t, ordinal, dead_sets)
                     if t.num_rows:
                         parts.append(t)
             if not parts:
                 rows.append((b, 0, 0, 0))
                 continue
             merged = pa.concat_tables(parts, promote_options="default")
-            if dead.size and merged.num_rows:
-                mids = merged["doc_id"].to_numpy(zero_copy_only=False)
-                di = np.searchsorted(dead, mids)
-                di[di >= dead.size] = 0
-                merged = merged.filter(pa.array(dead[di] != mids))
             merged = merged.take(pc.sort_indices(
                 merged, sort_keys=[("term", "ascending"),
                                    ("doc_id", "ascending")]))

@@ -296,9 +296,22 @@ def broadcast_lookup_join(ds: "ray.data.Dataset", key_col: str,
     tbl = (pa.concat_tables(blocks).combine_chunks() if blocks
            else None)
     if tbl is None:
-        cols = attach_cols or []
-        tbl = pa.table({skey: pa.array([], pa.string()),
-                        **{c: pa.array([], pa.string()) for c in cols}})
+        # every block came back zero-column (the Ray empty-schema artifact)
+        # — type the empty dimension from the dataset's reported schema so
+        # a left join's attach columns don't drift to string
+        sch = sm.schema()
+        names = list(sch.names) if sch is not None else []
+        need = [skey] + list(attach_cols or [])
+        missing = [c for c in need if c not in names]
+        if missing:
+            raise ValueError(
+                "broadcast_lookup_join: small side is empty and its schema "
+                f"does not expose {missing} — cannot type the attach "
+                "columns; pass a typed (possibly empty) dimension")
+        types = {n: t for n, t in zip(names, sch.types)}
+        keep = attach_cols if attach_cols is not None else \
+            [c for c in names if c != skey]
+        tbl = pa.table({c: pa.array([], types[c]) for c in [skey] + keep})
     cols = attach_cols if attach_cols is not None else \
         [c for c in tbl.column_names if c != skey]
     if tbl.num_rows and len(pc.unique(tbl[skey])) != tbl.num_rows:

@@ -135,7 +135,21 @@ def global_rank(ds, col: str, *, out_col: str = "rank",
     def attach(batch: pa.Table) -> pa.Table:
         v, r = get_broadcast(ref)
         c = batch[col].to_numpy(zero_copy_only=False).astype(np.int64)
-        idx = np.searchsorted(v, c)
+        if len(v) == 0:
+            if len(c):
+                raise ValueError("global_rank: rows present in the attach "
+                                 "pass but none were counted — upstream "
+                                 "dataset is not deterministic across "
+                                 "executions")
+            return batch.append_column(out_col, pa.array([], pa.int64()))
+        idx = np.clip(np.searchsorted(v, c), 0, len(v) - 1)
+        if not np.array_equal(v[idx], c):
+            # the attach pass re-executes upstream lineage; a value absent
+            # from the counts pass means that lineage is non-deterministic —
+            # fail loudly instead of emitting a neighboring value's rank
+            raise ValueError("global_rank: value absent from the counts "
+                             "pass — upstream dataset is not deterministic "
+                             "across executions")
         return batch.append_column(out_col, pa.array(r[idx], pa.int64()))
 
     return ds.map_batches(attach, batch_format="pyarrow",

@@ -21,7 +21,7 @@ def test_exact_membership(ray_session, tmp_path):
     idx = str(tmp_path / "fpidx")
     corpus = [f"fp{i:04d}" for i in range(200)]
     meta = fpindex.build_fp_index(_ds(corpus), idx, num_buckets=8)
-    assert meta["n_fps"] == 200
+    assert meta["n_fp_rows"] == 200
     new = [{"doc_id": i, "fp": f} for i, f in enumerate(
         ["fp0000", "brandnew-a", "fp0199", "brandnew-b", "brandnew-a"])]
     out = fpindex.exact_new_docs(_ds(new), idx).to_pandas()
@@ -36,7 +36,7 @@ def test_append_segments_union(ray_session, tmp_path):
     fpindex.build_fp_index(_ds(["a", "b"]), idx, num_buckets=4)
     fpindex.append_fp_index(_ds(["c"]), idx)
     assert len(fpindex.segment_dirs(idx)) == 2
-    assert fpindex.fp_meta(idx)["n_fps"] == 3
+    assert fpindex.fp_meta(idx)["n_fp_rows"] == 3
     new = [{"doc_id": i, "fp": f} for i, f in enumerate("abcd")]
     out = fpindex.exact_new_docs(_ds(new), idx).to_pandas()
     assert list(out.fp) == ["d"]

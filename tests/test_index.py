@@ -549,3 +549,33 @@ def test_merge_applies_tombstones_physically(ray_session, tmp_path):
     # deleting again on the merged index works
     inv.delete_docs(out, [0])
     assert 0 not in set(inv.index_lookup(out, "data")["doc_id"].to_pylist())
+
+
+def test_delete_does_not_mask_readded_docs(ray_session, tmp_path):
+    """A tombstone covers only the segments that existed at delete time: a
+    document re-added in a LATER segment is live again, and compaction keeps
+    exactly the new version (the delete-then-reindex update flow)."""
+    src = str(tmp_path / "shards")
+    _write_shards(src, TEXTS, shard_rows=2)
+    d = str(tmp_path / "segidx")
+    inv.build_index_segments(src, d, files_per_segment=1, num_buckets=4)
+    inv.delete_docs(d, [3])
+    assert 3 not in set(inv.index_lookup(d, "data")["doc_id"].to_pylist())
+    # re-add doc 3 with NEW text as a fresh shard -> new segment
+    pq.write_table(pa.table({
+        "doc_id": pa.array([3], pa.int64()),
+        "text": pa.array(["fresh reindexed data data"], pa.string()),
+    }), os.path.join(src, "shard-900.parquet"))
+    inv.build_index_segments(src, d, files_per_segment=1, num_buckets=4)
+    t = inv.index_lookup(d, "data")
+    by_id = dict(zip(t["doc_id"].to_pylist(), t["tf"].to_pylist()))
+    assert by_id.get(3) == 2  # the NEW version's tf, not the old 4
+    # compaction keeps only the new version's postings
+    out = str(tmp_path / "merged")
+    inv.merge_segments(d, out)
+    t2 = inv.index_lookup(out, "data")
+    by_id2 = dict(zip(t2["doc_id"].to_pylist(), t2["tf"].to_pylist()))
+    assert by_id2.get(3) == 2
+    assert "punctuation" not in [r for f in inv.scan_index_files(out)
+                                 for r in pq.read_table(f)["term"].to_pylist()
+                                 ]  # old doc-3-only term is purged
