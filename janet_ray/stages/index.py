@@ -383,16 +383,13 @@ def _mask_dead(t: pa.Table, ordinal: int, dead_sets) -> pa.Table:
     """Drop postings of ``t`` (from the segment at ``ordinal``) covered by a
     tombstone set — a delete covers only segments that EXISTED at delete
     time, so a document re-added in a later segment is live again."""
-    from janet_ray.functions.arrays import in_sorted
+    from janet_ray.state.tombstones import dead_mask
 
     if not dead_sets or t.num_rows == 0:
         return t
     ids = t["doc_id"].to_numpy(zero_copy_only=False)
-    dead_mask = np.zeros(len(ids), dtype=bool)
-    for covered, dead in dead_sets:
-        if ordinal < covered:
-            dead_mask |= in_sorted(dead, ids)
-    return t.filter(pa.array(~dead_mask)) if dead_mask.any() else t
+    mask = dead_mask(ids, ordinal, dead_sets)
+    return t.filter(pa.array(~mask)) if mask.any() else t
 
 
 def _read_term_postings(index_dir: str, term: str, num_buckets: int,
@@ -449,37 +446,26 @@ def _read_term_postings(index_dir: str, term: str, num_buckets: int,
 # real segment-merged engines accept.
 
 def tombstone_files(index_dir: str) -> list[str]:
-    return sorted(glob.glob(os.path.join(index_dir, "tombstone-*.parquet")))
+    from janet_ray.state import tombstones
+
+    return tombstones.tombstone_files(index_dir)
 
 
 def delete_docs(index_dir: str, doc_ids) -> dict:
     """Record deletions as one atomically-committed tombstone file (sorted
     unique int64 ids + the segment-coverage bound). Idempotent per id set;
     an empty set is a no-op."""
-    ids = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
-    if ids.size == 0:
-        return {"n_deleted": 0, "file": None}
+    from janet_ray.state import tombstones
+
     covered = max(len(segment_dirs(index_dir)), 1)  # flat index == 1 root
-    n = len(tombstone_files(index_dir))
-    final = os.path.join(index_dir, f"tombstone-{n:05d}.parquet")
-    tmp = final + ".tmp"
-    pq.write_table(pa.table({
-        "doc_id": pa.array(ids, pa.int64()),
-        "covered": pa.array(np.full(ids.size, covered, dtype=np.int32)),
-    }), tmp)
-    os.replace(tmp, final)  # atomic: a tombstone is absent or complete
-    return {"n_deleted": int(ids.size), "file": final, "covered": covered}
+    return tombstones.write_tombstone(index_dir, doc_ids, covered)
 
 
 def tombstone_sets(index_dir: str) -> list[tuple[int, np.ndarray]]:
     """One (covered_segments, sorted unique ids) pair per tombstone file."""
-    out = []
-    for f in tombstone_files(index_dir):
-        t = pq.read_table(f)
-        ids = np.unique(t["doc_id"].to_numpy(zero_copy_only=False))
-        covered = int(t["covered"][0].as_py()) if t.num_rows else 0
-        out.append((covered, ids))
-    return out
+    from janet_ray.state import tombstones
+
+    return tombstones.tombstone_sets(index_dir)
 
 
 def tombstoned_ids(index_dir: str) -> np.ndarray:

@@ -154,9 +154,12 @@ def probe_band_index(new_ds, index_dir: str, *, id_col: str = "doc_id",
     group reads its bucket file once per segment and intersects packed
     (band, key) composites. The index side streams from disk; neither
     corpus shuffles."""
+    from janet_ray.state.tombstones import dead_mask, tombstone_sets
+
     meta = lsh_meta(index_dir)
     nb = meta["num_buckets"]
     segs = segment_dirs(index_dir)
+    dead_sets = tombstone_sets(index_dir)  # read once per probe
 
     def probe_bucket(group: pa.Table) -> pa.Table:
         bucket = int(group["part"][0].as_py())
@@ -166,7 +169,7 @@ def probe_band_index(new_ds, index_dir: str, *, id_col: str = "doc_id",
         order = np.argsort(nk, kind="stable")
         nk, n_ids = nk[order], n_ids[order]
         out_new, out_old = [], []
-        for seg in segs:
+        for ordinal, seg in enumerate(segs):
             path = os.path.join(seg, f"bucket-{bucket:05d}.parquet")
             if not os.path.exists(path):
                 continue
@@ -174,6 +177,10 @@ def probe_band_index(new_ds, index_dir: str, *, id_col: str = "doc_id",
             ok = _packed(t["band"].to_numpy(zero_copy_only=False),
                          t["key"].to_numpy(zero_copy_only=False))
             o_ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            if dead_sets:
+                alive = ~dead_mask(o_ids, ordinal, dead_sets)
+                if not alive.all():
+                    ok, o_ids = ok[alive], o_ids[alive]
             # every index row whose composite occurs on the new side
             pos = np.searchsorted(nk, ok)
             pos_ok = pos < nk.size
@@ -308,3 +315,18 @@ def incremental_neardup(new_ds, index_dir: str, old_ds, *,
 
     return j2.map_batches(verify_joined, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------- deletes
+# Same segment-scoped tombstone model as the inverted index
+# (state/tombstones.py): a deleted corpus document stops surfacing as a
+# near-dup candidate, while a document re-added in a LATER segment is live
+# again. The mask applies on the INDEX side inside probe_bucket, before the
+# composite intersection — dead band rows never become candidate pairs.
+
+def delete_docs(index_dir: str, doc_ids) -> dict:
+    """Record corpus-document deletions against the band index."""
+    from janet_ray.state import tombstones
+
+    covered = max(len(segment_dirs(index_dir)), 1)
+    return tombstones.write_tombstone(index_dir, doc_ids, covered)

@@ -160,3 +160,36 @@ def test_segment_commit_is_atomic(ray_session, tmp_path):
                                        ray.data.from_arrow(old),
                                        threshold=0.8)
     assert _pairs(got) == expected
+
+
+def test_delete_masks_candidates_and_readd_revives(ray_session, tmp_path):
+    """Segment-scoped tombstones on the band index: a deleted corpus doc
+    stops surfacing as a near-dup candidate; re-appending it in a later
+    segment revives it."""
+    import ray
+
+    from janet_ray.stages import lshindex as lsh
+
+    corpus = [{"doc_id": i,
+               "text": "the quick brown fox jumps over the lazy dog "
+                       f"variant {i // 2}"} for i in range(6)]
+    idx = str(tmp_path / "bandidx")
+    lsh.build_band_index(ray.data.from_items(corpus), idx, num_buckets=4)
+    probe = [{"doc_id": 100,
+              "text": "the quick brown fox jumps over the lazy dog "
+                      "variant 0"}]
+
+    def olds():
+        df = lsh.probe_band_index(ray.data.from_items(probe),
+                                  idx).to_pandas()
+        return set(df.old_id)
+
+    before = olds()
+    assert 0 in before and 1 in before
+    lsh.delete_docs(idx, [0])
+    after = olds()
+    assert 0 not in after and 1 in after
+    # re-add doc 0 in a NEW segment -> live again (tombstone is scoped)
+    lsh.append_band_index(ray.data.from_items([corpus[0]]), idx)
+    revived = olds()
+    assert 0 in revived
