@@ -480,7 +480,9 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches FROM m GROUP BY doc_id
 """
 
 
-_BOOL_MUST = ["data", "document"]
+# terms chosen so the AND∖NOT result is non-empty AND selective at the
+# driver's sf0.01 (53 of 500 docs) — a 0-row pass is trivially-green evidence
+_BOOL_MUST = ["data", "join"]
 _BOOL_MUST_NOT = ["scan"]
 
 
