@@ -47,7 +47,33 @@ def main(argv: list[str] | None = None) -> int:
     ing.add_argument("--files-per-group", type=int, default=8)
     ing.add_argument("--num-cpus", type=int, default=None)
     ing.add_argument("--concurrent-partitions", type=int, default=1)
+    qry = sub.add_parser("query", help="run a registry pipeline by name over "
+                         "an sf-style table dir (list names with --list)")
+    qry.add_argument("name", nargs="?", help="queries() registry key")
+    qry.add_argument("--sf-dir", default="/root/testdata/sf0.001",
+                     help="dir holding the parquet tables")
+    qry.add_argument("--out", default=None,
+                     help="write the result as parquet here (streamed); "
+                     "default prints the first rows")
+    qry.add_argument("--head", type=int, default=10,
+                     help="rows to print when --out is not given")
+    qry.add_argument("--num-cpus", type=int, default=None)
+    qry.add_argument("--list", action="store_true", dest="list_names",
+                     help="list registry query names and exit")
     args = ap.parse_args(argv)
+
+    if args.cmd == "query" and args.list_names:
+        from janet_ray.pipelines.queries import build_queries
+
+        try:
+            for name in build_queries():
+                print(name)
+        except BrokenPipeError:  # `| head` closed the pipe — not an error
+            pass
+        return 0
+    if args.cmd == "query" and not args.name:
+        print("error: query name required (or --list)", file=sys.stderr)
+        return 2
 
     import ray
 
@@ -62,7 +88,36 @@ def main(argv: list[str] | None = None) -> int:
     from janet_ray.pipelines.checkpoint import run_incremental, run_partitioned
 
     try:
-        if args.cmd == "ingest":
+        if args.cmd == "query":
+            import ray.data as rd
+
+            from janet_ray.pipelines.queries import build_queries
+
+            registry = build_queries()
+            if args.name not in registry:
+                print(f"error: unknown query {args.name!r} "
+                      f"(see --list)", file=sys.stderr)
+                return 2
+            res = registry[args.name](args.sf_dir)
+            if args.out is not None:
+                if isinstance(res, rd.Dataset):
+                    res.write_parquet(args.out)
+                    summary = {"query": args.name, "out": args.out}
+                else:  # small pandas/arrow result
+                    import pyarrow as pa
+                    import pyarrow.parquet as pq_
+
+                    t = (res if isinstance(res, pa.Table)
+                         else pa.Table.from_pandas(res))
+                    pq_.write_table(t, args.out)
+                    summary = {"query": args.name, "out": args.out,
+                               "rows": t.num_rows}
+            else:
+                df = (res.limit(args.head).to_pandas()
+                      if isinstance(res, rd.Dataset) else res)
+                print(df if not hasattr(df, "head") else df.head(args.head))
+                summary = {"query": args.name, "printed": True}
+        elif args.cmd == "ingest":
             summary = run_incremental(
                 args.input, args.out,
                 files_per_group=args.files_per_group,

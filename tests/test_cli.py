@@ -44,3 +44,31 @@ def test_cli_missing_input(tmp_path):
                        capture_output=True, text=True, cwd=REPO, timeout=120)
     assert r.returncode == 2
     assert "error:" in r.stderr
+
+
+def test_cli_query_subcommand(tmp_path):
+    # --list prints registry names without starting Ray
+    r = subprocess.run([sys.executable, "-m", "janet_ray", "query", "--list"],
+                       capture_output=True, text=True, cwd=REPO, timeout=120)
+    assert r.returncode == 0
+    names = r.stdout.split()
+    assert "exact_dedup" in names and len(names) > 100
+    # unknown name is a clean usage error
+    r = subprocess.run([sys.executable, "-m", "janet_ray", "query", "nope",
+                        "--sf-dir", "/root/testdata/sf0.001"],
+                       capture_output=True, text=True, cwd=REPO, timeout=300)
+    assert r.returncode == 2 and "unknown query" in r.stderr
+    # a real query writes streamed parquet
+    out = str(tmp_path / "q.parquet")
+    r = subprocess.run([sys.executable, "-m", "janet_ray", "query",
+                        "token_count", "--sf-dir", "/root/testdata/sf0.001",
+                        "--out", out, "--num-cpus", "4"],
+                       capture_output=True, text=True, cwd=REPO, timeout=600)
+    assert r.returncode == 0, r.stderr[-800:]
+    import glob
+
+    import pyarrow.parquet as _pq
+
+    files = glob.glob(os.path.join(out, "*.parquet")) or [out]
+    n = sum(_pq.read_table(f).num_rows for f in files)
+    assert n == 500
