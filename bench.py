@@ -233,6 +233,8 @@ def run_suite(sf_dir: str) -> dict[str, float]:
         "hashed_tf_vectors": Q.q_hashed_tf_vectors,
         "exact_new_docs": Q.q_exact_new_docs,
         "compression_stats": Q.q_compression_stats,
+        "jsonl_roundtrip": Q.q_jsonl_roundtrip,
+        "csv_roundtrip": Q.q_csv_roundtrip,
     }
     # min-of-2 INTERLEAVED passes (VERDICT r03 #4): single-shot numbers on
     # this shared VM scatter ±10–40% with co-tenant load (a 22% phantom

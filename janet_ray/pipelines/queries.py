@@ -1667,6 +1667,84 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 """
 
 
+def q_jsonl_roundtrip(sf_dir: str):
+    """JSONL sink + source round-trip (S1/S7 in the web-native interchange
+    format): documents → ``write_json`` (one object per line, the WET/JSONL
+    shape crawl pipelines exchange) → ``read_json`` → per-language exact
+    counts. The oracle aggregates the ORIGINAL parquet — a value-hash match
+    proves the sink/source pair is lossless for the projected columns."""
+    import shutil
+    import tempfile
+
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    root = tempfile.mkdtemp(prefix="janet-jsonl-")
+    try:
+        ds.write_json(root)
+        back = ray.data.read_json(root)
+        out = back.groupby("lang").aggregate(Count(alias_name="n_docs"))
+
+        def fix(batch: pa.Table) -> pa.Table:
+            if "lang" not in batch.column_names:
+                return pa.table({"lang": pa.array([], pa.string()),
+                                 "n_docs": pa.array([], pa.int64())})
+            return pa.table({"lang": pc.cast(batch["lang"], pa.string()),
+                             "n_docs": pc.cast(batch["n_docs"], pa.int64())})
+
+        return (out.map_batches(fix, batch_format="pyarrow",
+                                zero_copy_batch=True).materialize())
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_JSONL_ROUNDTRIP_SQL = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY lang
+"""
+
+
+def q_csv_roundtrip(sf_dir: str):
+    """CSV sink + source round-trip (the spreadsheet-facing interchange
+    format): documents → ``write_csv`` → ``read_csv`` → per-language count
+    + doc_id checksum. The id SUM makes the oracle sensitive to row loss,
+    duplication, AND value corruption — not just cardinality."""
+    import shutil
+    import tempfile
+
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    root = tempfile.mkdtemp(prefix="janet-csv-")
+    try:
+        ds.write_csv(root)
+        back = ray.data.read_csv(root)
+        out = back.groupby("lang").aggregate(
+            Count(alias_name="n_docs"),
+            Sum("doc_id", alias_name="id_sum"))
+
+        def fix(batch: pa.Table) -> pa.Table:
+            if "lang" not in batch.column_names:
+                return pa.table({"lang": pa.array([], pa.string()),
+                                 "n_docs": pa.array([], pa.int64()),
+                                 "id_sum": pa.array([], pa.int64())})
+            return pa.table({"lang": pc.cast(batch["lang"], pa.string()),
+                             "n_docs": pc.cast(batch["n_docs"], pa.int64()),
+                             "id_sum": pc.cast(batch["id_sum"], pa.int64())})
+
+        return (out.map_batches(fix, batch_format="pyarrow",
+                                zero_copy_batch=True).materialize())
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_CSV_ROUNDTRIP_SQL = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM documents GROUP BY lang
+"""
+
+
 def q_compression_stats(sf_dir: str):
     """Compression-ratio quality signal (textstats.add_compression_stats):
     exact-int raw/zlib byte sizes per document — the model-free
@@ -4522,6 +4600,8 @@ def build_queries() -> dict:
         "heavy_hitters_mg": q_heavy_hitters_mg,
         "pq_index_topk": q_pq_index_topk,
         "compression_stats": q_compression_stats,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
+        "csv_roundtrip": q_csv_roundtrip,
         "dsir_select": q_dsir_select,
         "semdedup": q_semdedup,
         "embedding_pca": q_embedding_pca,
@@ -4603,6 +4683,8 @@ def build_oracles() -> dict[str, str]:
         "chunk_documents": _chunk_sql(),
         "hashed_tf_vectors": _hashed_tf_sql(),
         "exact_new_docs": _exact_new_docs_sql(),
+        "jsonl_roundtrip": _JSONL_ROUNDTRIP_SQL,
+        "csv_roundtrip": _CSV_ROUNDTRIP_SQL,
         "pmi_collocations": _pmi_collocations_sql(),
         "substring_dedup_global": _substring_dedup_global_sql(),
         "duplicate_spans": _duplicate_spans_sql(),
