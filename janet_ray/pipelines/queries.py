@@ -4492,11 +4492,18 @@ def build_queries() -> dict:
         "ocr_word_boxes": q_ocr_word_boxes,
         "ocr_highlights": q_ocr_highlights,
         # -- round-3 SQL-oracle queries without driver evidence -- 25..49
-        "orders_group_sample": q_orders_group_sample,
+        # exact_new_docs (fp-index machinery, no driver evidence) displaces
+        # orders_group_sample past the edge: its md5-rank window arithmetic
+        # stays in-window via host_quota + mixture_sample.
+        "exact_new_docs": q_exact_new_docs,
         "training_manifest": q_training_manifest,
         "search_index_lookup": q_search_index_lookup,
         "pack_sequences": q_pack_sequences,
-        "winnow_fingerprints": q_winnow_fingerprints,
+        # curation_v6 (5-stage composition: domain gate + semi-join +
+        # classifier + global rank + shards) displaces winnow_fingerprints:
+        # winnow_neardup's oracle replays the fingerprint chain end-to-end
+        # and stays in-window.
+        "curation_v6": q_curation_v6,
         "winnow_neardup": q_winnow_neardup,
         "repetition_stats": q_repetition_stats,
         "pii_scrub": q_pii_scrub,
@@ -4591,10 +4598,12 @@ def build_queries() -> dict:
         "table_profile": q_table_profile,
         "score_rank": q_score_rank,
         "orders_with_customer": q_orders_with_customer,
-        "curation_v6": q_curation_v6,
         "chunk_documents": q_chunk_documents,
         "hashed_tf_vectors": q_hashed_tf_vectors,
-        "exact_new_docs": q_exact_new_docs,
+        # displaced past the edge by curation_v6 / exact_new_docs (their
+        # arithmetic stays in-window via winnow_neardup / host_quota)
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "orders_group_sample": q_orders_group_sample,
         # -- new rows-only additions (outside the window by design: the
         # driver's rows-only check adds nothing over the local gate) --
         "heavy_hitters_mg": q_heavy_hitters_mg,
