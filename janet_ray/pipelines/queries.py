@@ -46,6 +46,24 @@ def _read(sf_dir: str, name: str, columns=None) -> "ray.data.Dataset":
     return ray.data.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
 
 
+def _scratch(prefix: str) -> str:
+    """Scratch directory for queries that stage an index / sink on disk
+    (inverted/fp/LSH/PQ indexes, sink round-trips).
+
+    SINGLE-NODE ASSUMPTION (ADVICE r04): the default is a driver-local
+    tempdir — correct here because workers are co-resident. On a multi-node
+    cluster, set ``JANET_SCRATCH_ROOT`` to SHARED storage (NFS/S3-fuse)
+    reachable at the same path from every node, per the shared-storage
+    contract the index writers document (e.g. ``pq.save_pq_index``)."""
+    import tempfile
+
+    root = os.environ.get("JANET_SCRATCH_ROOT")
+    if root:
+        os.makedirs(root, exist_ok=True)
+        return tempfile.mkdtemp(prefix=prefix, dir=root)
+    return tempfile.mkdtemp(prefix=prefix)
+
+
 def _cents(arr: pa.ChunkedArray | pa.Array, scale: int = 100) -> pa.Array:
     """floor(x*scale + 0.5) as int64 — the deterministic rounding used on BOTH
     sides (duckdb round() is half-away, numpy half-even; floor(+0.5) is identical
@@ -387,11 +405,10 @@ def q_search_index_lookup(sf_dir: str):
     vocab_topk/lm_surprise), ties by doc_id; the SQL oracle recomputes the
     same token tf with list arithmetic."""
     import shutil
-    import tempfile
 
     from janet_ray.stages import index as inv
 
-    index_dir = tempfile.mkdtemp(prefix="janet-inv-index-")
+    index_dir = _scratch("janet-inv-index-")
     try:
         inv.build_inverted_index(
             _read(sf_dir, "documents", columns=["doc_id", "text"]),
@@ -420,11 +437,10 @@ def q_search_index_bm25(sf_dir: str):
     SQL-hash-reproducible; pinned against a single-process reference in
     tests/test_index.py."""
     import shutil
-    import tempfile
 
     from janet_ray.stages import index as inv
 
-    index_dir = tempfile.mkdtemp(prefix="janet-inv-bm25-")
+    index_dir = _scratch("janet-inv-bm25-")
     try:
         inv.build_inverted_index(
             _read(sf_dir, "documents", columns=["doc_id", "text"]),
@@ -447,11 +463,10 @@ def q_index_lookup_phrase(sf_dir: str):
     Returns every (doc_id, n_matches) with ≥1 consecutive-token match; the
     SQL oracle replays the scan-based counter over the same token contract."""
     import shutil
-    import tempfile
 
     from janet_ray.stages import index as inv
 
-    index_dir = tempfile.mkdtemp(prefix="janet-inv-phrase-")
+    index_dir = _scratch("janet-inv-phrase-")
     try:
         inv.build_inverted_index(
             _read(sf_dir, "documents", columns=["doc_id", "text"]),
@@ -493,11 +508,10 @@ def q_index_lookup_boolean(sf_dir: str):
     one bucket file read per distinct term, document text never touched.
     The SQL oracle replays the same semantics with token-list arithmetic."""
     import shutil
-    import tempfile
 
     from janet_ray.stages import index as inv
 
-    index_dir = tempfile.mkdtemp(prefix="janet-inv-bool-")
+    index_dir = _scratch("janet-inv-bool-")
     try:
         inv.build_inverted_index(
             _read(sf_dir, "documents", columns=["doc_id", "text"]),
@@ -531,12 +545,11 @@ def q_index_bm25_inputs(sf_dir: str):
     and value-hash-checked against token-list SQL. The only rows-only
     surface left on search_index_bm25 is the idf/saturation float chain."""
     import shutil
-    import tempfile
 
     from janet_ray.stages import index as inv
 
     terms = ["data", "document"]
-    index_dir = tempfile.mkdtemp(prefix="janet-inv-bm25in-")
+    index_dir = _scratch("janet-inv-bm25in-")
     try:
         inv.build_inverted_index(
             _read(sf_dir, "documents", columns=["doc_id", "text"]),
@@ -1674,12 +1687,11 @@ def q_jsonl_roundtrip(sf_dir: str):
     counts. The oracle aggregates the ORIGINAL parquet — a value-hash match
     proves the sink/source pair is lossless for the projected columns."""
     import shutil
-    import tempfile
 
     from ray.data.aggregate import Count
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
-    root = tempfile.mkdtemp(prefix="janet-jsonl-")
+    root = _scratch("janet-jsonl-")
     try:
         ds.write_json(root)
         back = ray.data.read_json(root)
@@ -1710,12 +1722,25 @@ def q_csv_roundtrip(sf_dir: str):
     + doc_id checksum. The id SUM makes the oracle sensitive to row loss,
     duplication, AND value corruption — not just cardinality."""
     import shutil
-    import tempfile
 
     from ray.data.aggregate import Count, Sum
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
-    root = tempfile.mkdtemp(prefix="janet-csv-")
+
+    def check(batch: pa.Table) -> pa.Table:
+        # contract pin (ADVICE r04): Arrow CSV renders null and '' lang as
+        # the SAME empty field, so the round-trip is ambiguous for those
+        # values — raise loudly instead of silently diverging from the
+        # parquet-based oracle.
+        lang = batch["lang"]
+        if lang.null_count or pc.any(pc.equal(lang, "")).as_py():
+            raise ValueError(
+                "csv_roundtrip contract: lang must be non-null and "
+                "non-empty (CSV cannot distinguish null from '')")
+        return batch
+
+    ds = ds.map_batches(check, batch_format="pyarrow", zero_copy_batch=True)
+    root = _scratch("janet-csv-")
     try:
         ds.write_csv(root)
         back = ray.data.read_csv(root)
@@ -1774,7 +1799,6 @@ def q_exact_new_docs(sf_dir: str):
     shuffle of its own fp rows and keeps exactly the never-seen documents.
     The oracle is a plain set EXCEPT over the same fingerprints."""
     import shutil
-    import tempfile
 
     from janet_ray.stages.fpindex import build_fp_index, exact_new_docs
 
@@ -1801,7 +1825,7 @@ def q_exact_new_docs(sf_dir: str):
         return pa.table({"doc_id": pa.array(out_i, pa.int64()),
                          "fp": pa.array(out_f, pa.string())})
 
-    root = tempfile.mkdtemp(prefix="janet-fp-index-")
+    root = _scratch("janet-fp-index-")
     try:
         build_fp_index(
             docs.map_batches(corpus_side, batch_format="pyarrow",
@@ -2488,7 +2512,6 @@ def q_incremental_neardup(sf_dir: str):
     recomputes. The oracle is hash-independent exact all-pairs jaccard
     between the two sides (like minhash_neardup), so LSH recall at the
     tested threshold is part of what the gate checks."""
-    import tempfile
 
     from janet_ray.stages import lshindex
 
@@ -2505,7 +2528,7 @@ def q_incremental_neardup(sf_dir: str):
                            zero_copy_batch=True)
     new = docs.map_batches(_parity(1), batch_format="pyarrow",
                            zero_copy_batch=True)
-    idx = tempfile.mkdtemp(prefix="lsh-band-index-")
+    idx = _scratch("lsh-band-index-")
     lshindex.build_band_index(old, idx, num_buckets=8)
     return lshindex.incremental_neardup(new, idx, old, threshold=0.8)
 
@@ -2819,7 +2842,6 @@ def q_pq_index_topk(sf_dir: str):
     (approximate ANN); disk-vs-memory row-for-row search parity and
     crash-atomicity are pinned in tests/test_pq.py."""
     import shutil
-    import tempfile
 
     from janet_ray.stages import pq as pqmod
 
@@ -2828,7 +2850,7 @@ def q_pq_index_topk(sf_dir: str):
     sample = np.asarray([r["embedding"] for r in sample_rows],
                         dtype=np.float64)
     books = pqmod.pq_train(sample, m=8, n_codes=64)
-    root = tempfile.mkdtemp(prefix="janet-pq-index-")
+    root = _scratch("janet-pq-index-")
     index_dir = os.path.join(root, "index")
     try:
         pqmod.save_pq_index(pqmod.pq_encode(ds, books), books, index_dir,

@@ -30,6 +30,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import shutil
 
 import numpy as np
 import pyarrow as pa
@@ -85,7 +86,11 @@ def append_fp_index(ds, index_dir: str, *, fp_col: str = "fp") -> dict:
     seg = os.path.join(index_dir,
                        f"segment-{len(segment_dirs(index_dir)):06d}")
     tmp = seg + ".tmp"
-    os.makedirs(tmp, exist_ok=True)
+    # a crashed earlier append may have left this tmp with bucket files the
+    # retry's dataset won't rewrite — committing them would inject foreign
+    # fingerprints (false "seen" hits silently dropping genuinely-new docs)
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
 
     def write_bucket(group: pa.Table) -> pa.Table:
         if group.num_rows == 0 or "part" not in group.column_names:

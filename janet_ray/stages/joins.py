@@ -318,6 +318,14 @@ def broadcast_lookup_join(ds: "ray.data.Dataset", key_col: str,
         raise ValueError(
             f"broadcast_lookup_join: small side key {skey!r} is not unique "
             "— a dimension table must have one row per key")
+    if tbl[skey].null_count:
+        # a null dimension key passes the uniqueness check (pc.unique
+        # counts null once) and index_in would resolve null probes against
+        # it — letting null big-side keys match and survive an inner join,
+        # diverging from SQL equi-join semantics (null never equals null)
+        raise ValueError(
+            f"broadcast_lookup_join: small side key {skey!r} contains null "
+            "— SQL equi-join semantics require non-null dimension keys")
     ref = ray.put(tbl.select([skey] + cols))
 
     def attach(batch: pa.Table) -> pa.Table:

@@ -42,6 +42,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import shutil
 
 import numpy as np
 import pyarrow as pa
@@ -118,7 +119,10 @@ def append_band_index(ds, index_dir: str, *, id_col: str = "doc_id",
     nb = meta["num_buckets"]
     seg = os.path.join(index_dir, f"segment-{len(segment_dirs(index_dir)):06d}")
     tmp = seg + ".tmp"
-    os.makedirs(tmp, exist_ok=True)
+    # clear any stale tmp from a crashed append: committing its leftover
+    # bucket files would inject foreign band rows into the new segment
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
 
     def write_bucket(group: pa.Table) -> pa.Table:
         bucket = int(group["part"][0].as_py())

@@ -55,6 +55,25 @@ def test_atomicity_and_immutability(ray_session, tmp_path):
     assert len(fpindex.segment_dirs(idx)) == 1
 
 
+def test_append_clears_stale_tmp(ray_session, tmp_path):
+    # ADVICE r04: a crashed append leaves segment-NNNNNN.tmp with bucket
+    # files the retry won't rewrite; committing them would inject foreign
+    # fingerprints (false "seen" hits silently dropping genuinely-new docs)
+    import pyarrow.parquet as pq
+
+    idx = str(tmp_path / "fpidx")
+    fpindex.build_fp_index(_ds(["a"]), idx, num_buckets=2)
+    stale = os.path.join(idx, "segment-000001.tmp")
+    os.makedirs(stale)
+    pq.write_table(pa.table({"fp": ["evil"]}),
+                   os.path.join(stale, "bucket-00001.parquet"))
+    fpindex.append_fp_index(_ds(["c"]), idx)
+    new = [{"doc_id": 0, "fp": "evil"}, {"doc_id": 1, "fp": "c"}]
+    out = fpindex.exact_new_docs(_ds(new), idx).to_pandas()
+    # 'evil' must still read as NEW: the stale bucket was cleared, not kept
+    assert list(out.fp) == ["evil"]
+
+
 def test_bucket_count_invariance(ray_session, tmp_path):
     corpus = [f"k{i}" for i in range(100)]
     new = [{"doc_id": i, "fp": f}

@@ -255,6 +255,14 @@ def test_lookup_join_guards(ray_session):
     clash = ray.data.from_items([{"k": 1, "x": 5}])
     with pytest.raises(Exception, match="already exists"):
         broadcast_lookup_join(big, "k", clash).to_pandas()
+    # ADVICE r04: a null dimension key would let null big-side keys match
+    # (diverging from SQL equi-join, where null never equals null) — reject
+    import pyarrow as pa
+
+    nulldim = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, None], pa.int64()), "v": [1, 2]}))
+    with pytest.raises(ValueError, match="contains null"):
+        broadcast_lookup_join(big, "k", nulldim).to_pandas()
 
 
 def test_lookup_join_string_keys_and_subset_cols(ray_session):

@@ -90,6 +90,35 @@ def test_append_segments_and_meta(ray_session, tmp_path):
     assert {p[1] for p in expected} & set(range(half, old.num_rows))
 
 
+def test_append_clears_stale_tmp(ray_session, tmp_path):
+    # ADVICE r04: a crashed append's leftover segment tmp must be cleared,
+    # not committed — stale bucket files would inject foreign band rows
+    import os
+
+    import pyarrow.parquet as pq
+
+    old, new, expected = corpora()
+    half = old.num_rows // 2
+    idx = str(tmp_path / "lsh")
+    lshindex.build_band_index(ray.data.from_arrow(old.slice(0, half)), idx,
+                              num_buckets=8)
+    stale = os.path.join(idx, "segment-000001.tmp")
+    os.makedirs(stale)
+    with open(os.path.join(stale, "bucket-00001.parquet"), "wb") as f:
+        f.write(b"garbage, not parquet")
+    lshindex.append_band_index(ray.data.from_arrow(old.slice(half)), idx)
+    # the committed segment contains only valid bucket parquet (the garbage
+    # file was cleared), and probing still finds dups on both sides
+    seg = lshindex.segment_dirs(idx)[1]
+    for fn in os.listdir(seg):
+        if fn.endswith(".parquet"):
+            pq.read_table(os.path.join(seg, fn))
+    got = lshindex.incremental_neardup(ray.data.from_arrow(new), idx,
+                                       ray.data.from_arrow(old),
+                                       threshold=0.8)
+    assert _pairs(got) == expected
+
+
 def test_distributed_verify_path_parity(ray_session, tmp_path):
     old, new, expected = corpora()
     idx = str(tmp_path / "lsh")
