@@ -546,16 +546,23 @@ def simhash_neardup_pairs(ds: "ray.data.Dataset", *, max_hamming: int = 3,
 # ---------------------------------------------------------------- clusters
 
 def dup_clusters(ds: "ray.data.Dataset", pairs: "ray.data.Dataset", *,
-                 id_col: str = "doc_id") -> "ray.data.Dataset":
+                 id_col: str = "doc_id",
+                 max_pairs: int = 2_000_000) -> "ray.data.Dataset":
     """Connected components over near-dup pairs → (id, cluster_rep) with
     rep = min id in the component (singletons map to themselves).
 
     The pair list is a SMALL aggregate-like result (near-dups are a tiny
     fraction of the corpus), so union-find runs on the driver and the resulting
     rep mapping is broadcast via ``ray.put`` — the corpus itself is only
-    map_batches'ed. At extreme dup rates swap in label-propagation rounds
-    (iterated groupby) — same output contract."""
-    edge_rows = pairs.select_columns(["id_a", "id_b"]).take_all()
+    map_batches'ed. GUARDED (VERDICT r04 #3): the edge list is counted first
+    (it's materialized anyway — it's consumed to completion either way) and
+    above ``max_pairs`` the whole decision auto-dispatches to
+    ``dup_clusters_distributed`` instead of silently collecting an extreme
+    dup graph onto the driver. Same output contract, parity-pinned."""
+    edges = pairs.select_columns(["id_a", "id_b"]).materialize()
+    if edges.count() > max_pairs:
+        return dup_clusters_distributed(ds, edges, id_col=id_col)
+    edge_rows = edges.take_all()
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -660,7 +667,8 @@ def dup_clusters_distributed(ds: "ray.data.Dataset", pairs: "ray.data.Dataset", 
 
 def cluster_keep_best(ds: "ray.data.Dataset", pairs: "ray.data.Dataset", *,
                       weights=None, id_col: str = "doc_id",
-                      text_col: str = "text") -> "ray.data.Dataset":
+                      text_col: str = "text",
+                      max_pairs: int = 2_000_000) -> "ray.data.Dataset":
     """Near-dup dedup with a KEEP-BEST policy: one survivor per duplicate
     cluster — the highest quality-classifier score (stages/classifier.py
     exact-int score; tie → min id) — instead of dup_clusters' min-id rep.
@@ -672,13 +680,19 @@ def cluster_keep_best(ds: "ray.data.Dataset", pairs: "ray.data.Dataset", *,
     union-find + the winner pick run on the driver; classifier scores are
     computed ONLY for docs that appear in some pair (one filtered corpus
     map), and the final cut is a broadcast drop-set filter — the corpus
-    itself is only map_batches'ed, twice. At extreme dup rates use
-    ``cluster_keep_best_distributed`` (same output contract, parity-pinned).
+    itself is only map_batches'ed, twice. GUARDED (VERDICT r04 #3): edges
+    are counted first and above ``max_pairs`` the decision auto-dispatches
+    to ``cluster_keep_best_distributed`` (same output contract,
+    parity-pinned) instead of silently collecting an extreme dup graph.
     """
     from janet_ray.functions.broadcast import get_broadcast
     from janet_ray.stages.classifier import default_weights, score_text
 
-    edge_rows = pairs.select_columns(["id_a", "id_b"]).take_all()
+    edges = pairs.select_columns(["id_a", "id_b"]).materialize()
+    if edges.count() > max_pairs:
+        return cluster_keep_best_distributed(ds, edges, weights=weights,
+                                             id_col=id_col, text_col=text_col)
+    edge_rows = edges.take_all()
     if not edge_rows:
         return ds
     parent: dict[int, int] = {}

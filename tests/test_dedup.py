@@ -236,6 +236,41 @@ def _brute_keep_best(texts: dict[int, int | str], edges, weights):
     return keep
 
 
+def test_dup_clusters_max_pairs_auto_dispatch(ray_session):
+    """VERDICT r04 #3: an over-threshold pair list must NOT be collected on
+    the driver — dup_clusters counts edges first and auto-dispatches to the
+    distributed LP path, producing identical components."""
+    import ray.data
+
+    n = 40
+    edges = [(i, i + 1) for i in range(0, 10)]
+    ds = ray.data.from_arrow(pa.table({"doc_id": list(range(n))}))
+    pds = ray.data.from_arrow(pa.table(
+        {"id_a": [a for a, _ in edges], "id_b": [b for _, b in edges]}))
+    small = {r["doc_id"]: r["cluster_rep"]
+             for r in dedup.dup_clusters(ds, pds).take_all()}
+    auto = {r["doc_id"]: r["cluster_rep"]
+            for r in dedup.dup_clusters(ds, pds, max_pairs=0).take_all()}
+    assert small == auto
+    assert auto[10] == 0
+
+
+def test_cluster_keep_best_max_pairs_auto_dispatch(ray_session):
+    """Same guard on the keep-best policy: max_pairs=0 forces the
+    distributed dispatch; survivors must match the driver path."""
+    import ray.data
+
+    t = docs_table()
+    ds = ray.data.from_arrow(t)
+    pairs = dedup.minhash_neardup_pairs(ds, threshold=0.8, num_partitions=2)
+    small = sorted(r["doc_id"]
+                   for r in dedup.cluster_keep_best(ds, pairs).take_all())
+    auto = sorted(r["doc_id"]
+                  for r in dedup.cluster_keep_best(ds, pairs,
+                                                   max_pairs=0).take_all())
+    assert small == auto
+
+
 def test_cluster_keep_best_default_weights(ray_session):
     """One survivor per minhash cluster — highest classifier score, tie →
     min id — and every singleton survives untouched."""
