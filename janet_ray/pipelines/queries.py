@@ -1922,6 +1922,127 @@ def _chunk_sql() -> str:
     return chunk_sql(window=_CHUNK_WINDOW, stride=_CHUNK_STRIDE)
 
 
+# RAG read path (VERDICT r04 #4): the reference's chat-over-document flow
+# (apps/web/app/api/chat/route.ts retrieval step; search-read path
+# api/search/route.ts:33-40 + semi-join store.ts:201-205) re-expressed as the
+# data-plane composition chunk → vectorize → top-k → join back to source docs.
+_RAG_K = 20
+_RAG_QUERY = "hash join merge sort"
+# chunk key = doc_id * _RAG_CID_BASE + chunk_id — exact int arithmetic both
+# sides replay (chunk_id < window'd doc length / stride << base)
+_RAG_CID_BASE = 100_000
+
+
+def _rag_query_vec() -> "np.ndarray":
+    from janet_ray.stages.classifier import _TOKEN_RE
+    from janet_ray.stages.hashvec import _buckets
+
+    toks = _TOKEN_RE.findall(_RAG_QUERY.lower())
+    return np.bincount(_buckets(toks, _HASHVEC_DIMS),
+                       minlength=_HASHVEC_DIMS).astype(np.int64)
+
+
+def q_rag_retrieval(sf_dir: str):
+    """Composed RAG retrieval read path: chunk_documents (64/48 windows) →
+    hashed_tf_vectors over the chunk text (exact-int feature hashing — the
+    model-free stand-in for the embed step) → exact-int DOT-PRODUCT top-k
+    against the query's hashed vector (partial top-k inside each map task,
+    one k×blocks-row reduce — the corpus never shuffles) → the winners
+    broadcast-join back to chunk text and the parent document (the
+    reference's retrieved-chunk → source-doc semi-join, store.ts:201-205).
+    Exact integers end to end: score, ids and chunk bytes are all
+    value-hash-strict against the SQL twin. Deterministic order: score
+    desc, cid asc (total — cid is unique)."""
+    from janet_ray.stages.chunk import chunk_documents
+    from janet_ray.stages.hashvec import hashed_tf_vectors
+    from janet_ray.stages.joins import broadcast_lookup_join
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    chunks = chunk_documents(docs.select_columns(["doc_id", "text"]),
+                             window=_CHUNK_WINDOW, stride=_CHUNK_STRIDE)
+
+    def add_cid(t: pa.Table) -> pa.Table:
+        cid = pc.add(pc.multiply(pc.cast(t["doc_id"], pa.int64()),
+                                 _RAG_CID_BASE),
+                     pc.cast(t["chunk_id"], pa.int64()))
+        return pa.table({"cid": cid, "chunk_text": t["chunk_text"]})
+
+    chunks_cid = chunks.map_batches(add_cid, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+    vecs = hashed_tf_vectors(chunks_cid, dims=_HASHVEC_DIMS, id_col="cid",
+                             text_col="chunk_text")
+    qv = _rag_query_vec()
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"cid": pa.array([], pa.int64()),
+                          "score": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        flat = batch["vec"].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False).reshape(batch.num_rows, _HASHVEC_DIMS)
+        s = flat @ qv
+        cid = batch["cid"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.nonzero(s > 0)[0]
+        if pos.size == 0:
+            return empty
+        order = pos[np.lexsort((cid[pos], -s[pos]))][:_RAG_K]
+        return pa.table({"cid": pa.array(cid[order], pa.int64()),
+                         "score": pa.array(s[order], pa.int64())})
+
+    def pick(batch: pa.Table) -> pa.Table:
+        t = batch.take(pc.sort_indices(batch, sort_keys=[
+            ("score", "descending"), ("cid", "ascending")]))
+        return t.slice(0, _RAG_K)
+
+    winners = (vecs.map_batches(partial_topk, batch_format="pyarrow",
+                                zero_copy_batch=True)
+                   .repartition(1)
+                   .map_batches(pick, batch_format="pyarrow"))
+
+    kept = broadcast_lookup_join(chunks_cid, "cid", winners)
+
+    def unpack(t: pa.Table) -> pa.Table:
+        cid = t["cid"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(cid // _RAG_CID_BASE, pa.int64()),
+            "chunk_id": pa.array(cid % _RAG_CID_BASE, pa.int64()),
+            "score": pc.cast(t["score"], pa.int64()),
+            "chunk_text": t["chunk_text"],
+        })
+
+    return broadcast_lookup_join(
+        kept.map_batches(unpack, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        "doc_id", docs.select_columns(["doc_id", "lang"]))
+
+
+def _rag_retrieval_sql() -> str:
+    from janet_ray.stages.hashvec import hashed_tf_sql
+
+    qv = _rag_query_vec()
+    dot = " + ".join(f"vec[{b + 1}] * {int(qv[b])}"
+                     for b in range(_HASHVEC_DIMS) if qv[b])
+    inner_vec = hashed_tf_sql(dims=_HASHVEC_DIMS, source="chunks",
+                              id_col="cid", text_expr="chunk_text")
+    return f"""
+WITH chunks_raw AS ({_chunk_sql()}),
+chunks AS (
+  SELECT doc_id * {_RAG_CID_BASE} + chunk_id AS cid, doc_id, chunk_id,
+         chunk_text
+  FROM chunks_raw),
+cvec AS ({inner_vec}),
+scored AS (
+  SELECT doc_id AS cid, CAST({dot} AS BIGINT) AS score FROM cvec),
+top AS (
+  SELECT cid, score FROM scored WHERE score > 0
+  ORDER BY score DESC, cid ASC LIMIT {_RAG_K})
+SELECT c.doc_id, c.chunk_id, t.score, c.chunk_text, d.lang
+FROM top t
+JOIN chunks c ON c.cid = t.cid
+JOIN documents d ON d.doc_id = c.doc_id
+"""
+
+
 _V6_RANK_CUT = 150
 
 
@@ -4460,24 +4581,67 @@ def build_queries() -> dict:
         # -- flagship core (driver-checked every round) ------------- 1..8
         "extract_html_text": q_extract_html_text,
         "extract_pdf_text": q_extract_pdf_text,
-        # curation_v4 (new composition oracle) displaces extract_ocr_text
-        # (rows-only, driver-seen r01-r03; its exact twin
-        # extract_ocr_normalized carries the OCR signal).
         "curation_v4": q_curation_v4,
         "extract_metrics": q_extract_metrics,
-        # events_in_windows (new range-join oracle) displaces route_counts
-        # (driver-green r01-r03; extract_metrics keeps the router canary).
         "events_in_windows": q_events_in_windows,
-        # web_curation (new r04 composition oracle) takes derive_filenames'
-        # flagship slot this round: derive_filenames is driver-green r01-r03
-        # with an unchanged oracle, web_curation has no driver evidence yet.
         "web_curation": q_web_curation,
-        # shuffle_shards (new oracle, no driver evidence) displaces exact_dedup
-        # (driver-green r01-r03, oracle unchanged) for the same reason as
-        # web_curation above.
         "shuffle_shards": q_shuffle_shards,
         "url_filter": q_url_filter,
-        # -- new in round 4 ----------------------------------------- 9..14
+        # -- round-5 rotation (VERDICT r04 #1): every SQL-oracle query that
+        #    has never carried driver evidence, ordered oldest-debt-first;
+        #    everything that was in the r04 window is driver-green there
+        #    with unchanged oracles and moves past the edge ---------- 9..24
+        "rag_retrieval": q_rag_retrieval,          # new this round (r04 #4)
+        "table_profile": q_table_profile,
+        "score_rank": q_score_rank,
+        "curation_v5": q_curation_v5,
+        "dup_profile": q_dup_profile,
+        "chunk_documents": q_chunk_documents,
+        "normalize_text": q_normalize_text,
+        "canonical_urls": q_canonical_urls,
+        "orders_with_customer": q_orders_with_customer,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "substring_dedup": q_substring_dedup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "orders_group_sample": q_orders_group_sample,
+        "hashed_tf_vectors": q_hashed_tf_vectors,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
+        "csv_roundtrip": q_csv_roundtrip,
+        # -- never-driver-checked rows-only families (the driver's rows-only
+        #    check is weaker than the local gate but is the signal of
+        #    record; their exact-int evidence twins are all driver-green
+        #    in r04) ---------------------------------------------- 25..42
+        "semdedup": q_semdedup,
+        "pq_index_topk": q_pq_index_topk,
+        "embedding_pca": q_embedding_pca,
+        "kmeans_clusters": q_kmeans_clusters,
+        "link_pagerank": q_link_pagerank,
+        "link_hits": q_link_hits,
+        "lm_surprise": q_lm_surprise,
+        "lm_surprise_cut": q_lm_surprise_cut,
+        "ccnet_lm_mix": q_ccnet_lm_mix,
+        "search_index_bm25": q_search_index_bm25,
+        "bpe_merges": q_bpe_merges,
+        "bpe_encode": q_bpe_encode,
+        "events_distinct_users_hll": q_events_distinct_users_hll,
+        "quantity_quantiles_dd": q_quantity_quantiles_dd,
+        "vocab_topk_cms": q_vocab_topk_cms,
+        "heavy_hitters_mg": q_heavy_hitters_mg,
+        "compression_stats": q_compression_stats,
+        "dsir_select": q_dsir_select,
+        # -- remaining slots: driver-green rows kept warm (replaced by new
+        #    round-5 SQL queries as they land) --------------------- 43..50
+        "exact_dedup": q_exact_dedup,
+        "minhash_neardup": q_minhash_neardup,
+        "derive_filenames": q_derive_filenames,
+        "route_counts": q_route_counts,
+        "duplicate_spans": q_duplicate_spans,
+        "training_manifest": q_training_manifest,
+        "curation_v6": q_curation_v6,
+        "decontaminate": q_decontaminate,
+        # ---------------------------------------------------- 50-slot edge
+        # -- r04-window rows (all driver-green in CORRECTNESS_r04, oracles
+        #    unchanged; the dtype-strict local gate keeps them honest) --
         "index_lookup_phrase": q_index_lookup_phrase,
         "host_quota": q_host_quota,
         "pmi_collocations": q_pmi_collocations,
@@ -4485,24 +4649,10 @@ def build_queries() -> dict:
         "curation_v3": q_curation_v3,
         "cluster_keep_best": q_cluster_keep_best,
         "gopher_filter": q_gopher_filter,
-        # c4_filter (new C4 rule-family oracle) displaces canonical_urls past
-        # the edge: canonical_urls' semantics stay pinned by normalize_text
-        # (same urlnorm kernel) in-window plus the local gate + hypothesis
-        # dialect-parity tests.
         "c4_filter": q_c4_filter,
-        # c4_span_dedup (new C4 span-dedup oracle) displaces normalize_text
-        # past the edge: the textnorm kernel stays pinned by its hypothesis
-        # dialect-parity pytest + the local gate.
         "c4_span_dedup": q_c4_span_dedup,
-        # snapshot_diff / domain_filter (new r04 operators) displace
-        # ngram_jaccard (the winnow w=1 configuration — winnow_fingerprints
-        # + winnow_neardup keep the machinery in-window) and substring_dedup
-        # (pair-based composition — duplicate_spans + substring_dedup_global
-        # keep both span chains in-window) just past the edge.
         "snapshot_diff": q_snapshot_diff,
         "domain_filter": q_domain_filter,
-        # -- freshly-oracled SQL rows (late r04 upgrades + exact-int
-        #    evidence twins for the float/iterative families) ------ 15..24
         "simhash_neardup": q_simhash_neardup,
         "mixture_sample": q_mixture_sample,
         "index_lookup_boolean": q_index_lookup_boolean,
@@ -4513,23 +4663,12 @@ def build_queries() -> dict:
         "bpe_first_merge": q_bpe_first_merge,
         "ocr_word_boxes": q_ocr_word_boxes,
         "ocr_highlights": q_ocr_highlights,
-        # -- round-3 SQL-oracle queries without driver evidence -- 25..49
-        # exact_new_docs (fp-index machinery, no driver evidence) displaces
-        # orders_group_sample past the edge: its md5-rank window arithmetic
-        # stays in-window via host_quota + mixture_sample.
         "exact_new_docs": q_exact_new_docs,
-        "training_manifest": q_training_manifest,
         "search_index_lookup": q_search_index_lookup,
         "pack_sequences": q_pack_sequences,
-        # curation_v6 (5-stage composition: domain gate + semi-join +
-        # classifier + global rank + shards) displaces winnow_fingerprints:
-        # winnow_neardup's oracle replays the fingerprint chain end-to-end
-        # and stays in-window.
-        "curation_v6": q_curation_v6,
         "winnow_neardup": q_winnow_neardup,
         "repetition_stats": q_repetition_stats,
         "pii_scrub": q_pii_scrub,
-        "decontaminate": q_decontaminate,
         "quality_buckets": q_quality_buckets,
         "ccnet_mix": q_ccnet_mix,
         "bloom_new_docs": q_bloom_new_docs,
@@ -4538,37 +4677,10 @@ def build_queries() -> dict:
         "anchor_corpus": q_anchor_corpus,
         "crawl_frontier": q_crawl_frontier,
         "host_stats": q_host_stats,
-        "duplicate_spans": q_duplicate_spans,
         "paragraph_dedup": q_paragraph_dedup,
         "quality_classifier": q_quality_classifier,
         "curation_v2": q_curation_v2,
-        # ---------------------------------------------------- 50-slot edge
-        "ngram_jaccard": q_ngram_jaccard,
-        "substring_dedup": q_substring_dedup,
-        "normalize_text": q_normalize_text,
-        "canonical_urls": q_canonical_urls,
-        # -- driver-green r01-r03 flagship rows displaced by web_curation /
-        #    shuffle_shards; oracles unchanged, stay on the local gate --
-        "derive_filenames": q_derive_filenames,
-        "exact_dedup": q_exact_dedup,
-        "minhash_neardup": q_minhash_neardup,
-        "route_counts": q_route_counts,
         "extract_ocr_text": q_extract_ocr_text,
-        # -- rows-only families evicted from the window (their exact-int
-        #    evidence twins above carry the driver signal; the local gate
-        #    + pytest keep the float/iterative parts honest) --
-        "link_pagerank": q_link_pagerank,
-        "lm_surprise": q_lm_surprise,
-        "lm_surprise_cut": q_lm_surprise_cut,
-        "ccnet_lm_mix": q_ccnet_lm_mix,
-        "search_index_bm25": q_search_index_bm25,
-        "kmeans_clusters": q_kmeans_clusters,
-        "link_hits": q_link_hits,
-        "bpe_merges": q_bpe_merges,
-        "bpe_encode": q_bpe_encode,
-        "events_distinct_users_hll": q_events_distinct_users_hll,
-        "quantity_quantiles_dd": q_quantity_quantiles_dd,
-        "vocab_topk_cms": q_vocab_topk_cms,
         # -- driver-green in r01–r03 (local gate keeps them honest) --
         "dedupe_last_wins_events": q_dedupe_last_wins_events,
         "events_sessions": q_events_sessions,
@@ -4610,32 +4722,6 @@ def build_queries() -> dict:
         "quantity_quantiles": q_quantity_quantiles,
         "events_distinct_users": q_events_distinct_users,
         "events_burst_count": q_events_burst_count,
-        # curation_v5 sits just past the edge by choice: its two component
-        # oracles (c4_filter, c4_span_dedup) are in-window this round; the
-        # composition row is a round-5 rotation candidate.
-        "curation_v5": q_curation_v5,
-        # dup_profile / table_profile: late-r04 SQL oracles past the edge —
-        # round-5 rotation candidates alongside curation_v5.
-        "dup_profile": q_dup_profile,
-        "table_profile": q_table_profile,
-        "score_rank": q_score_rank,
-        "orders_with_customer": q_orders_with_customer,
-        "chunk_documents": q_chunk_documents,
-        "hashed_tf_vectors": q_hashed_tf_vectors,
-        # displaced past the edge by curation_v6 / exact_new_docs (their
-        # arithmetic stays in-window via winnow_neardup / host_quota)
-        "winnow_fingerprints": q_winnow_fingerprints,
-        "orders_group_sample": q_orders_group_sample,
-        # -- new rows-only additions (outside the window by design: the
-        # driver's rows-only check adds nothing over the local gate) --
-        "heavy_hitters_mg": q_heavy_hitters_mg,
-        "pq_index_topk": q_pq_index_topk,
-        "compression_stats": q_compression_stats,
-        "jsonl_roundtrip": q_jsonl_roundtrip,
-        "csv_roundtrip": q_csv_roundtrip,
-        "dsir_select": q_dsir_select,
-        "semdedup": q_semdedup,
-        "embedding_pca": q_embedding_pca,
     }
 
 
@@ -4750,4 +4836,5 @@ def build_oracles() -> dict[str, str]:
         "mixture_sample": _mixture_sql(),
         "index_lookup_boolean": _index_boolean_sql(),
         "ocr_highlights": _ocr_highlights_sql(),
+        "rag_retrieval": _rag_retrieval_sql(),
     }
