@@ -105,25 +105,107 @@ def doc_c4(text: str) -> dict:
     }
 
 
+def c4_batch(texts) -> dict:
+    """Vectorized twin of ``doc_c4`` over a whole Arrow string array —
+    same fields (counters/flags as int64 ndarrays, ``clean_text`` as an
+    Arrow string array), parity pinned by tests/test_c4.py.
+
+    Shape: ONE literal line split (of the lowered text too — lowercasing
+    never maps any char to or from U+000A, so the two splits align
+    element-for-element); the line rules run as Arrow kernels over the
+    flattened lines (ends_with × 4 suffixes, one RE2 policy alternation,
+    a byte-level numpy run counter for the word minimum — measured 2×
+    the count_substring_regex kernel); ``clean_text`` is rebuilt
+    zero-copy from the kept flat lines via ListArray.from_arrays +
+    binary_join; the badword test is one boundary-anchored RE2
+    alternation over the whole lowered doc (``(^|[^a-z0-9])w([^a-z0-9]|$)``
+    == token membership under the [a-z0-9]+ tokenizer — boundaries may
+    overlap between adjacent hits, but existence, not count, is what the
+    flag needs)."""
+    import pyarrow.compute as pc
+
+    from janet_ray.functions.arrays import (ascii_alnum_run_counts,
+                                            list_parents)
+
+    n = len(texts)
+    texts = pc.fill_null(texts, "")
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    low = pc.utf8_lower(texts)
+
+    lsplit = pc.split_pattern(texts, "\n")
+    if isinstance(lsplit, pa.ChunkedArray):
+        lsplit = lsplit.combine_chunks()
+    lflat = lsplit.flatten()
+    lp = list_parents(lsplit.offsets.to_numpy(zero_copy_only=False))
+    llen = pc.utf8_length(lflat).to_numpy(zero_copy_only=False).astype(np.int64)
+    lne = llen > 0
+    n_lines = np.bincount(lp[lne], minlength=n)
+
+    lowl = pc.split_pattern(low, "\n")
+    if isinstance(lowl, pa.ChunkedArray):
+        lowl = lowl.combine_chunks()
+    lowl = lowl.flatten()
+    term = pc.ends_with(lflat, TERMINAL_SUFFIXES[0])
+    for s in TERMINAL_SUFFIXES[1:]:
+        term = pc.or_(term, pc.ends_with(lflat, s))
+    policy = pc.match_substring_regex(
+        lowl, "|".join(re.escape(s) for s in POLICY_SUBSTRINGS))
+    kept = (term.to_numpy(zero_copy_only=False)
+            & ~policy.to_numpy(zero_copy_only=False)
+            & (ascii_alnum_run_counts(lowl) >= LINE_MIN_WORDS) & lne)
+    n_kept = np.bincount(lp[kept], minlength=n)
+
+    offsets = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(n_kept, out=offsets[1:])
+    clean = pc.binary_join(
+        pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                 lflat.filter(pa.array(kept))),
+        OUT_SEP)
+    n_sentences = np.zeros(n, dtype=np.int64)
+    for c in _SENTENCE_CHARS:
+        n_sentences += pc.count_substring(clean, c).to_numpy(
+            zero_copy_only=False)
+
+    badpat = "(^|[^a-z0-9])(%s)([^a-z0-9]|$)" % "|".join(
+        re.escape(w) for w in BLOCK_WORDS)
+    ok_bad = ~pc.match_substring_regex(low, badpat).to_numpy(
+        zero_copy_only=False)
+
+    flags = {
+        "ok_lorem": ~pc.match_substring(low, LOREM_PHRASE).to_numpy(
+            zero_copy_only=False),
+        "ok_brace": ~pc.match_substring(texts, BRACE).to_numpy(
+            zero_copy_only=False),
+        "ok_badwords": ok_bad,
+        "ok_sentences": n_sentences >= PAGE_MIN_SENTENCES,
+    }
+    out = {"n_lines": n_lines, "n_kept": n_kept, "n_sentences": n_sentences}
+    keep = np.ones(n, dtype=bool)
+    for name in FLAG_COLS:
+        keep &= flags[name]
+        out[name] = flags[name].astype(np.int64)
+    out["keep"] = keep.astype(np.int64)
+    out["clean_text"] = clean
+    return out
+
+
 def c4_filter(ds, *, text_col: str = "text", id_col: str = "doc_id"):
     """(doc_id, n_lines, n_kept, n_sentences, ok_* × 4, keep, clean_text)
     per document — stateless map; ``keep`` is the AND-fold of the page
-    rules, ``clean_text`` the line-rule survivors joined by newline."""
+    rules, ``clean_text`` the line-rule survivors joined by newline.
+    Batch body is the vectorized kernel; ``doc_c4`` stays as the
+    parity-pinned per-row reference."""
 
     def f(batch: pa.Table) -> pa.Table:
-        rows = [doc_c4(t) for t in batch[text_col].to_pylist()]
+        r = c4_batch(batch[text_col])
         cols: dict = {id_col: batch[id_col]}
         for name in ("n_lines", "n_kept", "n_sentences"):
-            cols[name] = pa.array(
-                np.asarray([r[name] for r in rows], dtype=np.int64))
-        keep = np.ones(len(rows), dtype=np.int64)
+            cols[name] = pa.array(r[name].astype(np.int64))
         for name in FLAG_COLS:
-            v = np.asarray([r[name] for r in rows], dtype=np.int64)
-            keep &= v
-            cols[name] = pa.array(v)
-        cols["keep"] = pa.array(keep)
-        cols["clean_text"] = pa.array(
-            [r["clean_text"] for r in rows], pa.string())
+            cols[name] = pa.array(r[name])
+        cols["keep"] = pa.array(r["keep"])
+        cols["clean_text"] = r["clean_text"]
         return pa.table(cols)
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

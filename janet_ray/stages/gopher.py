@@ -127,20 +127,176 @@ def doc_gopher_flags(text: str) -> dict[str, int]:
     }
 
 
+def gopher_flags_batch(texts) -> dict[str, np.ndarray]:
+    """Vectorized twin of ``doc_gopher_flags`` over a whole Arrow string
+    array — same columns as int64 ndarrays, parity pinned by
+    tests/test_gopher.py (corpus + edges + hypothesis).
+
+    Shape (the measured A/B is in BASELINE.md — ~2.5× the per-row kernel
+    single-thread): tokens/lines come from ONE Arrow RE2 split each; every
+    per-doc aggregate is a bincount/reduceat over flattened (parent, value)
+    arrays; per-doc distinct lines and 2-gram counts are fused-int64-key
+    sorts (doc·V²+a·V+b) instead of per-doc Counters; the top-2-gram
+    tie-break min(gram string) becomes min(id pair) because token ids are
+    lexicographically ranked (functions/arrays.sorted_string_ids) and the
+    ' ' joiner sorts below every [a-z0-9] token char."""
+    import pyarrow.compute as pc
+
+    from janet_ray.functions.arrays import list_parents, sorted_string_ids
+
+    n = len(texts)
+    texts = pc.fill_null(texts, "")
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    low = pc.utf8_lower(texts)
+
+    # words: one RE2 split; empties mark separator-adjacent slots
+    toks = pc.split_pattern_regex(low, "[^a-z0-9]+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    p_all = list_parents(toks.offsets.to_numpy(zero_copy_only=False))
+    tlen = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+    ne = tlen > 0
+    p, lens = p_all[ne], tlen[ne]
+    ids_all, udict = sorted_string_ids(flat)
+    ids = ids_all[ne]
+    ulen = pc.utf8_length(udict).to_numpy(zero_copy_only=False).astype(np.int64)
+    V = len(udict)
+
+    n_words = np.bincount(p, minlength=n)
+    word_chars = np.bincount(p, weights=lens, minlength=n).astype(np.int64)
+    ualpha = pc.match_substring_regex(udict, "[a-z]").to_numpy(
+        zero_copy_only=False)
+    n_alpha = np.bincount(p, weights=ualpha[ids], minlength=n).astype(np.int64)
+
+    n_req = np.zeros(n, dtype=np.int64)
+    for ri in pc.index_in(pa.array(list(REQUIRED_STOPWORDS)),
+                          udict).to_pylist():
+        if ri is not None:
+            hit = p[ids == ri]
+            if len(hit):
+                n_req += np.bincount(hit, minlength=n) > 0
+
+    # symbols: Arrow count_substring is left-to-right non-overlapping,
+    # same as str.count
+    n_sym = (pc.count_substring(texts, "#").to_numpy(zero_copy_only=False)
+             .astype(np.int64)
+             + pc.count_substring(texts, "...").to_numpy(
+                 zero_copy_only=False).astype(np.int64))
+
+    # lines: literal split; same flatten/parent plumbing
+    lsplit = pc.split_pattern(texts, "\n")
+    if isinstance(lsplit, pa.ChunkedArray):
+        lsplit = lsplit.combine_chunks()
+    lflat = lsplit.flatten()
+    lp_all = list_parents(lsplit.offsets.to_numpy(zero_copy_only=False))
+    llen = pc.utf8_length(lflat).to_numpy(zero_copy_only=False).astype(np.int64)
+    lne = llen > 0
+    lp, llens = lp_all[lne], llen[lne]
+    n_lines = np.bincount(lp, minlength=n)
+    line_chars = np.bincount(lp, weights=llens, minlength=n).astype(np.int64)
+    bullet = pc.or_(pc.starts_with(lflat, "-"),
+                    pc.starts_with(lflat, "*")).to_numpy(zero_copy_only=False)
+    n_bullet = np.bincount(lp, weights=bullet[lne],
+                           minlength=n).astype(np.int64)
+    ell = pc.ends_with(lflat, "...").to_numpy(zero_copy_only=False)
+    n_ell = np.bincount(lp, weights=ell[lne], minlength=n).astype(np.int64)
+
+    # per-doc distinct lines: fused (doc, line-id) int64 key, one sort
+    lids = sorted_string_ids(lflat)[0][lne]
+    L = max(len(lflat), 1)
+    lkey = np.sort(lp * L + lids)
+    lfirst = np.ones(len(lkey), dtype=bool)
+    lfirst[1:] = lkey[1:] != lkey[:-1]
+    up, uid = lkey[lfirst] // L, lkey[lfirst] % L
+    lid_len = np.zeros(L, dtype=np.int64)
+    lid_len[lids] = llens
+    n_distinct = np.bincount(up, minlength=n)
+    distinct_chars = np.bincount(up, weights=lid_len[uid],
+                                 minlength=n).astype(np.int64)
+
+    # top 2-gram: adjacent in-doc token-id pairs, fused-key counted
+    top_chars = np.zeros(n, dtype=np.int64)
+    tok_chars = np.where(n_words >= NGRAM_N,
+                         word_chars + np.maximum(n_words - 1, 0), 0)
+    if len(p) > 1 and V > 0:
+        a, b, pv = ids[:-1], ids[1:], p[:-1]
+        valid = pv == p[1:]
+        a, b, pv = a[valid], b[valid], pv[valid]
+        if len(pv):
+            if float(n) * V * V < 4.0e18:
+                key = np.sort((pv * V + a) * V + b)
+                gfirst = np.ones(len(key), dtype=bool)
+                gfirst[1:] = key[1:] != key[:-1]
+                starts = np.flatnonzero(gfirst)
+                counts = np.diff(np.append(starts, len(key))).astype(np.int64)
+                gk = key[starts]
+                gp, ga, gb = gk // (V * V), (gk // V) % V, gk % V
+            else:  # fused key would overflow int64: 3-key lexsort fallback
+                order = np.lexsort((b, a, pv))
+                ps, as_, bs = pv[order], a[order], b[order]
+                gfirst = np.ones(len(ps), dtype=bool)
+                gfirst[1:] = ((ps[1:] != ps[:-1]) | (as_[1:] != as_[:-1])
+                              | (bs[1:] != bs[:-1]))
+                starts = np.flatnonzero(gfirst)
+                counts = np.diff(np.append(starts, len(ps))).astype(np.int64)
+                gp, ga, gb = ps[starts], as_[starts], bs[starts]
+            # winner per doc: max count, first tie wins — groups are already
+            # gram-ascending within each doc, so first == min gram string
+            seg_first = np.ones(len(gp), dtype=bool)
+            seg_first[1:] = gp[1:] != gp[:-1]
+            seg_starts = np.flatnonzero(seg_first)
+            maxc = np.maximum.reduceat(counts, seg_starts)
+            per_group = np.repeat(maxc,
+                                  np.diff(np.append(seg_starts, len(gp))))
+            pos = np.arange(len(gp), dtype=np.int64)
+            win = np.minimum.reduceat(
+                np.where(counts == per_group, pos, len(gp)), seg_starts)
+            docs = gp[seg_starts]
+            top_chars[docs] = counts[win] * (ulen[ga[win]] + 1 + ulen[gb[win]])
+
+    sy_n, sy_d = MAX_SYMBOL_RATIO
+    bu_n, bu_d = MAX_BULLET_RATIO
+    el_n, el_d = MAX_ELLIPSIS_RATIO
+    al_n, al_d = MIN_ALPHA_WORD_RATIO
+    dl_n, dl_d = MAX_DUP_LINE_RATIO
+    dc_n, dc_d = MAX_DUP_LINE_CHAR_RATIO
+    tg_n, tg_d = MAX_TOP2GRAM_CHAR_RATIO
+    out = {
+        "n_words": n_words,
+        "ok_words": ((n_words >= MIN_WORDS) & (n_words <= MAX_WORDS)),
+        "ok_mean_word_len": ((n_words > 0)
+                             & (MIN_MEAN_WORD_LEN * n_words <= word_chars)
+                             & (word_chars <= MAX_MEAN_WORD_LEN * n_words)),
+        "ok_symbol": sy_d * n_sym <= sy_n * n_words,
+        "ok_bullet": bu_d * n_bullet <= bu_n * n_lines,
+        "ok_ellipsis": el_d * n_ell <= el_n * n_lines,
+        "ok_alpha_words": (n_words > 0) & (al_d * n_alpha >= al_n * n_words),
+        "ok_stopwords": n_req >= MIN_REQUIRED_STOPWORDS,
+        "ok_dup_lines": dl_d * (n_lines - n_distinct) <= dl_n * n_lines,
+        "ok_dup_line_chars": (dc_d * (line_chars - distinct_chars)
+                              <= dc_n * line_chars),
+        "ok_top_2gram": ((tg_d * top_chars <= tg_n * tok_chars)
+                         | (tok_chars == 0)),
+    }
+    return {k: v.astype(np.int64) for k, v in out.items()}
+
+
 def gopher_filter(ds, *, text_col: str = "text", id_col: str = "doc_id"):
     """(doc_id, n_words, ok_* × 10, keep) per document — stateless map; keep
     is the AND-fold of every rule (all columns int64 0/1 so the SQL twin is
-    dtype-exact)."""
+    dtype-exact). Batch body is the vectorized kernel; ``doc_gopher_flags``
+    stays as the parity-pinned per-row reference."""
 
     def f(batch: pa.Table) -> pa.Table:
-        rows = [doc_gopher_flags(t) for t in batch[text_col].to_pylist()]
+        flags = gopher_flags_batch(batch[text_col])
         cols: dict = {id_col: batch[id_col]}
-        cols["n_words"] = pa.array([r["n_words"] for r in rows], pa.int64())
-        keep = np.ones(len(rows), dtype=np.int64)
+        cols["n_words"] = pa.array(flags["n_words"], pa.int64())
+        keep = np.ones(len(batch), dtype=np.int64)
         for name in FLAG_COLS:
-            v = np.asarray([r[name] for r in rows], dtype=np.int64)
-            keep &= v
-            cols[name] = pa.array(v, pa.int64())
+            keep &= flags[name]
+            cols[name] = pa.array(flags[name], pa.int64())
         cols["keep"] = pa.array(keep, pa.int64())
         return pa.table(cols)
 

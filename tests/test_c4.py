@@ -159,3 +159,40 @@ def test_c4_filter_batch_map(ray_session):
         want = c4.doc_c4(t)
         for k, v in want.items():
             assert rows[i][k] == v, (i, k)
+
+
+# ----------------------------------------------------- vectorized parity
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _assert_c4_parity(texts):
+    vec = c4.c4_batch(pa.array(texts, pa.string()))
+    clean = vec["clean_text"].to_pylist()
+    for i, t in enumerate(texts):
+        want = c4.doc_c4(t)
+        for k, v in want.items():
+            got = clean[i] if k == "clean_text" else vec[k][i]
+            assert got == v, (i, k, v, got, repr(t)[:120])
+
+
+def test_c4_batch_parity_edges():
+    _assert_c4_parity([
+        "", None, "\n\n", GOOD, GOOD + "\n" + GOOD,
+        "lorem ipsum dolor sit amet today.", "code { brace }",
+        "unsafeword0 in this line with enough words.",
+        "this long line does not end with punctuation",
+        "only four words here.", 'he said this ends with a quote"',
+        "please enable JavaScript to view this page.",
+        "x." * 40, "...", "a!b?c.", GOOD + "\nshort.", "é ü ñ lines.",
+    ])
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.text(
+    alphabet='ab1 .!?"{\ncookie', min_size=0, max_size=80),
+    min_size=1, max_size=10))
+def test_c4_batch_parity_fuzz(texts):
+    _assert_c4_parity(texts)

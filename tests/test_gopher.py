@@ -104,3 +104,42 @@ def test_gopher_filter_batch_map(ray_session):
         for k, v in want.items():
             assert rows[i][k] == v, (i, k)
         assert rows[i]["keep"] == min(want[c] for c in gopher.FLAG_COLS)
+
+
+# ----------------------------------------------------- vectorized parity
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _assert_batch_parity(texts):
+    vec = gopher.gopher_flags_batch(pa.array(texts, pa.string()))
+    for i, t in enumerate(texts):
+        want = gopher.doc_gopher_flags(t)
+        for k, v in want.items():
+            assert vec[k][i] == v, (i, k, v, vec[k][i], repr(t)[:120])
+
+
+def test_batch_kernel_parity_edges():
+    _assert_batch_parity([
+        "", "\n\n", "a", "the be to of and that have with",
+        "- bullet\n* bullet2\nplain...\n...", "#...#...", ".....",
+        "dup\ndup\ndup\nuniq", "ab c ab c ab c", "a bc a bc",
+        "word " * 60, None, "x\n" * 30, "9 8 7 6 5", "ab c\na bc",
+        "the the the the", "...\n...\n...", "*", "-", "é ü ñ É Ü",
+        "a" * 500, ("lorem " * 30 + "\n") * 5, "x y x y x z x y",
+    ])
+
+
+def test_batch_kernel_gram_tiebreak_is_min_string():
+    # two 2-grams tie at count 2; Python picks min gram STRING — the fused
+    # id-pair order must agree even when one token prefixes another
+    _assert_batch_parity(["ab c ab c a bc a bc", "zz q zz q a b a b"])
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.text(
+    alphabet="ab1 .#*-\n\"!?é", min_size=0, max_size=80),
+    min_size=1, max_size=12))
+def test_batch_kernel_parity_fuzz(texts):
+    _assert_batch_parity(texts)
