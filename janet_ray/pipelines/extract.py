@@ -78,6 +78,9 @@ def build_extract_pipeline(
     pre_routed: bool = False,  # input already carries the router's `route`
     # column (the persisted stage checkpoint, pipelines/checkpoint.py) — skip
     # the sniff stage instead of re-deriving it
+    engine_factory=None,  # OcrEngine factory for the scan route; any impl
+    # passing tests/test_engine_contract.py drops in here (production seam —
+    # e.g. lambda: RetryingEngine(TesseractEngine()))
 ) -> "ray.data.Dataset":
     """pages Dataset → extracted Dataset (EXTRACTED_SCHEMA)."""
     from janet_ray.stages.router import make_sniffer
@@ -112,6 +115,8 @@ def build_extract_pipeline(
         ctor["deadline_s"] = deadline_s
     if strict_ocr:
         ctor["strict_ocr"] = strict_ocr
+    if engine_factory is not None:
+        ctor["engine_factory"] = engine_factory
     if ctor:
         kw["fn_constructor_kwargs"] = ctor
     if num_cpus is not None:
