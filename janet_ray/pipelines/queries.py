@@ -4310,6 +4310,41 @@ def _mixture_sql() -> str:
                               quotas=quotas, md5_u32_sql=_md5_u32_sql)
 
 
+# Token budgets (not doc counts) for the token-budget mixture: mid-cut,
+# small-cut, near-full and shortfall regimes against sf0.01's ~1.3k
+# tokens/source; unlisted sources drop.
+_MIXTURE_TOKEN_BUDGET = {"src0": 700, "src1": 400, "src2": 1200,
+                         "src3": 99999}
+
+
+def q_mixture_tokens(sf_dir: str):
+    """Token-budget mixture (stages/mixture.py `mixture_sample_tokens`) —
+    the cut real pretraining mixes use: per-domain TOKEN budgets, documents
+    taken in the content-addressed (md5_u32(doc_id), doc_id) order until the
+    exclusive running token total crosses the budget (boundary doc kept;
+    shortfall domains contribute everything). One coarse domain shuffle of
+    (source, doc_id, n_tokens) rows; text never moves. The oracle replays
+    the identical window arithmetic, and the emitted ``tok_before`` column
+    puts the cumulative sums themselves under the value hash."""
+    from janet_ray.stages.mixture import mixture_sample_tokens
+
+    withn = (_read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+             .map_batches(lambda t: ts.add_token_count(t),
+                          batch_format="pyarrow", zero_copy_batch=True)
+             .select_columns(["doc_id", "source", "n_tokens"]))
+    return mixture_sample_tokens(withn, "source", _MIXTURE_TOKEN_BUDGET,
+                                 id_col="doc_id")
+
+
+def _mixture_tokens_sql() -> str:
+    from janet_ray.stages.mixture import mixture_tokens_sql
+
+    return mixture_tokens_sql(source="documents", group_col="source",
+                              token_quotas=_MIXTURE_TOKEN_BUDGET,
+                              tok_expr=ts.token_count_sql(),
+                              md5_u32_sql=_md5_u32_sql)
+
+
 _DSIR_BUCKETS = 512  # oracle-sized; production default is stages/dsir.py's 4096
 
 
@@ -4638,10 +4673,12 @@ def build_queries() -> dict:
         "duplicate_spans": q_duplicate_spans,
         "training_manifest": q_training_manifest,
         "curation_v6": q_curation_v6,
-        "decontaminate": q_decontaminate,
+        "mixture_tokens": q_mixture_tokens,  # new late round 5 (token-budget
+        # mixture) — takes the warm slot per the window rule below
         # ---------------------------------------------------- 50-slot edge
         # -- r04-window rows (all driver-green in CORRECTNESS_r04, oracles
         #    unchanged; the dtype-strict local gate keeps them honest) --
+        "decontaminate": q_decontaminate,
         "index_lookup_phrase": q_index_lookup_phrase,
         "host_quota": q_host_quota,
         "pmi_collocations": q_pmi_collocations,
@@ -4834,6 +4871,7 @@ def build_oracles() -> dict[str, str]:
         "canonical_urls": _canonical_urls_sql(),
         "dsir_feature_counts": _dsir_counts_sql(),
         "mixture_sample": _mixture_sql(),
+        "mixture_tokens": _mixture_tokens_sql(),
         "index_lookup_boolean": _index_boolean_sql(),
         "ocr_highlights": _ocr_highlights_sql(),
         "rag_retrieval": _rag_retrieval_sql(),

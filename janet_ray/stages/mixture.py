@@ -101,3 +101,102 @@ SELECT {group_col}, {id_col}, {rank_col} FROM (
   FROM {source}
 ) WHERE {rank_col} <= CASE {group_col} {case} ELSE 0 END
 """
+
+
+def mixture_sample_tokens(ds, group_col: str, token_quotas: dict[str, int], *,
+                          id_col: str = "doc_id", tok_col: str = "n_tokens",
+                          n_parts: int = 64):
+    """Token-budget mixture — the cut real pretraining mixes use (budgets are
+    token counts, not document counts; GPT-3 Table 2.2 / Pile §1 report
+    per-domain token shares). Within each domain, walk documents in the
+    engine's content-addressed (md5_u32(id), id) order and keep a document
+    while the tokens consumed BEFORE it are strictly under the domain's
+    token quota: the boundary-crossing document is kept, so every sampled
+    domain reaches AT LEAST its budget (shard lists are cut "at least
+    budget"; exact truncation happens downstream at the sequence level —
+    stages/pack.py). Domains without a budget are dropped; a domain smaller
+    than its budget contributes all rows (documented shortfall, no
+    redistribution — same contract as `mixture_sample`).
+
+    Emits (group, id, n_tokens, tok_before) where ``tok_before`` is the
+    exclusive in-domain running total, so the SQL twin's window-function
+    replay value-hashes the cumulative arithmetic itself, not just the
+    selected id set.
+
+    Scale shape: ONE coarse hash shuffle on the domain (with_part — whole
+    domains co-locate, partitions hold ~n_domains/n_parts domains), then a
+    vectorized in-partition sort + groupwise exclusive cumsum. Only
+    (group, id, n_tokens) rows move; text never shuffles. Domain count is
+    small by construction (a mixture spec is human-written), so per-part
+    row counts are input/n_domains-bounded — a single pathological domain
+    holding most of the corpus still streams through its partition as
+    int rows (16B/row ≈ 16 GB per 10^9 docs, object-store spillable)."""
+    import ray.data
+
+    from janet_ray.functions.partitioning import with_part
+    from janet_ray.stages.quota import _md5_u32_arr
+
+    out_cols = [group_col, id_col, tok_col, "tok_before"]
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        hs = _md5_u32_arr(batch[id_col].to_pylist())
+        batch = batch.append_column("h", pa.array(hs, pa.int64()))
+        return with_part(batch, [group_col])
+
+    def token_cut(part: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = part.drop_columns(["part"])
+        if t.num_rows == 0:
+            return pa.table({group_col: pa.array([], pa.string()),
+                             id_col: pa.array([], pa.int64()),
+                             tok_col: pa.array([], pa.int64()),
+                             "tok_before": pa.array([], pa.int64())})
+        idx = pc.sort_indices(t, sort_keys=[(group_col, "ascending"),
+                                            ("h", "ascending"),
+                                            (id_col, "ascending")])
+        t = t.take(idx)
+        grps = t[group_col].to_pylist()
+        tok = t[tok_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(tok)
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        if n > 1:
+            g = np.asarray(grps, dtype=object)
+            new[1:] = g[1:] != g[:-1]
+        excl = np.cumsum(tok) - tok                      # global exclusive cumsum
+        start = np.maximum.accumulate(np.where(new, np.arange(n), 0))
+        tok_before = excl - excl[start]                  # in-domain exclusive
+        quota = np.fromiter((token_quotas.get(g, 0) for g in grps),
+                            dtype=np.int64, count=n)
+        keep = tok_before < quota
+        t = t.append_column("tok_before", pa.array(tok_before, pa.int64()))
+        return t.filter(pa.array(keep)).select(out_cols)
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return hashed.groupby("part").map_groups(token_cut, batch_format="pyarrow")
+
+
+def mixture_tokens_sql(*, source: str, group_col: str,
+                       token_quotas: dict[str, int], tok_expr: str,
+                       md5_u32_sql, id_col: str = "doc_id",
+                       tok_col: str = "n_tokens") -> str:
+    """DuckDB replay: the same exclusive running-token window under the same
+    (md5_u32(id), id) order, budget literals rendered from the SAME quota
+    dict — impl and oracle cannot drift. ``tok_expr`` must be the engine's
+    token-count twin (textstats.token_count_sql)."""
+    case = " ".join(f"WHEN '{g}' THEN {q}"
+                    for g, q in sorted(token_quotas.items()))
+    return f"""
+SELECT {group_col}, {id_col}, {tok_col}, tok_before FROM (
+  SELECT {group_col}, {id_col},
+         CAST({tok_expr} AS BIGINT) AS {tok_col},
+         CAST(COALESCE(SUM(CAST({tok_expr} AS BIGINT)) OVER (
+              PARTITION BY {group_col}
+              ORDER BY {md5_u32_sql(id_col)}, {id_col}
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS tok_before
+  FROM {source})
+WHERE tok_before < CASE {group_col} {case} ELSE 0 END
+"""

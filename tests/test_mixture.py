@@ -54,3 +54,58 @@ def test_mixture_sample_zero(ray_session):
     ds = ray.data.from_items([{"g": "a", "doc_id": 1}])
     assert mixture_sample(ds, "g", {}).count() == 0
     assert mixture_sample(ds, "g", {"a": 0}).count() == 0
+
+
+def test_mixture_tokens(ray_session):
+    """Token-budget cut: docs taken in (md5_u32(id), id) order until the
+    EXCLUSIVE running token total crosses the budget — the boundary-crossing
+    doc is kept; shortfall domains keep everything; unbudgeted domains drop;
+    tok_before is the exclusive in-domain prefix sum."""
+    import ray
+
+    from janet_ray.stages.mixture import mixture_sample_tokens
+
+    rows = []
+    # domain 'a': 6 docs × 10 tokens; budget 35 → kept while tok_before < 35:
+    # ranks 1..4 have tok_before 0/10/20/30 (kept, 4th crosses the boundary),
+    # rank 5 has 40 (dropped).
+    for i in range(6):
+        rows.append(("a", i, 10))
+    # domain 'b': budget 1000 >> 30 total → shortfall, all kept
+    for i in range(10, 13):
+        rows.append(("b", i, 10))
+    # domain 'c': no budget → dropped
+    rows.append(("c", 99, 10))
+    t = pa.table({"source": [r[0] for r in rows],
+                  "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+                  "n_tokens": pa.array([r[2] for r in rows], pa.int64())})
+    out = mixture_sample_tokens(
+        ray.data.from_arrow(t), "source",
+        {"a": 35, "b": 1000}, id_col="doc_id").to_pandas()
+
+    a = out[out.source == "a"].sort_values("tok_before")
+    assert list(a.tok_before) == [0, 10, 20, 30]          # boundary doc kept
+    assert list(a.doc_id) == _rank_order(range(6))[:4]    # hash-rank order
+    b = out[out.source == "b"]
+    assert sorted(b.doc_id) == [10, 11, 12]               # shortfall keeps all
+    assert sorted(b.tok_before) == [0, 10, 20]
+    assert (out.source != "c").all()                      # unbudgeted drops
+    assert len(out) == 7
+
+
+def test_mixture_tokens_zero_budget_and_empty(ray_session):
+    import ray
+
+    from janet_ray.stages.mixture import mixture_sample_tokens
+
+    t = pa.table({"source": ["a", "a"],
+                  "doc_id": pa.array([1, 2], pa.int64()),
+                  "n_tokens": pa.array([5, 5], pa.int64())})
+    # zero budget: tok_before 0 < 0 is false → nothing kept
+    out = mixture_sample_tokens(ray.data.from_arrow(t), "source",
+                                {"a": 0}).to_pandas()
+    assert len(out) == 0
+    # first doc always kept for any positive budget (tok_before 0 < q)
+    out = mixture_sample_tokens(ray.data.from_arrow(t), "source",
+                                {"a": 1}).to_pandas()
+    assert len(out) == 1 and out.iloc[0].tok_before == 0
