@@ -4345,6 +4345,33 @@ def _mixture_tokens_sql() -> str:
                               md5_u32_sql=_md5_u32_sql)
 
 
+# Upsampling quotas: against sf0.01's 25 docs/source, src0 repeats ×2.4
+# (epochs 0-2 for early ranks), src1 is exactly one epoch, src2 a plain cut.
+_MIXTURE_EPOCH_QUOTAS = {"src0": 60, "src1": 25, "src2": 10}
+
+
+def q_mixture_epochs(sf_dir: str):
+    """Upsampling mixture (stages/mixture.py `mixture_sample_epochs`) — the
+    Pile-style draw WITH repetition: a domain smaller than its quota repeats
+    in content-addressed rank order with an epoch counter (doc rank rn of a
+    size-n domain appears at every epoch e with e*n + rn <= quota). One
+    coarse domain shuffle of (source, doc_id) rows; output is quota-bounded,
+    never corpus-bounded. The oracle replays the identical arithmetic as a
+    rank window joined to an epoch series."""
+    from janet_ray.stages.mixture import mixture_sample_epochs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    return mixture_sample_epochs(ds, "source", _MIXTURE_EPOCH_QUOTAS)
+
+
+def _mixture_epochs_sql() -> str:
+    from janet_ray.stages.mixture import mixture_epochs_sql
+
+    return mixture_epochs_sql(source="documents", group_col="source",
+                              quotas=_MIXTURE_EPOCH_QUOTAS,
+                              md5_u32_sql=_md5_u32_sql)
+
+
 _DSIR_BUCKETS = 512  # oracle-sized; production default is stages/dsir.py's 4096
 
 
@@ -4672,12 +4699,13 @@ def build_queries() -> dict:
         "route_counts": q_route_counts,
         "duplicate_spans": q_duplicate_spans,
         "training_manifest": q_training_manifest,
-        "curation_v6": q_curation_v6,
-        "mixture_tokens": q_mixture_tokens,  # new late round 5 (token-budget
-        # mixture) — takes the warm slot per the window rule below
+        "mixture_tokens": q_mixture_tokens,   # new late round 5 (token-budget
+        "mixture_epochs": q_mixture_epochs,   # + upsampling mixtures) — take
+        # the warm slots per the window rule below
         # ---------------------------------------------------- 50-slot edge
         # -- r04-window rows (all driver-green in CORRECTNESS_r04, oracles
         #    unchanged; the dtype-strict local gate keeps them honest) --
+        "curation_v6": q_curation_v6,
         "decontaminate": q_decontaminate,
         "index_lookup_phrase": q_index_lookup_phrase,
         "host_quota": q_host_quota,
@@ -4872,6 +4900,7 @@ def build_oracles() -> dict[str, str]:
         "dsir_feature_counts": _dsir_counts_sql(),
         "mixture_sample": _mixture_sql(),
         "mixture_tokens": _mixture_tokens_sql(),
+        "mixture_epochs": _mixture_epochs_sql(),
         "index_lookup_boolean": _index_boolean_sql(),
         "ocr_highlights": _ocr_highlights_sql(),
         "rag_retrieval": _rag_retrieval_sql(),

@@ -200,3 +200,102 @@ SELECT {group_col}, {id_col}, {tok_col}, tok_before FROM (
   FROM {source})
 WHERE tok_before < CASE {group_col} {case} ELSE 0 END
 """
+
+
+def mixture_sample_epochs(ds, group_col: str, quotas: dict[str, int], *,
+                          id_col: str = "doc_id", n_parts: int = 64):
+    """Mixture draw WITH repetition — the Pile-style upsample (Gao et al.
+    2020 Table 1 lists per-set epochs >1: a domain smaller than its quota is
+    repeated, with an epoch counter, until the quota is met). Deterministic
+    replay of round-robin sampling: domain g with n docs (content-addressed
+    rank rn = 1..n) and quota q emits doc rn at epoch e for every e ≥ 0 with
+    ``e*n + rn <= q`` — exactly the sequence "draw ranks 1..n, wrap, repeat"
+    truncated at q draws. q ≤ n degenerates to the plain `mixture_sample`
+    cut at epoch 0; unbudgeted domains drop.
+
+    Emits (group, id, rank, epoch) — the training loader consumes epoch as
+    the shuffle-salt so repeated copies land in different shards
+    (stages/shards.py).
+
+    Scale shape: identical to `mixture_sample_tokens` — ONE coarse hash
+    shuffle on the domain, vectorized in-partition rank + repeat-emit; only
+    (group, id) rows move, and the output is quota-bounded (Σq rows total),
+    never corpus-bounded."""
+    import ray.data
+
+    from janet_ray.functions.partitioning import with_part
+    from janet_ray.stages.quota import _md5_u32_arr
+
+    out_cols = [group_col, id_col, "rank", "epoch"]
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        hs = _md5_u32_arr(batch[id_col].to_pylist())
+        batch = batch.append_column("h", pa.array(hs, pa.int64()))
+        return with_part(batch, [group_col])
+
+    def epoch_emit(part: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = part.drop_columns(["part"])
+        empty = pa.table({group_col: pa.array([], pa.string()),
+                          id_col: pa.array([], pa.int64()),
+                          "rank": pa.array([], pa.int64()),
+                          "epoch": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        idx = pc.sort_indices(t, sort_keys=[(group_col, "ascending"),
+                                            ("h", "ascending"),
+                                            (id_col, "ascending")])
+        t = t.take(idx)
+        grps = t[group_col].to_pylist()
+        n = len(grps)
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        if n > 1:
+            g = np.asarray(grps, dtype=object)
+            new[1:] = g[1:] != g[:-1]
+        start = np.maximum.accumulate(np.where(new, np.arange(n), 0))
+        rn = np.arange(n, dtype=np.int64) - start + 1          # in-domain rank
+        # domain size, broadcast to rows: next boundary - this boundary
+        bounds = np.flatnonzero(new)
+        sizes = np.diff(np.append(bounds, n))
+        n_g = np.repeat(sizes, sizes).astype(np.int64)
+        q = np.fromiter((quotas.get(g, 0) for g in grps),
+                        dtype=np.int64, count=n)
+        reps = np.maximum((q - rn) // n_g + 1, 0)              # 0 when rn > q
+        total = int(reps.sum())
+        if total == 0:
+            return empty
+        src = np.repeat(np.arange(n), reps)
+        offs = np.repeat(np.cumsum(reps) - reps, reps)
+        epoch = np.arange(total, dtype=np.int64) - offs
+        t = t.append_column("rank", pa.array(rn, pa.int64()))
+        out = t.take(pa.array(src))
+        return out.append_column("epoch",
+                                 pa.array(epoch, pa.int64())).select(out_cols)
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return hashed.groupby("part").map_groups(epoch_emit, batch_format="pyarrow")
+
+
+def mixture_epochs_sql(*, source: str, group_col: str,
+                       quotas: dict[str, int], md5_u32_sql,
+                       id_col: str = "doc_id") -> str:
+    """DuckDB replay: the same rank window joined to an epoch series under
+    ``e*n + rn <= quota`` — quota literals from the SAME dict. The series is
+    bounded by max(quota) (with n >= 1 and rn >= 1, e <= q-1 always)."""
+    case = " ".join(f"WHEN '{g}' THEN {q}" for g, q in sorted(quotas.items()))
+    max_q = max(quotas.values(), default=0)
+    return f"""
+WITH ranked AS (
+  SELECT {group_col}, {id_col},
+         CAST(row_number() OVER (PARTITION BY {group_col} ORDER BY
+              {md5_u32_sql(id_col)}, {id_col}) AS BIGINT) AS rank,
+         CAST(count(*) OVER (PARTITION BY {group_col}) AS BIGINT) AS n
+  FROM {source}),
+epochs AS (SELECT CAST(range AS BIGINT) AS epoch FROM range(0, {max_q}))
+SELECT {group_col}, {id_col}, rank, epoch
+FROM ranked, epochs
+WHERE epoch * n + rank <= CASE {group_col} {case} ELSE 0 END
+"""

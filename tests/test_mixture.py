@@ -109,3 +109,49 @@ def test_mixture_tokens_zero_budget_and_empty(ray_session):
     out = mixture_sample_tokens(ray.data.from_arrow(t), "source",
                                 {"a": 1}).to_pandas()
     assert len(out) == 1 and out.iloc[0].tok_before == 0
+
+
+def test_mixture_epochs(ray_session):
+    """Upsampling draw: rank rn of a size-n domain appears at every epoch e
+    with e*n + rn <= quota — round-robin with wrap, truncated at quota."""
+    import ray
+
+    from janet_ray.stages.mixture import mixture_sample_epochs
+
+    t = pa.table({"source": ["a"] * 3 + ["b"] * 4 + ["c"],
+                  "doc_id": pa.array([0, 1, 2, 10, 11, 12, 13, 99], pa.int64())})
+    out = mixture_sample_epochs(
+        ray.data.from_arrow(t), "source",
+        {"a": 8, "b": 2}).to_pandas()
+
+    # domain a (n=3, q=8): ranks 1,2 at epochs 0,1,2 (3+3=6 draws ≤ 8... rank1:
+    # e*3+1<=8 → e∈{0,1,2}; rank2: e*3+2<=8 → e∈{0,1,2}; rank3: e*3+3<=8 →
+    # e∈{0,1}) = 8 rows total — exactly the quota
+    a = out[out.source == "a"]
+    assert len(a) == 8
+    by_rank = a.groupby("rank").epoch.apply(sorted).to_dict()
+    assert by_rank == {1: [0, 1, 2], 2: [0, 1, 2], 3: [0, 1]}
+    order = _rank_order([0, 1, 2])
+    for rn, eps in by_rank.items():
+        ids = set(a[a["rank"] == rn].doc_id)
+        assert ids == {order[rn - 1]}
+    # domain b (n=4, q=2): plain cut, epoch 0 only, ranks 1..2
+    b = out[out.source == "b"]
+    assert len(b) == 2 and set(b.epoch) == {0} and sorted(b["rank"]) == [1, 2]
+    assert list(b.sort_values("rank").doc_id) == _rank_order([10, 11, 12, 13])[:2]
+    # unbudgeted domain drops
+    assert (out.source != "c").all()
+
+
+def test_mixture_epochs_zero_and_exact(ray_session):
+    import ray
+
+    from janet_ray.stages.mixture import mixture_sample_epochs
+
+    t = pa.table({"source": ["a", "a"], "doc_id": pa.array([1, 2], pa.int64())})
+    assert len(mixture_sample_epochs(ray.data.from_arrow(t), "source",
+                                     {"a": 0}).to_pandas()) == 0
+    # quota == n: exactly one epoch of everything
+    out = mixture_sample_epochs(ray.data.from_arrow(t), "source",
+                                {"a": 2}).to_pandas()
+    assert len(out) == 2 and set(out.epoch) == {0}
