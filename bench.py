@@ -239,6 +239,7 @@ def run_suite(sf_dir: str) -> dict[str, float]:
         "rag_retrieval": Q.q_rag_retrieval,
         "mixture_tokens": Q.q_mixture_tokens,
         "mixture_epochs": Q.q_mixture_epochs,
+        "curation_v7": Q.q_curation_v7,
     }
     # min-of-2 INTERLEAVED passes (VERDICT r03 #4): single-shot numbers on
     # this shared VM scatter ±10–40% with co-tenant load (a 22% phantom

@@ -4345,6 +4345,67 @@ def _mixture_tokens_sql() -> str:
                               md5_u32_sql=_md5_u32_sql)
 
 
+# curation_v7 constants: token budgets over the gate's survivors (each
+# sf0.01 source carries ~700 post-gate tokens, so 500 cuts mid-domain);
+# pack bins sized to hold a few ~50-token docs.
+_V7_TOKEN_BUDGET = {"src0": 500, "src2": 500, "src4": 500, "src6": 500,
+                    "src8": 500}
+_V7_PACK_BUDGET = 256
+
+
+def q_curation_v7(sf_dir: str):
+    """Composed make-a-training-mix capstone (the round-5 mixture family
+    end-to-end, whole-composition oracle-checked like curation_v2..v6):
+    Gopher gate on the rules APPLICABLE to this corpus (ok_words +
+    ok_top_2gram — the stopword rule is English-specific and all-rejects
+    the synthetic corpus, exactly the per-corpus rule selection a
+    practitioner does) → token counts → per-domain TOKEN-budget mixture
+    over the survivors → next-fit sequence packing of the selected docs
+    into (part, bin) training bins. Zero-shuffle gate, one coarse domain
+    shuffle (mixture), one coarse order-range shuffle (pack); text moves
+    through none of them past the gate."""
+    from janet_ray.stages.gopher import gopher_flags_batch
+    from janet_ray.stages.mixture import mixture_sample_tokens
+    from janet_ray.stages.pack import pack_sequences
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def gate(batch: pa.Table) -> pa.Table:
+        flags = gopher_flags_batch(batch["text"])
+        keep = (flags["ok_words"] & flags["ok_top_2gram"]).astype(bool)
+        t = ts.add_token_count(batch).filter(pa.array(keep))
+        return t.select(["doc_id", "source", "n_tokens"])
+
+    narrow = ds.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
+    mixed = mixture_sample_tokens(narrow, "source", _V7_TOKEN_BUDGET)
+    packed = pack_sequences(mixed, budget=_V7_PACK_BUDGET,
+                            part_range=_PACK_PART_RANGE)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(["doc_id", "n_tokens", "part", "bin"])
+
+    return packed.map_batches(project, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def _curation_v7_sql() -> str:
+    from janet_ray.stages.gopher import gopher_sql
+    from janet_ray.stages.mixture import mixture_tokens_sql
+    from janet_ray.stages.pack import pack_sql
+
+    gf = gopher_sql(source="documents", text_expr="text", id_col="doc_id")
+    surv = (f"(SELECT d.doc_id, d.source, d.text FROM documents d "
+            f"JOIN ({gf}) gf ON gf.doc_id = d.doc_id "
+            f"WHERE gf.ok_words = 1 AND gf.ok_top_2gram = 1) AS surv")
+    mix = mixture_tokens_sql(source=surv, group_col="source",
+                             token_quotas=_V7_TOKEN_BUDGET,
+                             tok_expr=ts.token_count_sql(),
+                             md5_u32_sql=_md5_u32_sql)
+    return pack_sql(budget=_V7_PACK_BUDGET, part_range=_PACK_PART_RANGE,
+                    count_expr="n_tokens", source=f"({mix}) AS mix",
+                    order_col="doc_id")
+
+
 # Upsampling quotas: against sf0.01's 25 docs/source, src0 repeats ×2.4
 # (epochs 0-2 for early ranks), src1 is exactly one epoch, src2 a plain cut.
 _MIXTURE_EPOCH_QUOTAS = {"src0": 60, "src1": 25, "src2": 10}
@@ -4698,13 +4759,14 @@ def build_queries() -> dict:
         "derive_filenames": q_derive_filenames,
         "route_counts": q_route_counts,
         "duplicate_spans": q_duplicate_spans,
-        "training_manifest": q_training_manifest,
         "mixture_tokens": q_mixture_tokens,   # new late round 5 (token-budget
-        "mixture_epochs": q_mixture_epochs,   # + upsampling mixtures) — take
-        # the warm slots per the window rule below
+        "mixture_epochs": q_mixture_epochs,   # + upsampling mixtures and the
+        "curation_v7": q_curation_v7,         # mix capstone) — take the warm
+        # slots per the window rule below
         # ---------------------------------------------------- 50-slot edge
         # -- r04-window rows (all driver-green in CORRECTNESS_r04, oracles
         #    unchanged; the dtype-strict local gate keeps them honest) --
+        "training_manifest": q_training_manifest,
         "curation_v6": q_curation_v6,
         "decontaminate": q_decontaminate,
         "index_lookup_phrase": q_index_lookup_phrase,
@@ -4901,6 +4963,7 @@ def build_oracles() -> dict[str, str]:
         "mixture_sample": _mixture_sql(),
         "mixture_tokens": _mixture_tokens_sql(),
         "mixture_epochs": _mixture_epochs_sql(),
+        "curation_v7": _curation_v7_sql(),
         "index_lookup_boolean": _index_boolean_sql(),
         "ocr_highlights": _ocr_highlights_sql(),
         "rag_retrieval": _rag_retrieval_sql(),
