@@ -148,8 +148,10 @@ def mixture_sample_tokens(ds, group_col: str, token_quotas: dict[str, int], *,
 
         t = part.drop_columns(["part"])
         if t.num_rows == 0:
-            return pa.table({group_col: pa.array([], pa.string()),
-                             id_col: pa.array([], pa.int64()),
+            # empty schema derived from the INPUT types (paradedup lesson:
+            # hardcoding would mismatch non-string group columns)
+            return pa.table({group_col: pa.array([], t.schema.field(group_col).type),
+                             id_col: pa.array([], t.schema.field(id_col).type),
                              tok_col: pa.array([], pa.int64()),
                              "tok_before": pa.array([], pa.int64())})
         idx = pc.sort_indices(t, sort_keys=[(group_col, "ascending"),
@@ -237,8 +239,10 @@ def mixture_sample_epochs(ds, group_col: str, quotas: dict[str, int], *,
         import pyarrow.compute as pc
 
         t = part.drop_columns(["part"])
-        empty = pa.table({group_col: pa.array([], pa.string()),
-                          id_col: pa.array([], pa.int64()),
+        # empty/total==0 schema derived from the INPUT types (paradedup
+        # lesson: hardcoding would mismatch non-string group columns)
+        empty = pa.table({group_col: pa.array([], t.schema.field(group_col).type),
+                          id_col: pa.array([], t.schema.field(id_col).type),
                           "rank": pa.array([], pa.int64()),
                           "epoch": pa.array([], pa.int64())})
         if t.num_rows == 0:

@@ -155,3 +155,23 @@ def test_mixture_epochs_zero_and_exact(ray_session):
     out = mixture_sample_epochs(ray.data.from_arrow(t), "source",
                                 {"a": 2}).to_pandas()
     assert len(out) == 2 and set(out.epoch) == {0}
+
+
+def test_mixture_int_group_col_empty_parts(ray_session):
+    """Non-string group columns must type the empty coarse partitions from
+    the input schema (hardcoded pa.string() would make empty parts'
+    schemas mismatch and break the block union)."""
+    import ray
+
+    from janet_ray.stages.mixture import (mixture_sample_epochs,
+                                          mixture_sample_tokens)
+
+    t = pa.table({"grp": pa.array([1, 1, 2], pa.int64()),
+                  "doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "n_tokens": pa.array([5, 5, 5], pa.int64())})
+    out = mixture_sample_tokens(ray.data.from_arrow(t), "grp",
+                                {1: 6, 2: 1}).to_pandas()
+    assert sorted(out.grp.unique()) == [1, 2] and len(out) == 3
+    out = mixture_sample_epochs(ray.data.from_arrow(t), "grp",
+                                {1: 5}).to_pandas()
+    assert len(out) == 5 and set(out.grp) == {1}
