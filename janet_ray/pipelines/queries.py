@@ -2725,6 +2725,42 @@ SELECT id AS doc_id, min(reach) AS cluster_rep FROM r GROUP BY id
 """
 
 
+def q_cluster_split(sf_dir: str):
+    """Dedup-cluster-aware train/val/test split — the leakage guard
+    train_test_split alone cannot give: near-duplicate documents must land
+    in the SAME split (a train/test pair of near-dups leaks eval content
+    into training; Lee et al. 2021 §6.2 measure exactly this). Every doc is
+    assigned by the content-addressed hash of its MinHash-component
+    REPRESENTATIVE, not its own id, so whole near-dup clusters move
+    together. Singleton clusters (rep = own id) degrade to the plain split
+    arithmetic. Adds one stateless map over the narrow (doc_id, rep)
+    assignment; the clustering's shuffles are the already-audited minhash +
+    component ones."""
+    docs = _docs(sf_dir)
+    pairs = dedup.minhash_neardup_pairs(docs, threshold=0.8)
+    assigned = dedup.dup_clusters(docs, pairs)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        buckets = [h % 100 for h in _md5_u32(batch["cluster_rep"].to_pylist())]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "cluster_rep": batch["cluster_rep"],
+            "split": pa.array([_split_label(b) for b in buckets], pa.string()),
+        })
+
+    return assigned.map_batches(assign, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+
+def _cluster_split_sql() -> str:
+    return f"""
+WITH c AS ({_DUP_CLUSTERS_SQL})
+SELECT doc_id, cluster_rep,
+       {_split_case_sql('cluster_rep')} AS split
+FROM c
+"""
+
+
 def q_dup_profile(sf_dir: str):
     """Corpus duplication profile (dedup.dup_profile) — the cluster-size
     histogram over the MinHash near-dup components: how much of the corpus
@@ -4758,7 +4794,8 @@ def build_queries() -> dict:
         "minhash_neardup": q_minhash_neardup,
         "derive_filenames": q_derive_filenames,
         "route_counts": q_route_counts,
-        "duplicate_spans": q_duplicate_spans,
+        "cluster_split": q_cluster_split,     # new late round 5 (leakage-
+        # guard split) — warm-slot swap, see the window rule below
         "mixture_tokens": q_mixture_tokens,   # new late round 5 (token-budget
         "mixture_epochs": q_mixture_epochs,   # + upsampling mixtures and the
         "curation_v7": q_curation_v7,         # mix capstone) — take the warm
@@ -4766,6 +4803,7 @@ def build_queries() -> dict:
         # ---------------------------------------------------- 50-slot edge
         # -- r04-window rows (all driver-green in CORRECTNESS_r04, oracles
         #    unchanged; the dtype-strict local gate keeps them honest) --
+        "duplicate_spans": q_duplicate_spans,
         "training_manifest": q_training_manifest,
         "curation_v6": q_curation_v6,
         "decontaminate": q_decontaminate,
@@ -4964,6 +5002,7 @@ def build_oracles() -> dict[str, str]:
         "mixture_tokens": _mixture_tokens_sql(),
         "mixture_epochs": _mixture_epochs_sql(),
         "curation_v7": _curation_v7_sql(),
+        "cluster_split": _cluster_split_sql(),
         "index_lookup_boolean": _index_boolean_sql(),
         "ocr_highlights": _ocr_highlights_sql(),
         "rag_retrieval": _rag_retrieval_sql(),

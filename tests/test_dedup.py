@@ -361,3 +361,34 @@ def test_cluster_keep_best_no_pairs_is_identity(ray_session):
     kept = sorted(r["doc_id"]
                   for r in dedup.cluster_keep_best(ds, empty).take_all())
     assert kept == t["doc_id"].to_pylist()
+
+
+def test_cluster_split_no_leakage(ray_session):
+    """Near-dup docs land in the SAME split even when their OWN id hashes
+    would split them apart (doc 0 hashes to 'train', doc 30 to 'test' under
+    the plain split) — the rep-hash assignment moves whole clusters."""
+    import pyarrow as pa
+    import ray
+
+    from janet_ray.pipelines.queries import (_md5_u32, _split_label,
+                                             q_cluster_split)
+    from janet_ray.stages import dedup
+
+    # plain-split sanity for the chosen pair
+    own = {i: _split_label(_md5_u32([i])[0] % 100) for i in (0, 30)}
+    assert own[0] != own[30]
+
+    shared = ("the quick brown fox jumps over the lazy dog again and again "
+              "with many repeated shared tokens forming one clear cluster")
+    texts = {0: shared, 30: shared + " tail", 7: "entirely different content "
+             "about unrelated topics with no shared shingles at all here"}
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(sorted(texts), pa.int64()),
+        "text": pa.array([texts[i] for i in sorted(texts)], pa.string())}))
+    pairs = dedup.minhash_neardup_pairs(ds, threshold=0.5)
+    out = dedup.dup_clusters(ds, pairs).to_pandas().set_index("doc_id")
+    assert out.loc[0, "cluster_rep"] == out.loc[30, "cluster_rep"] == 0
+    # the split comes from the rep (0) for BOTH cluster members
+    split = {i: _split_label(_md5_u32([int(out.loc[i, 'cluster_rep'])])[0] % 100)
+             for i in (0, 30)}
+    assert split[0] == split[30] == own[0]
