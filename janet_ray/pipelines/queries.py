@@ -4381,6 +4381,63 @@ def _mixture_tokens_sql() -> str:
                               md5_u32_sql=_md5_u32_sql)
 
 
+# epoch→shard constants: draw_id = doc_id*K + epoch must be collision-free,
+# so K must exceed every possible epoch; epochs are < max(quota) (see
+# mixture_epochs_sql), and max(_MIXTURE_EPOCH_QUOTAS.values()) = 60 < 64.
+_EPOCH_SHARD_K, _EPOCH_SHARD_N, _EPOCH_SHARD_SEED = 64, 4, 2
+
+
+def q_epoch_shards(sf_dir: str):
+    """Epoch→shard composition — the story `mixture_sample_epochs` promises:
+    upsampled draws (doc_id, epoch) become deterministic training shards
+    with the EPOCH in the shuffle key (draw_id = doc_id*K + epoch), so the
+    repeated copies of one document land in different shards instead of
+    clumping — the property a repeating training mix needs from its loader.
+    One coarse domain shuffle (the draw) + one coarse shard-id shuffle (the
+    rank); output is Σquota-bounded."""
+    from janet_ray.stages import shards
+    from janet_ray.stages.mixture import mixture_sample_epochs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    draws = mixture_sample_epochs(ds, "source", _MIXTURE_EPOCH_QUOTAS)
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        e = batch["epoch"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column(
+            "draw_id", pa.array(d * _EPOCH_SHARD_K + e, pa.int64()))
+
+    keyed = draws.map_batches(add_key, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    out = shards.shuffle_shards(keyed, id_col="draw_id",
+                                n_shards=_EPOCH_SHARD_N,
+                                seed=_EPOCH_SHARD_SEED)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(["doc_id", "epoch", "draw_id", "shard", "pos"])
+
+    return out.map_batches(project, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def _epoch_shards_sql() -> str:
+    return f"""
+WITH m AS ({_mixture_epochs_sql()}),
+k AS (SELECT doc_id, epoch,
+             CAST(doc_id * {_EPOCH_SHARD_K} + epoch AS BIGINT) AS draw_id
+      FROM m),
+hs AS (SELECT doc_id, epoch, draw_id,
+              CAST(('0x' || substr(md5('{_EPOCH_SHARD_SEED}:'
+                   || CAST(draw_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS hh
+       FROM k)
+SELECT doc_id, epoch, draw_id,
+       CAST(hh % {_EPOCH_SHARD_N} AS INTEGER) AS shard,
+       CAST(row_number() OVER (PARTITION BY hh % {_EPOCH_SHARD_N}
+                               ORDER BY hh, draw_id) - 1 AS BIGINT) AS pos
+FROM hs
+"""
+
+
 # curation_v7 constants: token budgets over the gate's survivors (each
 # sf0.01 source carries ~700 post-gate tokens, so 500 cuts mid-domain);
 # pack bins sized to hold a few ~50-token docs.
@@ -4793,9 +4850,9 @@ def build_queries() -> dict:
         "exact_dedup": q_exact_dedup,
         "minhash_neardup": q_minhash_neardup,
         "derive_filenames": q_derive_filenames,
-        "route_counts": q_route_counts,
         "cluster_split": q_cluster_split,     # new late round 5 (leakage-
-        # guard split) — warm-slot swap, see the window rule below
+        "epoch_shards": q_epoch_shards,       # guard split + epoch shards)
+        # — warm-slot swaps, see the window rule below
         "mixture_tokens": q_mixture_tokens,   # new late round 5 (token-budget
         "mixture_epochs": q_mixture_epochs,   # + upsampling mixtures and the
         "curation_v7": q_curation_v7,         # mix capstone) — take the warm
@@ -4803,6 +4860,7 @@ def build_queries() -> dict:
         # ---------------------------------------------------- 50-slot edge
         # -- r04-window rows (all driver-green in CORRECTNESS_r04, oracles
         #    unchanged; the dtype-strict local gate keeps them honest) --
+        "route_counts": q_route_counts,
         "duplicate_spans": q_duplicate_spans,
         "training_manifest": q_training_manifest,
         "curation_v6": q_curation_v6,
@@ -5003,6 +5061,7 @@ def build_oracles() -> dict[str, str]:
         "mixture_epochs": _mixture_epochs_sql(),
         "curation_v7": _curation_v7_sql(),
         "cluster_split": _cluster_split_sql(),
+        "epoch_shards": _epoch_shards_sql(),
         "index_lookup_boolean": _index_boolean_sql(),
         "ocr_highlights": _ocr_highlights_sql(),
         "rag_retrieval": _rag_retrieval_sql(),

@@ -175,3 +175,36 @@ def test_mixture_int_group_col_empty_parts(ray_session):
     out = mixture_sample_epochs(ray.data.from_arrow(t), "grp",
                                 {1: 5}).to_pandas()
     assert len(out) == 5 and set(out.grp) == {1}
+
+
+def test_epoch_shards_spread_copies(ray_session):
+    """The epoch rides the shard key, so repeated copies of one document
+    spread across shards instead of clumping (the loader property the
+    upsampling draw exists for); positions are dense within each shard."""
+    import ray
+
+    from janet_ray.pipelines.queries import (_EPOCH_SHARD_K, _EPOCH_SHARD_N,
+                                             _EPOCH_SHARD_SEED)
+    from janet_ray.stages import shards
+    from janet_ray.stages.mixture import mixture_sample_epochs
+
+    t = pa.table({"source": ["a", "a"], "doc_id": pa.array([1, 2], pa.int64())})
+    draws = mixture_sample_epochs(ray.data.from_arrow(t), "source", {"a": 8})
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False)
+        e = batch["epoch"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "draw_id", pa.array(d * _EPOCH_SHARD_K + e, pa.int64()))
+
+    out = shards.shuffle_shards(
+        draws.map_batches(add_key, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        id_col="draw_id", n_shards=_EPOCH_SHARD_N,
+        seed=_EPOCH_SHARD_SEED).to_pandas()
+    assert len(out) == 8  # quota draws: both docs × epochs 0..3
+    assert not out.duplicated(["doc_id", "epoch"]).any()
+    for d in (1, 2):
+        assert out[out.doc_id == d].shard.nunique() > 1  # copies spread
+    for s, grp in out.groupby("shard"):
+        assert sorted(grp.pos) == list(range(len(grp)))  # dense positions
