@@ -386,7 +386,8 @@ def q_search_topk(sf_dir: str):
                                                 ("doc_id", "ascending")])
         return batch.take(idx[:k])
 
-    return partials.repartition(1).map_batches(reduce_topk, batch_format="pyarrow")
+    return partials.repartition(1).map_batches(reduce_topk, batch_format="pyarrow",
+                                                batch_size=None)
 
 
 _SEARCH_TOPK_SQL = """
@@ -1997,7 +1998,8 @@ def q_rag_retrieval(sf_dir: str):
     winners = (vecs.map_batches(partial_topk, batch_format="pyarrow",
                                 zero_copy_batch=True)
                    .repartition(1)
-                   .map_batches(pick, batch_format="pyarrow"))
+                   .map_batches(pick, batch_format="pyarrow",
+                                batch_size=None))
 
     kept = broadcast_lookup_join(chunks_cid, "cid", winners)
 
@@ -3350,7 +3352,8 @@ def q_top_orders(sf_dir: str):
         return t.take(idx[:k])
 
     partials = ds.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
-    return partials.repartition(1).map_batches(local_topk, batch_format="pyarrow")
+    return partials.repartition(1).map_batches(local_topk, batch_format="pyarrow",
+                                               batch_size=None)
 
 
 _TOP_ORDERS_SQL = f"""
@@ -3449,7 +3452,8 @@ def q_recent_events(sf_dir: str):
         return batch.take(idx[:k])
 
     partials = ds.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
-    return partials.repartition(1).map_batches(local_topk, batch_format="pyarrow")
+    return partials.repartition(1).map_batches(local_topk, batch_format="pyarrow",
+                                               batch_size=None)
 
 
 _RECENT_EVENTS_SQL = """
@@ -3772,7 +3776,8 @@ def q_vocab_topk(sf_dir: str):
         return batch.take(idx[:k])
 
     return (totals.map_batches(topk, batch_format="pyarrow", zero_copy_batch=True)
-            .repartition(1).map_batches(topk, batch_format="pyarrow"))
+            .repartition(1).map_batches(topk, batch_format="pyarrow",
+                                        batch_size=None))
 
 
 _VOCAB_TOPK_SQL = """

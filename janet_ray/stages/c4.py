@@ -131,7 +131,11 @@ def c4_batch(texts) -> dict:
     texts = pc.fill_null(texts, "")
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
-    low = pc.utf8_lower(texts)
+    # Python str.lower, NOT pc.utf8_lower — see stages/gopher.py: the engine-
+    # wide tokenizer contract is Python full case mapping, and Arrow's simple
+    # mapping diverges on special-casing chars (İ), flipping line keep/drop
+    # decisions vs the per-row reference kernel.
+    low = pa.array([t.lower() for t in texts.to_pylist()], pa.string())
 
     lsplit = pc.split_pattern(texts, "\n")
     if isinstance(lsplit, pa.ChunkedArray):

@@ -208,7 +208,7 @@ def pmi_collocations(ds, *, text_col: str = "text",
 
     return (joined.map_batches(score_topk, batch_format="pyarrow")
             .repartition(1)
-            .map_batches(final_topk, batch_format="pyarrow"))
+            .map_batches(final_topk, batch_format="pyarrow", batch_size=None))
 
 
 def _empty_table() -> pa.Table:

@@ -178,7 +178,8 @@ def dsir_select(ds, lam: np.ndarray, k: int, *, seed: int = 0,
                 .map_batches(local_topk, batch_format="pyarrow",
                              zero_copy_batch=True))
     return partials.repartition(1).map_batches(local_topk,
-                                               batch_format="pyarrow")
+                                               batch_format="pyarrow",
+                                               batch_size=None)
 
 
 def feature_counts_sql(*, sides: list[tuple[str, str]],

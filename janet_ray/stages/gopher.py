@@ -148,7 +148,13 @@ def gopher_flags_batch(texts) -> dict[str, np.ndarray]:
     texts = pc.fill_null(texts, "")
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
-    low = pc.utf8_lower(texts)
+    # Python str.lower, NOT pc.utf8_lower: the engine-wide tokenizer contract
+    # lowercases with Python full case mapping (hashvec/winnow/dsir/... and
+    # this module's per-row reference kernel), and the two differ on special-
+    # casing chars — İ (U+0130) lowers to 'i̇' (i + combining dot, splitting a
+    # token at the regex) under Python but to 'i' under Arrow/utf8proc. The
+    # C-level per-doc .lower() is not what the vectorization A/B measured.
+    low = pa.array([t.lower() for t in texts.to_pylist()], pa.string())
 
     # words: one RE2 split; empties mark separator-adjacent slots
     toks = pc.split_pattern_regex(low, "[^a-z0-9]+")

@@ -131,8 +131,6 @@ def mixture_sample_tokens(ds, group_col: str, token_quotas: dict[str, int], *,
     row counts are input/n_domains-bounded — a single pathological domain
     holding most of the corpus still streams through its partition as
     int rows (16B/row ≈ 16 GB per 10^9 docs, object-store spillable)."""
-    import ray.data
-
     from janet_ray.functions.partitioning import with_part
     from janet_ray.stages.quota import _md5_u32_arr
 
@@ -141,7 +139,7 @@ def mixture_sample_tokens(ds, group_col: str, token_quotas: dict[str, int], *,
     def add_hash(batch: pa.Table) -> pa.Table:
         hs = _md5_u32_arr(batch[id_col].to_pylist())
         batch = batch.append_column("h", pa.array(hs, pa.int64()))
-        return with_part(batch, [group_col])
+        return with_part(batch, [group_col], n_parts=n_parts)
 
     def token_cut(part: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -223,8 +221,6 @@ def mixture_sample_epochs(ds, group_col: str, quotas: dict[str, int], *,
     shuffle on the domain, vectorized in-partition rank + repeat-emit; only
     (group, id) rows move, and the output is quota-bounded (Σq rows total),
     never corpus-bounded."""
-    import ray.data
-
     from janet_ray.functions.partitioning import with_part
     from janet_ray.stages.quota import _md5_u32_arr
 
@@ -233,7 +229,7 @@ def mixture_sample_epochs(ds, group_col: str, quotas: dict[str, int], *,
     def add_hash(batch: pa.Table) -> pa.Table:
         hs = _md5_u32_arr(batch[id_col].to_pylist())
         batch = batch.append_column("h", pa.array(hs, pa.int64()))
-        return with_part(batch, [group_col])
+        return with_part(batch, [group_col], n_parts=n_parts)
 
     def epoch_emit(part: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

@@ -187,12 +187,13 @@ def test_c4_batch_parity_edges():
         "only four words here.", 'he said this ends with a quote"',
         "please enable JavaScript to view this page.",
         "x." * 40, "...", "a!b?c.", GOOD + "\nshort.", "é ü ñ lines.",
+        "İstanbul line has five words.",  # U+0130: Python vs Arrow lower
     ])
 
 
 @settings(max_examples=60, deadline=None)
 @given(st.lists(st.text(
-    alphabet='ab1 .!?"{\ncookie', min_size=0, max_size=80),
+    alphabet='ab1 .!?"{\ncookieİ', min_size=0, max_size=80),
     min_size=1, max_size=10))
 def test_c4_batch_parity_fuzz(texts):
     _assert_c4_parity(texts)

@@ -127,6 +127,7 @@ def test_batch_kernel_parity_edges():
         "dup\ndup\ndup\nuniq", "ab c ab c ab c", "a bc a bc",
         "word " * 60, None, "x\n" * 30, "9 8 7 6 5", "ab c\na bc",
         "the the the the", "...\n...\n...", "*", "-", "é ü ñ É Ü",
+        "İstanbul and İzmir are cities",  # U+0130: Python vs Arrow lower
         "a" * 500, ("lorem " * 30 + "\n") * 5, "x y x y x z x y",
     ])
 
@@ -139,7 +140,7 @@ def test_batch_kernel_gram_tiebreak_is_min_string():
 
 @settings(max_examples=60, deadline=None)
 @given(st.lists(st.text(
-    alphabet="ab1 .#*-\n\"!?é", min_size=0, max_size=80),
+    alphabet="ab1 .#*-\n\"!?éİ", min_size=0, max_size=80),
     min_size=1, max_size=12))
 def test_batch_kernel_parity_fuzz(texts):
     _assert_batch_parity(texts)
