@@ -242,6 +242,7 @@ def run_suite(sf_dir: str) -> dict[str, float]:
         "curation_v7": Q.q_curation_v7,
         "cluster_split": Q.q_cluster_split,
         "epoch_shards": Q.q_epoch_shards,
+        "index_lookup_prefix": Q.q_index_lookup_prefix,
     }
     # min-of-2 INTERLEAVED passes (VERDICT r03 #4): single-shot numbers on
     # this shared VM scatter ±10–40% with co-tenant load (a 22% phantom

@@ -431,6 +431,39 @@ LIMIT 10
 """
 
 
+def q_index_lookup_prefix(sf_dir: str):
+    """Prefix (autocomplete / `dat*` wildcard) retrieval served from the
+    inverted index (index.index_lookup_prefix): score = Σ tf over every
+    indexed term starting with the prefix, top-10 by (score desc, doc_id).
+    Reads every bucket file once with the term-range predicate pushed to
+    row-group statistics — the documented cold-path trade of the
+    hash-bucketed layout (equality lookups keep single-file reads)."""
+    import shutil
+
+    from janet_ray.stages import index as inv
+
+    index_dir = _scratch("janet-inv-prefix-")
+    try:
+        inv.build_inverted_index(
+            _read(sf_dir, "documents", columns=["doc_id", "text"]),
+            index_dir, num_buckets=32)
+        return inv.index_lookup_prefix(index_dir, "dat", k=10)
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
+
+
+_INDEX_PREFIX_SQL = """
+SELECT doc_id, score FROM (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                              t -> t LIKE 'dat%')) AS BIGINT) AS score
+  FROM documents)
+WHERE score > 0
+ORDER BY score DESC, doc_id
+LIMIT 10
+"""
+
+
 def q_search_index_bm25(sf_dir: str):
     """BM25 ranked retrieval served entirely from the inverted index (Lucene
     idf + saturated-tf/length normalization over the denormalized dl column).
@@ -4871,6 +4904,7 @@ def build_queries() -> dict:
         "curation_v6": q_curation_v6,
         "decontaminate": q_decontaminate,
         "index_lookup_phrase": q_index_lookup_phrase,
+        "index_lookup_prefix": q_index_lookup_prefix,  # late r5, past-edge
         "host_quota": q_host_quota,
         "pmi_collocations": q_pmi_collocations,
         "substring_dedup_global": q_substring_dedup_global,
@@ -5016,6 +5050,7 @@ def build_oracles() -> dict[str, str]:
         "orders_group_sample": _GROUP_SAMPLE_SQL,
         "training_manifest": _training_manifest_sql(),
         "search_index_lookup": _INDEX_LOOKUP_SQL,
+        "index_lookup_prefix": _INDEX_PREFIX_SQL,
         "index_lookup_phrase": _index_phrase_sql(),
         "host_quota": _host_quota_sql(),
         "snapshot_diff": _snapshot_diff_sql(),

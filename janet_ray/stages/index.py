@@ -510,6 +510,54 @@ def index_lookup_multi(index_dir: str, terms: list[str], *, k: int = 10) -> pa.T
     return t.take(idx[:k])
 
 
+def index_lookup_prefix(index_dir: str, prefix: str, *, k: int = 10) -> pa.Table:
+    """Prefix (autocomplete / ``pre*`` wildcard) retrieval from the index
+    alone: score = Σ tf over every indexed term starting with the prefix,
+    top-k by (score desc, doc_id asc).
+
+    Layout trade, stated honestly: terms are HASH-bucketed (equality
+    lookups — the hot path — read exactly one bucket file), so a prefix
+    cannot route to one bucket; this query reads EVERY bucket file once,
+    with the range predicate ``prefix <= term < prefix+'{'`` pushed to
+    parquet row-group statistics ('{' = 'z'+1 bounds the [a-z0-9]+ token
+    alphabet) — the term column is sorted per file, so non-matching row
+    groups are skipped at the footer. A term-RANGE-partitioned layout would
+    prune buckets too but would hot-spot skewed term distributions on the
+    build shuffle; prefix queries are the cold path, so the scan-all-
+    buckets cost lands on the right side. Tombstones apply per segment as
+    everywhere else."""
+    meta = index_meta(index_dir)
+    p = prefix.lower()
+    if not p:
+        raise ValueError("prefix must be non-empty")
+    hi = p + "{"
+    dead = tombstone_sets(index_dir)
+    segs = segment_dirs(index_dir)
+    roots = segs if segs else [index_dir]
+    parts = []
+    for b in range(meta["num_buckets"]):
+        for ordinal, root in enumerate(roots):
+            path = bucket_path(root, b)
+            if not os.path.exists(path):
+                continue
+            t = pq.read_table(path, columns=["term", "doc_id", "tf"],
+                              filters=[("term", ">=", p), ("term", "<", hi)])
+            if t.num_rows:
+                t = _mask_dead(t.drop_columns(["term"]), ordinal, dead)
+            if t.num_rows:
+                parts.append(t.select(["doc_id", "tf"]))
+    if not parts:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.int64())})
+    allp = pa.concat_tables(parts)
+    g = allp.group_by(["doc_id"]).aggregate([("tf", "sum")])
+    t = pa.table({"doc_id": g["doc_id"],
+                  "score": pc.cast(g["tf_sum"], pa.int64())})
+    idx = pc.sort_indices(t, sort_keys=[("score", "descending"),
+                                        ("doc_id", "ascending")])
+    return t.take(idx[:k])
+
+
 def index_lookup_boolean(index_dir: str, must: list[str],
                          must_not: list[str] = (), *,
                          k: int | None = None) -> pa.Table:

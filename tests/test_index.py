@@ -579,3 +579,39 @@ def test_delete_does_not_mask_readded_docs(ray_session, tmp_path):
     assert "punctuation" not in [r for f in inv.scan_index_files(out)
                                  for r in pq.read_table(f)["term"].to_pylist()
                                  ]  # old doc-3-only term is purged
+
+
+def test_prefix_lookup_scores_and_order(ray_session, tmp_path):
+    """Prefix score = Σ tf over every term starting with the prefix
+    ('dat' matches data, database, and the 'data' inside meta-data splits),
+    ranked (score desc, doc_id asc); verified against the reference
+    postings; empty prefix raises; unmatched prefix returns typed empty."""
+    d = str(tmp_path / "idx")
+    inv.build_inverted_index(_docs_ds(TEXTS), d, num_buckets=4)
+    out = inv.index_lookup_prefix(d, "dat", k=10).to_pydict()
+    ref = Counter()
+    for (term, doc), tf in _ref_postings(TEXTS).items():
+        if term.startswith("dat"):
+            ref[doc] += tf
+    want = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert list(zip(out["doc_id"], out["score"])) == want
+    # uppercase prefix goes through the tokenizer contract
+    up = inv.index_lookup_prefix(d, "DAT", k=10).to_pydict()
+    assert up == out
+    # unmatched prefix: typed empty
+    none = inv.index_lookup_prefix(d, "zzz", k=10)
+    assert none.num_rows == 0 and none.schema.field("score").type == pa.int64()
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        inv.index_lookup_prefix(d, "", k=10)
+
+
+def test_prefix_lookup_respects_tombstones(ray_session, tmp_path):
+    d = str(tmp_path / "idx")
+    inv.build_inverted_index(_docs_ds(TEXTS), d, num_buckets=4)
+    before = inv.index_lookup_prefix(d, "dat", k=10).to_pydict()
+    assert 3 in before["doc_id"]  # the data×4 doc
+    inv.delete_docs(d, [3])
+    after = inv.index_lookup_prefix(d, "dat", k=10).to_pydict()
+    assert 3 not in after["doc_id"]
+    assert set(before["doc_id"]) - set(after["doc_id"]) == {3}
