@@ -615,3 +615,33 @@ def test_prefix_lookup_respects_tombstones(ray_session, tmp_path):
     after = inv.index_lookup_prefix(d, "dat", k=10).to_pydict()
     assert 3 not in after["doc_id"]
     assert set(before["doc_id"]) - set(after["doc_id"]) == {3}
+
+
+def test_prefix_lookup_over_segments(ray_session, tmp_path):
+    """Segmented prefix retrieval == flat prefix retrieval (a doc lives in
+    exactly one segment, so the per-bucket range reads concatenate without
+    a merge), and segment-scoped tombstones mask prefix hits too."""
+    texts = [f"doc {i} " + "data " * (i % 4) + ("database " if i % 5 == 0
+             else "") + "word common text" for i in range(60)]
+    inp = str(tmp_path / "shards")
+    _write_shards(inp, texts, shard_rows=10)
+
+    flat = str(tmp_path / "flat")
+    inv.build_inverted_index(_docs_ds(texts), flat, num_buckets=8)
+    segd = str(tmp_path / "segd")
+    inv.build_index_segments(inp, segd, files_per_segment=2, num_buckets=8)
+
+    a = inv.index_lookup_prefix(flat, "dat", k=100).to_pylist()
+    b = inv.index_lookup_prefix(segd, "dat", k=100).to_pylist()
+    assert a == b and len(a) > 0
+    # 'dat' scores count data AND database occurrences
+    ref = {i: t.split().count("data") + t.split().count("database")
+           for i, t in enumerate(texts)}
+    for r in a:
+        assert r["score"] == ref[r["doc_id"]]
+    # segment-scoped tombstone masks the prefix path
+    victim = a[0]["doc_id"]
+    inv.delete_docs(segd, [victim])
+    after = inv.index_lookup_prefix(segd, "dat", k=100).to_pylist()
+    assert victim not in [r["doc_id"] for r in after]
+    assert len(after) == len(a) - 1
